@@ -1,0 +1,146 @@
+"""Encoder configuration — mirrors mozjpeg's parameter surface.
+
+Defaults follow jpeg_set_defaults with JCP_MAX_COMPRESSION
+(/root/reference/jcparam.c:387-518): progressive + trellis + optimize_scans +
+optimized Huffman + overshoot deringing + quant table 3 (ImageMagick).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Sequence, Tuple
+
+
+class Profile(enum.Enum):
+    MAX_COMPRESSION = "max"    # mozjpeg default
+    FASTEST = "fastest"        # libjpeg-turbo-compatible ("-revert")
+
+
+def quality_default_subsampling(quality: float) -> Tuple[int, int]:
+    """cjpeg -quality subsampling heuristic (rdswitch.c:562-570):
+    >=90 -> 4:4:4, >=80 -> 4:2:2, else 4:2:0."""
+    if quality >= 90:
+        return (1, 1)
+    if quality >= 80:
+        return (2, 1)
+    return (2, 2)
+
+
+class DCTMethod(enum.Enum):
+    ISLOW = "islow"
+    IFAST = "ifast"
+    FLOAT = "float"
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    quality: float = 75.0
+    profile: Profile = Profile.MAX_COMPRESSION
+
+    # colorspace / sampling
+    subsampling: Tuple[int, int] = (2, 2)   # (h, v) for luma; chroma 1x1
+    grayscale: bool = False
+
+    # entropy
+    progressive: Optional[bool] = None      # None = profile default
+    optimize_coding: Optional[bool] = None  # Huffman table optimization
+    optimize_scans: Optional[bool] = None   # jpegrescan-style scan search
+    arithmetic: bool = False
+    restart_interval: int = 0               # in MCUs
+    restart_in_rows: int = 0                # in MCU rows (converted later)
+    dc_scan_opt_mode: int = 0
+
+    # quantization
+    quant_tbl_idx: Optional[int] = None     # None = profile default (3 or 0)
+    force_baseline: bool = True
+    smoothing_factor: int = 0
+
+    # trellis (mozjpeg extension params, jcext.c / jpeglib.h:321-355)
+    trellis_quant: Optional[bool] = None
+    trellis_quant_dc: bool = True
+    trellis_eob_opt: bool = False
+    trellis_q_opt: bool = False
+    use_lambda_weight_tbl: bool = True
+    use_scans_in_trellis: bool = False
+    trellis_freq_split: int = 8
+    trellis_num_loops: int = 1
+    trellis_delta_dc_weight: float = 0.0
+    lambda_log_scale1: float = 14.75
+    lambda_log_scale2: float = 16.5
+
+    # deringing
+    overshoot_deringing: Optional[bool] = None
+
+    dct_method: DCTMethod = DCTMethod.ISLOW
+
+    # custom scan script: list of (comps tuple, Ss, Se, Ah, Al)
+    scan_script: Optional[Sequence] = None
+
+    def resolved(self) -> "ResolvedConfig":
+        maxc = self.profile == Profile.MAX_COMPRESSION
+        return ResolvedConfig(
+            quality=self.quality,
+            subsampling=self.subsampling,
+            grayscale=self.grayscale,
+            progressive=(self.progressive if self.progressive is not None
+                         else maxc),
+            optimize_coding=(self.optimize_coding
+                             if self.optimize_coding is not None else maxc),
+            optimize_scans=(self.optimize_scans
+                            if self.optimize_scans is not None else maxc),
+            arithmetic=self.arithmetic,
+            restart_interval=self.restart_interval,
+            restart_in_rows=self.restart_in_rows,
+            dc_scan_opt_mode=self.dc_scan_opt_mode,
+            quant_tbl_idx=(self.quant_tbl_idx
+                           if self.quant_tbl_idx is not None
+                           else (3 if maxc else 0)),
+            force_baseline=self.force_baseline,
+            trellis_quant=(self.trellis_quant
+                           if self.trellis_quant is not None else maxc),
+            trellis_quant_dc=self.trellis_quant_dc,
+            trellis_eob_opt=self.trellis_eob_opt,
+            trellis_q_opt=self.trellis_q_opt,
+            use_lambda_weight_tbl=self.use_lambda_weight_tbl,
+            use_scans_in_trellis=self.use_scans_in_trellis,
+            trellis_freq_split=self.trellis_freq_split,
+            trellis_num_loops=self.trellis_num_loops,
+            trellis_delta_dc_weight=self.trellis_delta_dc_weight,
+            lambda_log_scale1=self.lambda_log_scale1,
+            lambda_log_scale2=self.lambda_log_scale2,
+            overshoot_deringing=(self.overshoot_deringing
+                                 if self.overshoot_deringing is not None
+                                 else maxc),
+            dct_method=self.dct_method,
+            scan_script=self.scan_script,
+        )
+
+
+@dataclasses.dataclass
+class ResolvedConfig:
+    quality: float
+    subsampling: Tuple[int, int]
+    grayscale: bool
+    progressive: bool
+    optimize_coding: bool
+    optimize_scans: bool
+    arithmetic: bool
+    restart_interval: int
+    restart_in_rows: int
+    dc_scan_opt_mode: int
+    quant_tbl_idx: int
+    force_baseline: bool
+    trellis_quant: bool
+    trellis_quant_dc: bool
+    trellis_eob_opt: bool
+    trellis_q_opt: bool
+    use_lambda_weight_tbl: bool
+    use_scans_in_trellis: bool
+    trellis_freq_split: int
+    trellis_num_loops: int
+    trellis_delta_dc_weight: float
+    lambda_log_scale1: float
+    lambda_log_scale2: float
+    overshoot_deringing: bool
+    dct_method: DCTMethod
+    scan_script: Optional[Sequence]

@@ -1,0 +1,178 @@
+"""Decoder: marker parse -> native entropy decode -> device IDCT/upsample.
+
+Bit-exact against djpeg's default path (islow IDCT, fancy upsample, YCbCr
+-> RGB). Entropy decoding is sequential by nature and runs in C++; the
+pixel path (dequant+IDCT, upsample, color) is batched on device.
+"""
+from __future__ import annotations
+
+import ctypes
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.huffman import HuffTable, derive_decode_table
+from ..native import CompPlane as NativePlane, lib, u8p, i32p, i64p
+from ..ops import color, dct, layout, sample
+from . import marker
+
+
+def _np_ptr(a, typ):
+    return a.ctypes.data_as(typ)
+
+
+def _flatten_decode_tables(tables):
+    """{idx: HuffTable} -> flat mincode/maxcode/valptr/vals arrays."""
+    mincode = np.zeros((4, 17), dtype=np.int32)
+    maxcode = np.full((4, 18), -1, dtype=np.int64)
+    valptr = np.zeros((4, 17), dtype=np.int32)
+    vals = np.zeros((4, 256), dtype=np.uint8)
+    for idx, tbl in tables.items():
+        mn, mx, vp, vl = derive_decode_table(tbl)
+        mincode[idx] = mn
+        maxcode[idx] = mx
+        valptr[idx] = vp
+        vals[idx, :len(vl)] = vl
+    return (np.ascontiguousarray(mincode), np.ascontiguousarray(maxcode),
+            np.ascontiguousarray(valptr), np.ascontiguousarray(vals))
+
+
+def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
+    """Entropy-decode all scans -> list of (bh_pad, bw_pad, 64) int16 zigzag
+    planes (MCU-padded dims)."""
+    max_h, max_v = jp.max_h, jp.max_v
+    mcus_x = -(-jp.width // (8 * max_h))
+    mcus_y = -(-jp.height // (8 * max_v))
+    planes = []
+    for c in jp.components:
+        planes.append(np.zeros((mcus_y * c.v, mcus_x * c.h, 64),
+                               dtype=np.int16))
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    for si, scan in enumerate(jp.scans):
+        htables = jp.scan_htables[si]
+        restart = jp.scan_restart[si]
+        dc_tables = {i: t for (cls, i), t in htables.items() if cls == 0}
+        ac_tables = {i: t for (cls, i), t in htables.items() if cls == 1}
+        dmn, dmx, dvp, dvl = _flatten_decode_tables(dc_tables)
+        amn, amx, avp, avl = _flatten_decode_tables(ac_tables)
+        seg = np.ascontiguousarray(buf[scan.data_start:scan.data_end])
+        seg_len = scan.data_end - scan.data_start
+
+        interleaved = len(scan.comp_indices) > 1
+        arr = (NativePlane * len(scan.comp_indices))()
+        for i, ci in enumerate(scan.comp_indices):
+            c = jp.components[ci]
+            p = planes[ci]
+            arr[i].coef = p.ctypes.data
+            if interleaved:
+                arr[i].bw, arr[i].bh = p.shape[1], p.shape[0]
+                arr[i].h, arr[i].v = c.h, c.v
+            else:
+                cw = -(-jp.width * c.h // max_h)
+                ch = -(-jp.height * c.v // max_v)
+                arr[i].bw, arr[i].bh = -(-cw // 8), -(-ch // 8)
+                arr[i].h, arr[i].v = 1, 1
+            arr[i].stride = p.shape[1]
+            arr[i].dc_tbl = scan.dc_tbls[ci]
+            arr[i].ac_tbl = scan.ac_tbls[ci]
+        if interleaved:
+            smx, smy = mcus_x, mcus_y
+        else:
+            smx, smy = arr[0].bw, arr[0].bh
+
+        if not jp.progressive:
+            r = lib.mj_decode_seq(
+                _np_ptr(seg, u8p), seg_len, arr, len(scan.comp_indices),
+                smx, smy, restart,
+                _np_ptr(dmn, i32p), _np_ptr(dmx, i64p), _np_ptr(dvp, i32p),
+                _np_ptr(dvl, u8p),
+                _np_ptr(amn, i32p), _np_ptr(amx, i64p), _np_ptr(avp, i32p),
+                _np_ptr(avl, u8p))
+        elif scan.Ss == 0:
+            if scan.Ah == 0:
+                r = lib.mj_decode_dc_first(
+                    _np_ptr(seg, u8p), seg_len, arr, len(scan.comp_indices),
+                    smx, smy, restart, scan.Al,
+                    _np_ptr(dmn, i32p), _np_ptr(dmx, i64p),
+                    _np_ptr(dvp, i32p), _np_ptr(dvl, u8p))
+            else:
+                r = lib.mj_decode_dc_refine(
+                    _np_ptr(seg, u8p), seg_len, arr, len(scan.comp_indices),
+                    smx, smy, restart, scan.Al)
+        else:
+            fn = (lib.mj_decode_ac_first if scan.Ah == 0
+                  else lib.mj_decode_ac_refine)
+            r = fn(_np_ptr(seg, u8p), seg_len, arr,
+                   scan.Ss, scan.Se, scan.Al, restart,
+                   _np_ptr(amn, i32p), _np_ptr(amx, i64p), _np_ptr(avp, i32p),
+                   _np_ptr(avl, u8p))
+        if r < 0:
+            raise ValueError("corrupt scan %d" % si)
+    return planes
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _render_plane(zz, qtbl, bh: int, bw: int, ch: int, cw: int):
+    """(bh, bw, 64) zigzag int16 + qtbl -> (ch, cw) uint8 samples."""
+    blocks = layout.from_zigzag(zz.astype(jnp.int32))
+    pix = dct.idct_islow(blocks, qtbl)
+    plane = layout.unblockify(pix)
+    return plane[:ch, :cw]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _upsample_color(y, cb, cr, mode: str, height: int, width: int):
+    if mode == "h2v2":
+        cb = sample.upsample_h2v2_fancy(cb)
+        cr = sample.upsample_h2v2_fancy(cr)
+    elif mode == "h2v1":
+        cb = sample.upsample_h2v1_fancy(cb)
+        cr = sample.upsample_h2v1_fancy(cr)
+    cb = cb[:height, :width]
+    cr = cr[:height, :width]
+    ycc = jnp.stack([y[:height, :width], cb, cr], axis=-1)
+    return color.ycc_to_rgb(ycc)
+
+
+def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
+           colorspace: Optional[str] = None) -> np.ndarray:
+    """Coefficient planes -> pixels (RGB uint8 (H, W, 3) or gray (H, W))."""
+    max_h, max_v = jp.max_h, jp.max_v
+    sample_planes = []
+    for ci, c in enumerate(jp.components):
+        cw = -(-jp.width * c.h // max_h)
+        ch = -(-jp.height * c.v // max_v)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        qt = jp.scan_qtables[0].get(c.quant_tbl, jp.qtables.get(c.quant_tbl))
+        zz = jnp.asarray(planes[ci][:bh, :bw])
+        sample_planes.append(_render_plane(zz, jnp.asarray(qt), bh, bw,
+                                           ch, cw))
+
+    if len(jp.components) == 1:
+        return np.asarray(sample_planes[0])[:jp.height, :jp.width]
+
+    y, cb, cr = sample_planes[:3]
+    c1 = jp.components[1]
+    if c1.h * 2 == max_h and c1.v * 2 == max_v:
+        mode = "h2v2"
+    elif c1.h * 2 == max_h:
+        mode = "h2v1"
+    else:
+        mode = "none"
+    rgb = _upsample_color(y, cb, cr, mode, jp.height, jp.width)
+    return np.asarray(rgb)
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode a JPEG byte stream to RGB (H, W, 3) or grayscale (H, W)."""
+    jp = marker.parse(data)
+    if jp.arithmetic:
+        raise NotImplementedError("arithmetic decode: see codec/arith.py")
+    if jp.lossless:
+        raise NotImplementedError("lossless decode: see codec/lossless.py")
+    planes = decode_coefficients(jp, data)
+    return render(jp, planes)

@@ -1,0 +1,98 @@
+"""ctypes bindings for the native entropy engine (auto-builds on import)."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "entropy.cpp")
+_LIB = os.path.join(_DIR, "libmjentropy.so")
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _LIB + ".tmp"]
+    subprocess.run(cmd, check=True)
+    os.replace(_LIB + ".tmp", _LIB)
+
+
+def _ensure_built():
+    if (not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        _build()
+
+
+_ensure_built()
+lib = ctypes.CDLL(_LIB)
+
+
+class CompPlane(ctypes.Structure):
+    _fields_ = [
+        ("coef", ctypes.c_void_p),
+        ("bw", ctypes.c_int32), ("bh", ctypes.c_int32),
+        ("stride", ctypes.c_int32),
+        ("h", ctypes.c_int32), ("v", ctypes.c_int32),
+        ("dc_tbl", ctypes.c_int32), ("ac_tbl", ctypes.c_int32),
+    ]
+
+
+_p = ctypes.POINTER
+u8p = _p(ctypes.c_uint8)
+u32p = _p(ctypes.c_uint32)
+i16p = _p(ctypes.c_int16)
+i32p = _p(ctypes.c_int32)
+i64p = _p(ctypes.c_int64)
+cpp = _p(CompPlane)
+
+lib.mj_encode_seq.restype = ctypes.c_long
+lib.mj_encode_seq.argtypes = [
+    cpp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    u32p, u8p, u32p, u8p, u8p, ctypes.c_long, i64p, i64p, ctypes.c_int]
+
+lib.mj_encode_dc_first.restype = ctypes.c_long
+lib.mj_encode_dc_first.argtypes = [
+    cpp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    u32p, u8p, u8p, ctypes.c_long, i64p, ctypes.c_int]
+
+lib.mj_encode_dc_refine.restype = ctypes.c_long
+lib.mj_encode_dc_refine.argtypes = [
+    cpp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    u8p, ctypes.c_long]
+
+lib.mj_encode_ac_first.restype = ctypes.c_long
+lib.mj_encode_ac_first.argtypes = [
+    cpp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    u32p, u8p, u8p, ctypes.c_long, i64p, ctypes.c_int]
+
+lib.mj_encode_ac_refine.restype = ctypes.c_long
+lib.mj_encode_ac_refine.argtypes = lib.mj_encode_ac_first.argtypes
+
+lib.mj_gen_optimal_table.restype = ctypes.c_long
+lib.mj_gen_optimal_table.argtypes = [i64p, u8p, u8p]
+
+lib.mj_decode_seq.restype = ctypes.c_long
+lib.mj_decode_seq.argtypes = [
+    u8p, ctypes.c_long, cpp, ctypes.c_int,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    i32p, i64p, i32p, u8p, i32p, i64p, i32p, u8p]
+
+lib.mj_decode_dc_first.restype = ctypes.c_long
+lib.mj_decode_dc_first.argtypes = [
+    u8p, ctypes.c_long, cpp, ctypes.c_int,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    i32p, i64p, i32p, u8p]
+
+lib.mj_decode_dc_refine.restype = ctypes.c_long
+lib.mj_decode_dc_refine.argtypes = [
+    u8p, ctypes.c_long, cpp, ctypes.c_int,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+
+lib.mj_decode_ac_first.restype = ctypes.c_long
+lib.mj_decode_ac_first.argtypes = [
+    u8p, ctypes.c_long, cpp,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    i32p, i64p, i32p, u8p]
+
+lib.mj_decode_ac_refine.restype = ctypes.c_long
+lib.mj_decode_ac_refine.argtypes = lib.mj_decode_ac_first.argtypes

@@ -1,0 +1,861 @@
+// Host-side JPEG entropy engine (encode + decode, sequential + progressive).
+//
+// Fresh array-oriented implementation of ITU-T T.81 Huffman entropy coding
+// with mozjpeg/libjpeg-compatible behaviors (EOB-run accumulation, correction
+// bit buffering, dummy-block conventions, byte stuffing, restart markers).
+// Parity references (semantics only): /root/reference/jchuff.c,
+// jcphuff.c, jdhuff.c, jdphuff.c.
+//
+// Design: the device (TPU) produces whole-image zigzag coefficient planes;
+// these functions walk them in MCU order and emit/consume the bitstream.
+// Everything is plain C ABI for ctypes.
+//
+// Build: g++ -O3 -shared -fPIC entropy.cpp -o libmjentropy.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Bit writer with 0xFF stuffing
+// ---------------------------------------------------------------------------
+struct BitWriter {
+  uint8_t* out;
+  long cap;
+  long pos;
+  uint64_t acc;   // bits accumulate left-justified
+  int nbits;
+  bool overflow;
+
+  void init(uint8_t* o, long c) {
+    out = o; cap = c; pos = 0; acc = 0; nbits = 0; overflow = false;
+  }
+  inline void put_byte(uint8_t b) {
+    if (pos >= cap) { overflow = true; return; }
+    out[pos++] = b;
+  }
+  inline void put(uint32_t code, int size) {
+    // size in [1,26]; code has its value in low `size` bits
+    acc |= (uint64_t)(code & ((1u << size) - 1)) << (64 - nbits - size);
+    nbits += size;
+    while (nbits >= 8) {
+      uint8_t b = (uint8_t)(acc >> 56);
+      put_byte(b);
+      if (b == 0xFF) put_byte(0x00);
+      acc <<= 8;
+      nbits -= 8;
+    }
+  }
+  // Pad with 1-bits to byte boundary and flush (JPEG convention).
+  void flush() {
+    if (nbits > 0) {
+      int pad = 8 - (nbits & 7);
+      if (pad != 8) put(0x7F, pad);
+      while (nbits >= 8) {
+        uint8_t b = (uint8_t)(acc >> 56);
+        put_byte(b);
+        if (b == 0xFF) put_byte(0x00);
+        acc <<= 8;
+        nbits -= 8;
+      }
+    }
+    acc = 0; nbits = 0;
+  }
+  void restart_marker(int n) {
+    flush();
+    put_byte(0xFF);
+    put_byte(0xD0 + (n & 7));
+  }
+};
+
+static inline int jpeg_nbits(int v) {
+  // number of bits needed for magnitude v (v >= 0)
+  return v == 0 ? 0 : 32 - __builtin_clz((unsigned)v);
+}
+
+struct CompPlane {
+  const int16_t* coef;  // (bh, stride, 64) zigzag order
+  int32_t bw, bh, stride;
+  int32_t h, v;
+  int32_t dc_tbl, ac_tbl;
+};
+
+struct CompPlaneMut {
+  int16_t* coef;
+  int32_t bw, bh, stride;
+  int32_t h, v;
+  int32_t dc_tbl, ac_tbl;
+};
+
+struct Tables {
+  const uint32_t* dc_co; const uint8_t* dc_si;   // [4][256]
+  const uint32_t* ac_co; const uint8_t* ac_si;
+  int64_t* dc_counts; int64_t* ac_counts;        // [4][257] (gather mode)
+  bool gather;
+  BitWriter* bw;
+
+  inline void dc_symbol(int tbl, int sym) {
+    if (gather) { dc_counts[tbl * 257 + sym]++; return; }
+    bw->put(dc_co[tbl * 256 + sym], dc_si[tbl * 256 + sym]);
+  }
+  inline void ac_symbol(int tbl, int sym) {
+    if (gather) { ac_counts[tbl * 257 + sym]++; return; }
+    bw->put(ac_co[tbl * 256 + sym], ac_si[tbl * 256 + sym]);
+  }
+  inline void bits(uint32_t v, int n) {
+    if (!gather && n > 0) bw->put(v, n);
+  }
+};
+
+// Encode one block, sequential mode (F.1.2; matches encode_one_block).
+static inline void encode_block_seq(Tables& T, const int16_t* blk,
+                                    int dc_tbl, int ac_tbl, int* last_dc) {
+  int temp = blk[0] - *last_dc;
+  *last_dc = blk[0];
+  int temp2 = temp;
+  if (temp < 0) { temp = -temp; temp2--; }
+  int nb = jpeg_nbits(temp);
+  T.dc_symbol(dc_tbl, nb);
+  T.bits((uint32_t)temp2, nb);
+
+  int r = 0;
+  for (int k = 1; k < 64; k++) {
+    int t = blk[k];
+    if (t == 0) { r++; continue; }
+    while (r > 15) { T.ac_symbol(ac_tbl, 0xF0); r -= 16; }
+    int t2 = t;
+    if (t < 0) { t = -t; t2--; }
+    int nbits = jpeg_nbits(t);
+    T.ac_symbol(ac_tbl, (r << 4) + nbits);
+    T.bits((uint32_t)t2, nbits);
+    r = 0;
+  }
+  if (r > 0) T.ac_symbol(ac_tbl, 0x00);  // EOB
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Sequential scan (interleaved or single-component). Returns bytes written,
+// -1 on buffer overflow. gather!=0: only accumulate symbol counts.
+// ---------------------------------------------------------------------------
+long mj_encode_seq(const CompPlane* comps, int ncomp,
+                   int mcus_x, int mcus_y, int restart_interval,
+                   const uint32_t* dc_co, const uint8_t* dc_si,
+                   const uint32_t* ac_co, const uint8_t* ac_si,
+                   uint8_t* out, long cap,
+                   int64_t* dc_counts, int64_t* ac_counts, int gather) {
+  BitWriter bw; bw.init(out, cap);
+  Tables T{dc_co, dc_si, ac_co, ac_si, dc_counts, ac_counts, gather != 0, &bw};
+  int last_dc[16] = {0};
+  int restarts_to_go = restart_interval;
+  int next_restart = 0;
+
+  long mcu_index = 0;
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++, mcu_index++) {
+      if (restart_interval && restarts_to_go == 0) {
+        if (!gather) bw.restart_marker(next_restart);
+        next_restart = (next_restart + 1) & 7;
+        restarts_to_go = restart_interval;
+        memset(last_dc, 0, sizeof(last_dc));
+      }
+      for (int ci = 0; ci < ncomp; ci++) {
+        const CompPlane& c = comps[ci];
+        for (int v = 0; v < c.v; v++) {
+          for (int h = 0; h < c.h; h++) {
+            long by = (long)my * c.v + v;
+            long bx = (long)mx * c.h + h;
+            const int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+            encode_block_seq(T, blk, c.dc_tbl, c.ac_tbl, &last_dc[ci]);
+          }
+        }
+      }
+      if (restart_interval) restarts_to_go--;
+    }
+  }
+  if (!gather) bw.flush();
+  if (bw.overflow) return -1;
+  return bw.pos;
+}
+
+// ---------------------------------------------------------------------------
+// Progressive: DC first scan (Ss=0, Se=0, Ah=0). Interleaved allowed.
+// ---------------------------------------------------------------------------
+long mj_encode_dc_first(const CompPlane* comps, int ncomp,
+                        int mcus_x, int mcus_y, int restart_interval, int Al,
+                        const uint32_t* dc_co, const uint8_t* dc_si,
+                        uint8_t* out, long cap,
+                        int64_t* dc_counts, int gather) {
+  BitWriter bw; bw.init(out, cap);
+  Tables T{dc_co, dc_si, nullptr, nullptr, dc_counts, nullptr, gather != 0, &bw};
+  int last_dc[16] = {0};
+  int restarts_to_go = restart_interval;
+  int next_restart = 0;
+
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (restart_interval && restarts_to_go == 0) {
+        if (!gather) bw.restart_marker(next_restart);
+        next_restart = (next_restart + 1) & 7;
+        restarts_to_go = restart_interval;
+        memset(last_dc, 0, sizeof(last_dc));
+      }
+      for (int ci = 0; ci < ncomp; ci++) {
+        const CompPlane& c = comps[ci];
+        for (int v = 0; v < c.v; v++) {
+          for (int h = 0; h < c.h; h++) {
+            long by = (long)my * c.v + v;
+            long bx = (long)mx * c.h + h;
+            const int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+            int temp2 = ((int)blk[0]) >> Al;   // arithmetic shift (IRIGHT_SHIFT)
+            int temp = temp2 - last_dc[ci];
+            last_dc[ci] = temp2;
+            int t2 = temp;
+            if (temp < 0) { temp = -temp; t2--; }
+            int nb = jpeg_nbits(temp);
+            T.dc_symbol(c.dc_tbl, nb);
+            T.bits((uint32_t)t2, nb);
+          }
+        }
+      }
+      if (restart_interval) restarts_to_go--;
+    }
+  }
+  if (!gather) bw.flush();
+  if (bw.overflow) return -1;
+  return bw.pos;
+}
+
+// DC refine scan: one raw bit per block, no Huffman stats needed.
+long mj_encode_dc_refine(const CompPlane* comps, int ncomp,
+                         int mcus_x, int mcus_y, int restart_interval, int Al,
+                         uint8_t* out, long cap) {
+  BitWriter bw; bw.init(out, cap);
+  int restarts_to_go = restart_interval;
+  int next_restart = 0;
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (restart_interval && restarts_to_go == 0) {
+        bw.restart_marker(next_restart);
+        next_restart = (next_restart + 1) & 7;
+        restarts_to_go = restart_interval;
+      }
+      for (int ci = 0; ci < ncomp; ci++) {
+        const CompPlane& c = comps[ci];
+        for (int v = 0; v < c.v; v++) {
+          for (int h = 0; h < c.h; h++) {
+            long by = (long)my * c.v + v;
+            long bx = (long)mx * c.h + h;
+            const int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+            bw.put((uint32_t)((((int)blk[0]) >> Al) & 1), 1);
+          }
+        }
+      }
+      if (restart_interval) restarts_to_go--;
+    }
+  }
+  bw.flush();
+  if (bw.overflow) return -1;
+  return bw.pos;
+}
+
+// ---------------------------------------------------------------------------
+// Progressive AC scans (single component, non-interleaved by spec).
+// State for EOB runs and correction bits matches jcphuff.c.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct ACState {
+  Tables* T;
+  int ac_tbl;
+  unsigned eobrun = 0;
+  uint8_t corr_bits[1024];
+  int BE = 0;  // buffered correction bits
+
+  void emit_eobrun() {
+    if (eobrun > 0) {
+      int nbits = jpeg_nbits((int)eobrun) - 1;
+      T->ac_symbol(ac_tbl, nbits << 4);
+      if (nbits) T->bits(eobrun, nbits);
+      eobrun = 0;
+      for (int i = 0; i < BE; i++) T->bits(corr_bits[i], 1);
+      BE = 0;
+    }
+  }
+};
+
+}  // namespace
+
+long mj_encode_ac_first(const CompPlane* comp,
+                        int Ss, int Se, int Al, int restart_interval,
+                        const uint32_t* ac_co, const uint8_t* ac_si,
+                        uint8_t* out, long cap,
+                        int64_t* ac_counts, int gather) {
+  BitWriter bw; bw.init(out, cap);
+  Tables T{nullptr, nullptr, ac_co, ac_si, nullptr, ac_counts, gather != 0, &bw};
+  const CompPlane& c = *comp;
+  ACState S; S.T = &T; S.ac_tbl = c.ac_tbl;
+  int restarts_to_go = restart_interval;
+  int next_restart = 0;
+
+  for (long by = 0; by < c.bh; by++) {
+    for (long bx = 0; bx < c.bw; bx++) {
+      if (restart_interval && restarts_to_go == 0) {
+        S.emit_eobrun();
+        if (!gather) bw.restart_marker(next_restart);
+        next_restart = (next_restart + 1) & 7;
+        restarts_to_go = restart_interval;
+        S.eobrun = 0; S.BE = 0;
+      }
+      const int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+      int r = 0;
+      bool any = false;
+      for (int k = Ss; k <= Se; k++) {
+        int temp = blk[k];
+        if (temp == 0) { r++; continue; }
+        // point transform: shift magnitude (round toward 0)
+        int temp2 = temp >> 31;
+        temp ^= temp2; temp -= temp2;       // abs
+        temp >>= Al;
+        if (temp == 0) { r++; continue; }
+        temp2 ^= temp;                       // complement trick for negatives
+        if (!any) { if (S.eobrun > 0) S.emit_eobrun(); any = true; }
+        while (r > 15) { T.ac_symbol(c.ac_tbl, 0xF0); r -= 16; }
+        int nbits = jpeg_nbits(temp);
+        T.ac_symbol(c.ac_tbl, (r << 4) + nbits);
+        T.bits((uint32_t)temp2, nbits);
+        r = 0;
+      }
+      if (r > 0) {  // trailing zeros -> EOB run
+        S.eobrun++;
+        if (S.eobrun == 0x7FFF) S.emit_eobrun();
+      }
+      if (restart_interval) restarts_to_go--;
+    }
+  }
+  S.emit_eobrun();
+  if (!gather) bw.flush();
+  if (bw.overflow) return -1;
+  return bw.pos;
+}
+
+long mj_encode_ac_refine(const CompPlane* comp,
+                         int Ss, int Se, int Al, int restart_interval,
+                         const uint32_t* ac_co, const uint8_t* ac_si,
+                         uint8_t* out, long cap,
+                         int64_t* ac_counts, int gather) {
+  BitWriter bw; bw.init(out, cap);
+  Tables T{nullptr, nullptr, ac_co, ac_si, nullptr, ac_counts, gather != 0, &bw};
+  const CompPlane& c = *comp;
+  ACState S; S.T = &T; S.ac_tbl = c.ac_tbl;
+  int restarts_to_go = restart_interval;
+  int next_restart = 0;
+
+  for (long by = 0; by < c.bh; by++) {
+    for (long bx = 0; bx < c.bw; bx++) {
+      if (restart_interval && restarts_to_go == 0) {
+        S.emit_eobrun();
+        if (!gather) bw.restart_marker(next_restart);
+        next_restart = (next_restart + 1) & 7;
+        restarts_to_go = restart_interval;
+        S.eobrun = 0; S.BE = 0;
+      }
+      const int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+      // absolute values after point transform; EOB = last newly-nonzero index
+      int absval[64];
+      int EOB = Ss - 1;
+      for (int k = Ss; k <= Se; k++) {
+        int t = blk[k];
+        if (t < 0) t = -t;
+        t >>= Al;
+        absval[k] = t;
+        if (t == 1) EOB = k;
+      }
+      int r = 0;
+      uint8_t local_bits[64];
+      int BR = 0;
+      for (int k = Ss; k <= Se; k++) {
+        int temp = absval[k];
+        if (temp == 0) { r++; continue; }
+        while (r > 15 && k <= EOB) {
+          S.emit_eobrun();
+          T.ac_symbol(c.ac_tbl, 0xF0);
+          r -= 16;
+          for (int i = 0; i < BR; i++) T.bits(local_bits[i], 1);
+          BR = 0;
+        }
+        if (temp > 1) {  // previously nonzero: buffer correction bit
+          local_bits[BR++] = (uint8_t)(temp & 1);
+          continue;
+        }
+        S.emit_eobrun();
+        T.ac_symbol(c.ac_tbl, (r << 4) + 1);
+        T.bits(blk[k] < 0 ? 0u : 1u, 1);   // sign bit
+        for (int i = 0; i < BR; i++) T.bits(local_bits[i], 1);
+        BR = 0;
+        r = 0;
+      }
+      if (r > 0 || BR > 0) {
+        S.eobrun++;
+        for (int i = 0; i < BR; i++) S.corr_bits[S.BE + i] = local_bits[i];
+        S.BE += BR;
+        if (S.eobrun == 0x7FFF || S.BE > 1000 - 64 + 1)
+          S.emit_eobrun();
+      }
+      if (restart_interval) restarts_to_go--;
+    }
+  }
+  S.emit_eobrun();
+  if (!gather) bw.flush();
+  if (bw.overflow) return -1;
+  return bw.pos;
+}
+
+// ---------------------------------------------------------------------------
+// Optimal Huffman table generation (Annex K.2 with libjpeg tie-breaking).
+// freq: int64[257] (entry 256 forced nonzero). Outputs bits[17], vals[256].
+// Returns number of values, or -1 on overflow.
+// ---------------------------------------------------------------------------
+long mj_gen_optimal_table(int64_t* freq, uint8_t* out_bits, uint8_t* out_vals) {
+  const int MAX_CLEN = 32;
+  int bits[MAX_CLEN + 1]; memset(bits, 0, sizeof(bits));
+  int bit_pos[MAX_CLEN + 1];
+  int codesize[257]; memset(codesize, 0, sizeof(codesize));
+  int others[257];
+  int nz_index[257];
+  int64_t f[257];
+
+  freq[256] = 1;
+  int n = 0;
+  for (int i = 0; i < 257; i++) {
+    if (freq[i]) { nz_index[n] = i; f[n] = freq[i]; n++; }
+  }
+  for (int i = 0; i < n; i++) others[i] = -1;
+
+  const int64_t BIG = 1000000000LL;
+  for (;;) {
+    int c1 = -1, c2 = -1;
+    int64_t v = BIG, v2 = BIG;
+    for (int i = 0; i < n; i++) {
+      if (f[i] <= v2) {
+        if (f[i] <= v) { c2 = c1; v2 = v; v = f[i]; c1 = i; }
+        else { v2 = f[i]; c2 = i; }
+      }
+    }
+    if (c2 < 0) break;
+    f[c1] += f[c2];
+    f[c2] = BIG + 1;
+    codesize[c1]++;
+    while (others[c1] >= 0) { c1 = others[c1]; codesize[c1]++; }
+    others[c1] = c2;
+    codesize[c2]++;
+    while (others[c2] >= 0) { c2 = others[c2]; codesize[c2]++; }
+  }
+
+  for (int i = 0; i < n; i++) {
+    if (codesize[i] > MAX_CLEN) return -1;
+    bits[codesize[i]]++;
+  }
+  int p = 0;
+  for (int i = 1; i <= MAX_CLEN; i++) { bit_pos[i] = p; p += bits[i]; }
+
+  for (int i = MAX_CLEN; i > 16; i--) {
+    while (bits[i] > 0) {
+      int j = i - 2;
+      while (bits[j] == 0) j--;
+      bits[i] -= 2;
+      bits[i - 1]++;
+      bits[j + 1] += 2;
+      bits[j]--;
+    }
+  }
+  int i = 16;
+  while (bits[i] == 0) i--;
+  bits[i]--;
+
+  memset(out_bits, 0, 17);
+  for (int l = 1; l <= 16; l++) out_bits[l] = (uint8_t)bits[l];
+  memset(out_vals, 0, 256);
+  for (int k = 0; k < n - 1; k++) {
+    out_vals[bit_pos[codesize[k]]] = (uint8_t)nz_index[k];
+    bit_pos[codesize[k]]++;
+  }
+  long total = 0;
+  for (int l = 1; l <= 16; l++) total += out_bits[l];
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// Bit reader (decode side)
+// ---------------------------------------------------------------------------
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  long len;
+  long pos;        // next byte to read
+  uint64_t acc;    // left-justified bits
+  int nbits;
+  bool saw_marker; // hit a non-stuffing marker: feed zeroes from now on
+  int marker_pos;  // byte offset of the 0xFF of the marker (if saw_marker)
+
+  void init(const uint8_t* d, long l) {
+    data = d; len = l; pos = 0; acc = 0; nbits = 0; saw_marker = false;
+    marker_pos = -1;
+  }
+  // load up to 8 more bits
+  inline void fill() {
+    while (nbits <= 56) {
+      if (saw_marker || pos >= len) {
+        // feed zero bits (jdhuff inserts zeroes at data end)
+        nbits += 8;
+        continue;
+      }
+      uint8_t b = data[pos];
+      if (b == 0xFF) {
+        if (pos + 1 < len && data[pos + 1] == 0x00) {
+          pos += 2;
+        } else {
+          saw_marker = true;
+          marker_pos = (int)pos;
+          nbits += 8;
+          continue;
+        }
+      } else {
+        pos += 1;
+      }
+      acc |= (uint64_t)b << (56 - nbits);
+      nbits += 8;
+    }
+  }
+  inline int peek(int n) {
+    if (nbits < n) fill();
+    return (int)(acc >> (64 - n));
+  }
+  inline void skip(int n) {
+    acc <<= n;
+    nbits -= n;
+  }
+  inline int get(int n) {
+    if (n == 0) return 0;
+    if (nbits < n) fill();
+    int v = (int)(acc >> (64 - n));
+    acc <<= n;
+    nbits -= n;
+    return v;
+  }
+  // Align to byte boundary and consume an expected RSTn marker.
+  // Returns marker code byte or -1. Safe because the encoder byte-aligns
+  // before RSTn, so at a restart boundary the accumulator holds only pad
+  // bits (<8 real bits) or zero-fed bits — never whole unconsumed bytes.
+  int read_restart() {
+    acc = 0; nbits = 0;
+    long p = saw_marker ? (long)marker_pos : pos;
+    saw_marker = false;
+    marker_pos = -1;
+    // scan for marker, skipping 0xFF fill bytes
+    while (p + 1 < len) {
+      if (data[p] == 0xFF && data[p + 1] != 0x00) {
+        long q = p + 1;
+        while (q < len && data[q] == 0xFF) q++;  // FF fill
+        if (q >= len) break;
+        pos = q + 1;
+        return data[q];
+      }
+      p++;  // resync past garbage
+    }
+    pos = len;
+    return -1;
+  }
+};
+
+struct DecTables {
+  const int32_t* mincode;  // [4][17]
+  const int64_t* maxcode;  // [4][18]
+  const int32_t* valptr;   // [4][17]
+  const uint8_t* vals;     // [4][256]
+};
+
+// Decode one Huffman symbol (spec F.2.2.3).
+static inline int huff_decode(BitReader& br, const DecTables& t, int tbl) {
+  const int64_t* maxcode = t.maxcode + tbl * 18;
+  const int32_t* mincode = t.mincode + tbl * 17;
+  const int32_t* valptr = t.valptr + tbl * 17;
+  const uint8_t* vals = t.vals + tbl * 256;
+  int code = br.get(1);
+  int l = 1;
+  while (code > maxcode[l]) {
+    code = (code << 1) | br.get(1);
+    l++;
+    if (l > 16) return -1;
+  }
+  return vals[valptr[l] + (code - mincode[l])];
+}
+
+// HUFF_EXTEND (F.2.2.1)
+static inline int huff_extend(int v, int nbits) {
+  return (v < (1 << (nbits - 1))) ? v - (1 << nbits) + 1 : v;
+}
+
+}  // namespace
+
+// Sequential scan decode. Returns bytes consumed (scan data incl. RSTs),
+// or -1 on malformed stream (decoded what it could).
+long mj_decode_seq(const uint8_t* data, long len,
+                   CompPlaneMut* comps, int ncomp,
+                   int mcus_x, int mcus_y, int restart_interval,
+                   const int32_t* dc_mincode, const int64_t* dc_maxcode,
+                   const int32_t* dc_valptr, const uint8_t* dc_vals,
+                   const int32_t* ac_mincode, const int64_t* ac_maxcode,
+                   const int32_t* ac_valptr, const uint8_t* ac_vals) {
+  BitReader br; br.init(data, len);
+  DecTables dct{dc_mincode, dc_maxcode, dc_valptr, dc_vals};
+  DecTables act{ac_mincode, ac_maxcode, ac_valptr, ac_vals};
+  int last_dc[16] = {0};
+  int restarts_to_go = restart_interval;
+
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (restart_interval && restarts_to_go == 0) {
+        br.read_restart();
+        memset(last_dc, 0, sizeof(last_dc));
+        restarts_to_go = restart_interval;
+      }
+      for (int ci = 0; ci < ncomp; ci++) {
+        CompPlaneMut& c = comps[ci];
+        for (int v = 0; v < c.v; v++) {
+          for (int h = 0; h < c.h; h++) {
+            long by = (long)my * c.v + v;
+            long bx = (long)mx * c.h + h;
+            int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+            int s = huff_decode(br, dct, c.dc_tbl);
+            if (s < 0) return -1;
+            int diff = s ? huff_extend(br.get(s), s) : 0;
+            last_dc[ci] += diff;
+            blk[0] = (int16_t)last_dc[ci];
+            int k = 1;
+            while (k < 64) {
+              int rs = huff_decode(br, act, c.ac_tbl);
+              if (rs < 0) return -1;
+              int r = rs >> 4, sz = rs & 15;
+              if (sz == 0) {
+                if (r != 15) break;  // EOB
+                k += 16;             // ZRL
+              } else {
+                k += r;
+                if (k > 63) return -1;
+                blk[k] = (int16_t)huff_extend(br.get(sz), sz);
+                k++;
+              }
+            }
+          }
+        }
+      }
+      if (restart_interval) restarts_to_go--;
+    }
+  }
+  return br.saw_marker ? br.marker_pos : br.pos;
+}
+
+// Progressive DC first scan decode (Ss=0, Ah=0).
+long mj_decode_dc_first(const uint8_t* data, long len,
+                        CompPlaneMut* comps, int ncomp,
+                        int mcus_x, int mcus_y, int restart_interval, int Al,
+                        const int32_t* dc_mincode, const int64_t* dc_maxcode,
+                        const int32_t* dc_valptr, const uint8_t* dc_vals) {
+  BitReader br; br.init(data, len);
+  DecTables dct{dc_mincode, dc_maxcode, dc_valptr, dc_vals};
+  int last_dc[16] = {0};
+  int restarts_to_go = restart_interval;
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (restart_interval && restarts_to_go == 0) {
+        br.read_restart();
+        memset(last_dc, 0, sizeof(last_dc));
+        restarts_to_go = restart_interval;
+      }
+      for (int ci = 0; ci < ncomp; ci++) {
+        CompPlaneMut& c = comps[ci];
+        for (int v = 0; v < c.v; v++) {
+          for (int h = 0; h < c.h; h++) {
+            long by = (long)my * c.v + v;
+            long bx = (long)mx * c.h + h;
+            int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+            int s = huff_decode(br, dct, c.dc_tbl);
+            if (s < 0) return -1;
+            int diff = s ? huff_extend(br.get(s), s) : 0;
+            last_dc[ci] += diff;
+            blk[0] = (int16_t)(last_dc[ci] << Al);
+          }
+        }
+      }
+      if (restart_interval) restarts_to_go--;
+    }
+  }
+  return br.saw_marker ? br.marker_pos : br.pos;
+}
+
+// Progressive DC refine scan decode.
+long mj_decode_dc_refine(const uint8_t* data, long len,
+                         CompPlaneMut* comps, int ncomp,
+                         int mcus_x, int mcus_y, int restart_interval, int Al) {
+  BitReader br; br.init(data, len);
+  int restarts_to_go = restart_interval;
+  int p1 = 1 << Al;
+  for (int my = 0; my < mcus_y; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (restart_interval && restarts_to_go == 0) {
+        br.read_restart();
+        restarts_to_go = restart_interval;
+      }
+      for (int ci = 0; ci < ncomp; ci++) {
+        CompPlaneMut& c = comps[ci];
+        for (int v = 0; v < c.v; v++) {
+          for (int h = 0; h < c.h; h++) {
+            long by = (long)my * c.v + v;
+            long bx = (long)mx * c.h + h;
+            int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+            if (br.get(1)) blk[0] |= p1;
+          }
+        }
+      }
+      if (restart_interval) restarts_to_go--;
+    }
+  }
+  return br.saw_marker ? br.marker_pos : br.pos;
+}
+
+// Progressive AC first scan decode (single component).
+long mj_decode_ac_first(const uint8_t* data, long len,
+                        CompPlaneMut* comp,
+                        int Ss, int Se, int Al, int restart_interval,
+                        const int32_t* ac_mincode, const int64_t* ac_maxcode,
+                        const int32_t* ac_valptr, const uint8_t* ac_vals) {
+  BitReader br; br.init(data, len);
+  DecTables act{ac_mincode, ac_maxcode, ac_valptr, ac_vals};
+  CompPlaneMut& c = *comp;
+  unsigned eobrun = 0;
+  int restarts_to_go = restart_interval;
+
+  for (long by = 0; by < c.bh; by++) {
+    for (long bx = 0; bx < c.bw; bx++) {
+      if (restart_interval && restarts_to_go == 0) {
+        br.read_restart();
+        eobrun = 0;
+        restarts_to_go = restart_interval;
+      }
+      int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+      if (eobrun > 0) {
+        eobrun--;
+      } else {
+        int k = Ss;
+        while (k <= Se) {
+          int rs = huff_decode(br, act, c.ac_tbl);
+          if (rs < 0) return -1;
+          int r = rs >> 4, sz = rs & 15;
+          if (sz == 0) {
+            if (r != 15) {
+              eobrun = (1u << r) - 1;
+              if (r) eobrun += br.get(r);
+              break;
+            }
+            k += 16;
+          } else {
+            k += r;
+            if (k > Se) return -1;
+            blk[k] = (int16_t)(huff_extend(br.get(sz), sz) * (1 << Al));
+            k++;
+          }
+        }
+      }
+      if (restart_interval) restarts_to_go--;
+    }
+  }
+  return br.saw_marker ? br.marker_pos : br.pos;
+}
+
+// Progressive AC refine scan decode (G.2; matches jdphuff decode_mcu_AC_refine).
+long mj_decode_ac_refine(const uint8_t* data, long len,
+                         CompPlaneMut* comp,
+                         int Ss, int Se, int Al, int restart_interval,
+                         const int32_t* ac_mincode, const int64_t* ac_maxcode,
+                         const int32_t* ac_valptr, const uint8_t* ac_vals) {
+  BitReader br; br.init(data, len);
+  DecTables act{ac_mincode, ac_maxcode, ac_valptr, ac_vals};
+  CompPlaneMut& c = *comp;
+  unsigned eobrun = 0;
+  int restarts_to_go = restart_interval;
+  int p1 = 1 << Al;
+  int m1 = -(1 << Al);
+
+  for (long by = 0; by < c.bh; by++) {
+    for (long bx = 0; bx < c.bw; bx++) {
+      if (restart_interval && restarts_to_go == 0) {
+        br.read_restart();
+        eobrun = 0;
+        restarts_to_go = restart_interval;
+      }
+      int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+      int k = Ss;
+      if (eobrun == 0) {
+        while (k <= Se) {
+          int rs = huff_decode(br, act, c.ac_tbl);
+          if (rs < 0) return -1;
+          int r = rs >> 4, sz = rs & 15;
+          int coef_to_set = 0;
+          if (sz == 0) {
+            if (r != 15) {
+              eobrun = (1u << r);
+              if (r) eobrun += br.get(r);
+              break;  // rest handled by EOB logic below
+            }
+            // ZRL: skip 16 zero-history coefficients
+          } else {
+            // sz must be 1 for refinement scans
+            coef_to_set = br.get(1) ? p1 : m1;
+          }
+          // advance over r zero-history coefficients, applying correction
+          // bits to nonzero-history ones along the way
+          while (k <= Se) {
+            int16_t* p = &blk[k];
+            if (*p != 0) {
+              if (br.get(1)) {
+                if ((*p & p1) == 0)
+                  *p += (int16_t)(*p >= 0 ? p1 : m1);
+              }
+            } else {
+              if (r == 0) break;
+              r--;
+            }
+            k++;
+          }
+          if (coef_to_set && k <= Se) blk[k] = (int16_t)coef_to_set;
+          k++;
+        }
+      }
+      if (eobrun > 0) {
+        // apply correction bits to remaining nonzero-history coefficients
+        while (k <= Se) {
+          int16_t* p = &blk[k];
+          if (*p != 0) {
+            if (br.get(1)) {
+              if ((*p & p1) == 0)
+                *p += (int16_t)(*p >= 0 ? p1 : m1);
+            }
+          }
+          k++;
+        }
+        eobrun--;
+      }
+      if (restart_interval) restarts_to_go--;
+    }
+  }
+  return br.saw_marker ? br.marker_pos : br.pos;
+}
+
+}  // extern "C"

@@ -1,0 +1,97 @@
+"""Chroma down/upsampling, exact integer semantics, batched over planes.
+
+Downsample matches /root/reference/jcsample.c (h2v2_downsample bias 1,2,1,2;
+h2v1_downsample bias 0,1,0,1). Fancy upsample matches /root/reference/jdsample.c
+(triangle filter with the ordered-dither bias pattern).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def downsample_h2v2(plane: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) uint8 -> (..., H/2, W/2); H, W must be even (pre-padded).
+
+    out = (p00 + p01 + p10 + p11 + bias) >> 2 with bias = 1,2,1,2 along x.
+    """
+    x = plane.astype(jnp.int32)
+    s = (x[..., 0::2, 0::2] + x[..., 0::2, 1::2] +
+         x[..., 1::2, 0::2] + x[..., 1::2, 1::2])
+    w = s.shape[-1]
+    bias = jnp.where(jnp.arange(w) % 2 == 0, 1, 2).astype(jnp.int32)
+    return ((s + bias) >> 2).astype(jnp.uint8)
+
+
+def downsample_h2v1(plane: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) -> (..., H, W/2); bias 0,1,0,1 along x (jcsample.c:247-250)."""
+    x = plane.astype(jnp.int32)
+    s = x[..., :, 0::2] + x[..., :, 1::2]
+    w = s.shape[-1]
+    bias = jnp.where(jnp.arange(w) % 2 == 0, 0, 1).astype(jnp.int32)
+    return ((s + bias) >> 1).astype(jnp.uint8)
+
+
+def downsample_h1v2(plane: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) -> (..., H/2, W); bias alternates 0,1 along y."""
+    x = plane.astype(jnp.int32)
+    s = x[..., 0::2, :] + x[..., 1::2, :]
+    h = s.shape[-2]
+    bias = jnp.where(jnp.arange(h) % 2 == 0, 0, 1).astype(jnp.int32)[:, None]
+    return ((s + bias) >> 1).astype(jnp.uint8)
+
+
+def upsample_h2v1_fancy(plane: jnp.ndarray) -> jnp.ndarray:
+    """Triangle-filter 2x horizontal upsample (jdsample.c:276-306).
+
+    out[2i]   = (3*in[i] + in[i-1] + 1) >> 2   (first col: in[0])
+    out[2i+1] = (3*in[i] + in[i+1] + 2) >> 2   (last col:  in[-1])
+    """
+    x = plane.astype(jnp.int32)
+    left = jnp.concatenate([x[..., :, :1], x[..., :, :-1]], axis=-1)
+    right = jnp.concatenate([x[..., :, 1:], x[..., :, -1:]], axis=-1)
+    even = (x * 3 + left + 1) >> 2
+    odd = (x * 3 + right + 2) >> 2
+    # interleave: the reference emits in[0] itself for output col 0 and
+    # in[-1] itself for the final col
+    out = jnp.stack([even, odd], axis=-1).reshape(*x.shape[:-1], x.shape[-1] * 2)
+    out = out.at[..., :, 0].set(x[..., :, 0])
+    out = out.at[..., :, -1].set(x[..., :, -1])
+    return out.astype(jnp.uint8)
+
+
+def _h2v2_colsums(x: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
+    """colsum = 3*this_row + other_row for every (outrow, col)."""
+    return x * 3 + up
+
+
+def upsample_h2v2_fancy(plane: jnp.ndarray) -> jnp.ndarray:
+    """Triangle-filter 2x2 upsample, bit-exact vs jdsample.c h2v2_fancy_upsample.
+
+    For each output row pair: colsum_v = 3*near_row + far_row (far = row above
+    for even output rows, row below for odd), then horizontally:
+      out[2j]   = (3*cs[j] + cs[j-1] + 8) >> 4  (first col: (cs*4+8)>>4)
+      out[2j+1] = (3*cs[j] + cs[j+1] + 7) >> 4  (last col:  (cs*4+7)>>4)
+    """
+    x = plane.astype(jnp.int32)
+    above = jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
+    below = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+    cs_even = x * 3 + above      # output rows 0, 2, 4, ...
+    cs_odd = x * 3 + below       # output rows 1, 3, 5, ...
+    h, w = x.shape[-2], x.shape[-1]
+    cs = jnp.stack([cs_even, cs_odd], axis=-2).reshape(*x.shape[:-2], h * 2, w)
+
+    left = jnp.concatenate([cs[..., :, :1], cs[..., :, :-1]], axis=-1)
+    right = jnp.concatenate([cs[..., :, 1:], cs[..., :, -1:]], axis=-1)
+    out_even = (cs * 3 + left + 8) >> 4
+    out_odd = (cs * 3 + right + 7) >> 4
+    out = jnp.stack([out_even, out_odd], axis=-1).reshape(
+        *cs.shape[:-1], w * 2)
+    out = out.at[..., :, 0].set((cs[..., :, 0] * 4 + 8) >> 4)
+    out = out.at[..., :, -1].set((cs[..., :, -1] * 4 + 7) >> 4)
+    return out.astype(jnp.uint8)
+
+
+def upsample_replicate(plane: jnp.ndarray, h: int, v: int) -> jnp.ndarray:
+    """Plain pixel replication (jdsample.c h2v2_upsample / int_upsample)."""
+    out = jnp.repeat(plane, v, axis=-2)
+    return jnp.repeat(out, h, axis=-1)

@@ -1,0 +1,59 @@
+"""Test configuration: force CPU platform with a virtual 8-device mesh.
+
+The axon TPU tunnel ignores JAX_PLATFORMS env; jax.config works. Tests run
+on CPU for speed and to exercise multi-device sharding without real chips.
+"""
+import os
+
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import subprocess  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFBUILD = os.path.join(REPO, ".refbuild")
+CORPUS = os.path.join(REPO, "corpus")
+CJPEG = os.path.join(REFBUILD, "cjpeg")
+DJPEG = os.path.join(REFBUILD, "djpeg")
+JPEGTRAN = os.path.join(REFBUILD, "jpegtran")
+
+
+def have_reference():
+    return os.path.exists(CJPEG)
+
+
+@pytest.fixture(scope="session")
+def ref_tools():
+    if not have_reference():
+        pytest.skip("reference binaries not built (.refbuild)")
+    return {"cjpeg": CJPEG, "djpeg": DJPEG, "jpegtran": JPEGTRAN}
+
+
+@pytest.fixture(scope="session")
+def testorig():
+    from mozjpeg_tpu.utils import ppm
+    path = os.path.join(CORPUS, "testorig.ppm")
+    if not os.path.exists(path):
+        path = "/root/reference/testimages/testorig.ppm"
+    return ppm.read(path)
+
+
+def run_cjpeg(args, src_path, out_path):
+    subprocess.run([CJPEG] + args + ["-outfile", out_path, src_path],
+                   check=True)
+    with open(out_path, "rb") as f:
+        return f.read()
+
+
+def run_djpeg(jpg_path, out_path, args=None):
+    from mozjpeg_tpu.utils import ppm
+    subprocess.run([DJPEG] + (args or []) + ["-outfile", out_path, jpg_path],
+                   check=True)
+    return ppm.read(out_path)

@@ -1,0 +1,116 @@
+"""Golden tests vs the reference binaries (byte-exact encode, bit-exact
+decode) — the MD5-golden philosophy of the reference's CTest suite
+(/root/reference/CMakeLists.txt:1234-1450) applied against live binaries."""
+import os
+
+import numpy as np
+import pytest
+
+from mozjpeg_tpu import encode, decode, EncoderConfig, Profile
+from mozjpeg_tpu.utils import ppm
+
+from conftest import CORPUS, run_cjpeg, run_djpeg
+
+
+def corpus_path(name):
+    p = os.path.join(CORPUS, name)
+    if not os.path.exists(p):
+        pytest.skip("corpus image %s missing (run scripts/make_corpus.py)"
+                    % name)
+    return p
+
+
+@pytest.mark.parametrize("quality", [50, 75, 85, 92])
+def test_baseline_byte_exact(ref_tools, tmp_path, quality):
+    from mozjpeg_tpu.codec.config import quality_default_subsampling
+    src = corpus_path("kodak_like_768x512_1.ppm")
+    golden = run_cjpeg(["-quality", str(quality), "-revert", "-baseline"],
+                       src, str(tmp_path / "g.jpg"))
+    img = ppm.read(src)
+    ours = encode(img, EncoderConfig(
+        quality=quality, profile=Profile.FASTEST, progressive=False,
+        subsampling=quality_default_subsampling(quality),
+        optimize_coding=False, optimize_scans=False, trellis_quant=False,
+        overshoot_deringing=False))
+    assert ours == golden
+
+
+def test_baseline_optimize_dummy_blocks(ref_tools, tmp_path, testorig):
+    """227x149: exercises right-column and bottom-row dummy blocks."""
+    src = corpus_path("testorig.ppm")
+    golden = run_cjpeg(["-quality", "75", "-revert", "-baseline",
+                        "-optimize"], src, str(tmp_path / "g.jpg"))
+    ours = encode(testorig, EncoderConfig(
+        quality=75, profile=Profile.FASTEST, progressive=False,
+        optimize_coding=True, optimize_scans=False, trellis_quant=False,
+        overshoot_deringing=False))
+    assert ours == golden
+
+
+def test_progressive_byte_exact(ref_tools, tmp_path, testorig):
+    """mozjpeg default 9-scan script + per-scan optimal tables."""
+    src = corpus_path("testorig.ppm")
+    golden = run_cjpeg(["-quality", "75", "-notrellis", "-notrellis-dc",
+                        "-noovershoot", "-fastcrush"],
+                       src, str(tmp_path / "g.jpg"))
+    ours = encode(testorig, EncoderConfig(
+        quality=75, profile=Profile.MAX_COMPRESSION, optimize_scans=False,
+        trellis_quant=False, overshoot_deringing=False))
+    assert ours == golden
+
+
+def test_grayscale_byte_exact(ref_tools, tmp_path, testorig):
+    src = corpus_path("testorig.ppm")
+    golden = run_cjpeg(["-quality", "75", "-revert", "-baseline",
+                        "-grayscale"], src, str(tmp_path / "g.jpg"))
+    ours = encode(testorig, EncoderConfig(
+        quality=75, profile=Profile.FASTEST, progressive=False,
+        grayscale=True, optimize_coding=False, optimize_scans=False,
+        trellis_quant=False, overshoot_deringing=False))
+    assert ours == golden
+
+
+@pytest.mark.parametrize("args", [
+    ["-quality", "75", "-revert", "-baseline"],
+    ["-quality", "75", "-revert", "-progressive", "-optimize"],
+    ["-quality", "30", "-revert", "-baseline"],
+    ["-quality", "75", "-revert", "-baseline", "-restart", "2"],
+    ["-quality", "75", "-revert", "-baseline", "-grayscale"],
+])
+def test_decode_bit_exact(ref_tools, tmp_path, args):
+    src = corpus_path("testorig.ppm")
+    jpg_path = str(tmp_path / "g.jpg")
+    run_cjpeg(args, src, jpg_path)
+    ref_pixels = run_djpeg(jpg_path, str(tmp_path / "g.ppm"))
+    with open(jpg_path, "rb") as f:
+        ours = decode(f.read())
+    np.testing.assert_array_equal(ours, ref_pixels)
+
+
+def test_decode_bundled_testorig_jpg(ref_tools, tmp_path):
+    """Decode the repo's canonical testorig.jpg bit-exactly."""
+    jpg_path = "/root/reference/testimages/testorig.jpg"
+    ref_pixels = run_djpeg(jpg_path, str(tmp_path / "g.ppm"))
+    with open(jpg_path, "rb") as f:
+        ours = decode(f.read())
+    np.testing.assert_array_equal(ours, ref_pixels)
+
+
+def test_decode_progressive_interleaved(ref_tools, tmp_path):
+    """testimgint.jpg is a progressive file shipped with the reference."""
+    jpg_path = "/root/reference/testimages/testimgint.jpg"
+    ref_pixels = run_djpeg(jpg_path, str(tmp_path / "g.ppm"))
+    with open(jpg_path, "rb") as f:
+        ours = decode(f.read())
+    np.testing.assert_array_equal(ours, ref_pixels)
+
+
+def test_roundtrip_own_progressive(testorig):
+    """Our decoder decodes our own progressive output."""
+    data = encode(testorig, EncoderConfig(
+        quality=75, profile=Profile.MAX_COMPRESSION, optimize_scans=False,
+        trellis_quant=False, overshoot_deringing=False))
+    rgb = decode(data)
+    assert rgb.shape == testorig.shape
+    err = np.abs(rgb.astype(int) - testorig.astype(int))
+    assert err.mean() < 6.0  # q75 quality bound

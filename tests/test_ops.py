@@ -1,0 +1,174 @@
+"""Unit tests for device ops: DCT exactness, color, sampling, layout."""
+import numpy as np
+import pytest
+
+from mozjpeg_tpu.ops import dct, color, sample, layout, quant
+from mozjpeg_tpu import consts
+
+import jax.numpy as jnp
+
+
+def ref_fdct_islow_block(block):
+    """Scalar reference port of jfdctint.c semantics for one 8x8 block."""
+    d = block.astype(np.int64).copy()
+
+    def descale(x, n):
+        return (x + (1 << (n - 1))) >> n
+
+    # pass 1: rows
+    for r in range(8):
+        row = d[r]
+        t0, t7 = row[0] + row[7], row[0] - row[7]
+        t1, t6 = row[1] + row[6], row[1] - row[6]
+        t2, t5 = row[2] + row[5], row[2] - row[5]
+        t3, t4 = row[3] + row[4], row[3] - row[4]
+        t10, t13 = t0 + t3, t0 - t3
+        t11, t12 = t1 + t2, t1 - t2
+        row[0] = (t10 + t11) << 2
+        row[4] = (t10 - t11) << 2
+        z1 = (t12 + t13) * 4433
+        row[2] = descale(z1 + t13 * 6270, 11)
+        row[6] = descale(z1 - t12 * 15137, 11)
+        z1, z2 = t4 + t7, t5 + t6
+        z3, z4 = t4 + t6, t5 + t7
+        z5 = (z3 + z4) * 9633
+        t4, t5, t6, t7 = t4 * 2446, t5 * 16819, t6 * 25172, t7 * 12299
+        z1, z2 = z1 * -7373, z2 * -20995
+        z3, z4 = z3 * -16069 + z5, z4 * -3196 + z5
+        row[7] = descale(t4 + z1 + z3, 11)
+        row[5] = descale(t5 + z2 + z4, 11)
+        row[3] = descale(t6 + z2 + z3, 11)
+        row[1] = descale(t7 + z1 + z4, 11)
+        d[r] = row
+    # pass 2: cols
+    for c in range(8):
+        col = d[:, c]
+        t0, t7 = col[0] + col[7], col[0] - col[7]
+        t1, t6 = col[1] + col[6], col[1] - col[6]
+        t2, t5 = col[2] + col[5], col[2] - col[5]
+        t3, t4 = col[3] + col[4], col[3] - col[4]
+        t10, t13 = t0 + t3, t0 - t3
+        t11, t12 = t1 + t2, t1 - t2
+        col[0] = descale(t10 + t11, 2)
+        col[4] = descale(t10 - t11, 2)
+        z1 = (t12 + t13) * 4433
+        col[2] = descale(z1 + t13 * 6270, 15)
+        col[6] = descale(z1 - t12 * 15137, 15)
+        z1, z2 = t4 + t7, t5 + t6
+        z3, z4 = t4 + t6, t5 + t7
+        z5 = (z3 + z4) * 9633
+        t4, t5, t6, t7 = t4 * 2446, t5 * 16819, t6 * 25172, t7 * 12299
+        z1, z2 = z1 * -7373, z2 * -20995
+        z3, z4 = z3 * -16069 + z5, z4 * -3196 + z5
+        col[7] = descale(t4 + z1 + z3, 15)
+        col[5] = descale(t5 + z2 + z4, 15)
+        col[3] = descale(t6 + z2 + z3, 15)
+        col[1] = descale(t7 + z1 + z4, 15)
+        d[:, c] = col
+    return d.astype(np.int32)
+
+
+def test_fdct_matches_scalar_reference():
+    rng = np.random.RandomState(42)
+    blocks = rng.randint(-128, 128, size=(32, 8, 8)).astype(np.int32)
+    got = dct.fdct_islow_np(blocks)
+    for i in range(32):
+        want = ref_fdct_islow_block(blocks[i])
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_fdct_dc_of_flat_block():
+    # flat block of value v: DC = v*64 (x8 scale => v*8*8), AC = 0
+    blocks = np.full((1, 8, 8), 10, dtype=np.int32)
+    out = dct.fdct_islow_np(blocks)
+    assert out[0, 0, 0] == 10 * 64
+    assert np.all(out[0].reshape(64)[1:] == 0)
+
+
+def test_idct_roundtrip_quality():
+    """fdct -> quantize(q=1) -> idct should reproduce samples closely."""
+    rng = np.random.RandomState(0)
+    samples = rng.randint(0, 256, size=(64, 8, 8)).astype(np.int32)
+    coeffs = dct.fdct_islow_np(samples - 128)
+    q1 = np.ones((8, 8), dtype=np.int32)
+    qz = np.asarray(quant.quantize_islow(jnp.asarray(coeffs), jnp.asarray(q1)))
+    rec = dct.idct_islow_np(qz, q1).astype(np.int32)
+    err = np.abs(rec - samples)
+    assert err.max() <= 2  # islow int round-trip error bound
+
+
+def test_quantize_rounding():
+    q = np.full((8, 8), 16, dtype=np.uint16)
+    c = np.zeros((1, 8, 8), dtype=np.int32)
+    c[0, 0, 0] = 64   # 64/(16*8) = 0.5 -> rounds to 1 (half away from zero)
+    c[0, 0, 1] = 63   # -> 0
+    c[0, 0, 2] = -64  # -> -1
+    out = np.asarray(quant.quantize_islow(jnp.asarray(c), jnp.asarray(q)))
+    assert out[0, 0, 0] == 1
+    assert out[0, 0, 1] == 0
+    assert out[0, 0, 2] == -1
+
+
+def test_color_roundtrip_sane():
+    rng = np.random.RandomState(1)
+    rgb = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    ycc = np.asarray(color.rgb_to_ycc(jnp.asarray(rgb)))
+    back = np.asarray(color.ycc_to_rgb(jnp.asarray(ycc)))
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 3
+
+
+def test_color_extremes():
+    rgb = np.array([[[0, 0, 0], [255, 255, 255], [255, 0, 0]]], dtype=np.uint8)
+    ycc = np.asarray(color.rgb_to_ycc(jnp.asarray(rgb)))
+    assert tuple(ycc[0, 0]) == (0, 128, 128)
+    assert tuple(ycc[0, 1]) == (255, 128, 128)  # must not wrap past 255
+
+
+def test_zigzag_roundtrip():
+    rng = np.random.RandomState(2)
+    b = rng.randint(-100, 100, size=(5, 8, 8)).astype(np.int32)
+    zz = np.asarray(layout.to_zigzag(jnp.asarray(b)))
+    back = np.asarray(layout.from_zigzag(jnp.asarray(zz)))
+    np.testing.assert_array_equal(b, back)
+    # spec spot checks: zigzag[1] = (0,1), zigzag[2] = (1,0), zigzag[63]=(7,7)
+    assert consts.JPEG_ZIGZAG[0] == 0
+    assert consts.JPEG_ZIGZAG[1] == 1
+    assert consts.JPEG_ZIGZAG[2] == 8
+    assert consts.JPEG_ZIGZAG[3] == 16
+    assert consts.JPEG_ZIGZAG[63] == 63
+
+
+def test_downsample_h2v2_bias():
+    # all-ones plane: (1+1+1+1+bias)>>2 = 1 for both bias values
+    p = jnp.ones((4, 4), jnp.uint8)
+    out = np.asarray(sample.downsample_h2v2(p))
+    assert out.shape == (2, 2)
+    assert np.all(out == 1)
+    # bias pattern check: values 0,1 -> sums 2: (2+1)>>2=0, (2+2)>>2=1
+    p = jnp.asarray(np.array([[0, 1, 0, 1], [1, 0, 1, 0]], dtype=np.uint8))
+    out = np.asarray(sample.downsample_h2v2(p[0:2, :]))
+    assert out[0, 0] == 0 and out[0, 1] == 1
+
+
+def test_upsample_h2v2_shape():
+    p = jnp.asarray(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    out = np.asarray(sample.upsample_h2v2_fancy(p))
+    assert out.shape == (16, 16)
+    assert out[0, 0] == 0
+
+
+def test_pad_plane():
+    p = jnp.asarray(np.arange(6, dtype=np.uint8).reshape(2, 3))
+    out = np.asarray(layout.pad_plane(p, 4, 5))
+    assert out.shape == (4, 5)
+    assert out[0, 3] == out[0, 4] == 2
+    assert out[3, 0] == 3
+
+
+def test_quality_scaling():
+    assert consts.quality_scaling(50) == 100
+    assert consts.quality_scaling(75) == 50
+    assert consts.quality_scaling(100) == 0
+    assert consts.quality_scaling(25) == 200
+    q75 = consts.scale_quant_table(consts.STD_LUMINANCE_QUANT_TBL[0], 50)
+    assert q75[0] == 8  # (16*50+50)//100
