@@ -52,7 +52,7 @@ class EncoderConfig:
 
     # quantization
     quant_tbl_idx: Optional[int] = None     # None = profile default (3 or 0)
-    force_baseline: bool = True
+    force_baseline: bool = False            # cjpeg default (-baseline sets True)
     smoothing_factor: int = 0
 
     # trellis (mozjpeg extension params, jcext.c / jpeglib.h:321-355)

@@ -52,19 +52,28 @@ def _encode_planes_420(rgb, mcus_x: int, mcus_y: int, geom: tuple,
     """YCbCr 4:2:0-family pipeline. geom is the CompGeom tuple (static)."""
     gl, gcb, gcr = geom
     max_h, max_v = gl.h, gl.v
+    h = rgb.shape[0]
     ph, pw = mcus_y * 8 * max_v, mcus_x * 8 * max_h
+    # Vertical padding is two-stage like the reference (jcprepct.c:158-188):
+    # input rows pad only to the row group (multiple of max_v); the
+    # DOWNSAMPLED plane is then edge-replicated to iMCU height. Horizontal
+    # padding happens at input level (jcsample.c expand_right_edge).
+    h2 = -(-h // max_v) * max_v
     ycc = color.rgb_to_ycc(rgb)
     planes = [layout.pad_plane(ycc[..., i], ph, pw) for i in range(3)]
     out_q = []
     out_raw = []
     for ci, g in enumerate(geom):
         p = planes[ci]
+        if g.v < max_v:
+            p = p[:h2]
         if g.h < max_h and g.v < max_v:
             p = sample.downsample_h2v2(p)
         elif g.h < max_h:
             p = sample.downsample_h2v1(p)
         elif g.v < max_v:
             p = sample.downsample_h1v2(p)
+        p = layout.pad_plane(p, g.bh_pad * 8, g.bw_pad * 8)
         p = p[: g.bh_pad * 8, : g.bw_pad * 8]
         blocks = layout.blockify(p.astype(jnp.int32) - 128)
         coeffs = dct.fdct_islow(blocks)

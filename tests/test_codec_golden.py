@@ -30,6 +30,7 @@ def test_baseline_byte_exact(ref_tools, tmp_path, quality):
     ours = encode(img, EncoderConfig(
         quality=quality, profile=Profile.FASTEST, progressive=False,
         subsampling=quality_default_subsampling(quality),
+        force_baseline=True,
         optimize_coding=False, optimize_scans=False, trellis_quant=False,
         overshoot_deringing=False))
     assert ours == golden
@@ -42,6 +43,7 @@ def test_baseline_optimize_dummy_blocks(ref_tools, tmp_path, testorig):
                         "-optimize"], src, str(tmp_path / "g.jpg"))
     ours = encode(testorig, EncoderConfig(
         quality=75, profile=Profile.FASTEST, progressive=False,
+        force_baseline=True,
         optimize_coding=True, optimize_scans=False, trellis_quant=False,
         overshoot_deringing=False))
     assert ours == golden
@@ -65,6 +67,7 @@ def test_grayscale_byte_exact(ref_tools, tmp_path, testorig):
                         "-grayscale"], src, str(tmp_path / "g.jpg"))
     ours = encode(testorig, EncoderConfig(
         quality=75, profile=Profile.FASTEST, progressive=False,
+        force_baseline=True,
         grayscale=True, optimize_coding=False, optimize_scans=False,
         trellis_quant=False, overshoot_deringing=False))
     assert ours == golden
@@ -114,3 +117,25 @@ def test_roundtrip_own_progressive(testorig):
     assert rgb.shape == testorig.shape
     err = np.abs(rgb.astype(int) - testorig.astype(int))
     assert err.mean() < 6.0  # q75 quality bound
+
+
+def test_trellis_byte_exact(ref_tools, tmp_path, testorig):
+    """Full trellis (AC+DC) + progressive + optimized tables vs cjpeg."""
+    src = corpus_path("testorig.ppm")
+    golden = run_cjpeg(["-quality", "75", "-fastcrush", "-noovershoot"],
+                       src, str(tmp_path / "g.jpg"))
+    ours = encode(testorig, EncoderConfig(
+        quality=75, profile=Profile.MAX_COMPRESSION, optimize_scans=False,
+        trellis_quant=True, overshoot_deringing=False))
+    assert ours == golden
+
+
+def test_trellis_byte_exact_kodak_q60(ref_tools, tmp_path):
+    src = corpus_path("kodak_like_768x512_3.ppm")
+    golden = run_cjpeg(["-quality", "60", "-fastcrush", "-noovershoot"],
+                       src, str(tmp_path / "g.jpg"))
+    img = ppm.read(src)
+    ours = encode(img, EncoderConfig(
+        quality=60, profile=Profile.MAX_COMPRESSION, optimize_scans=False,
+        trellis_quant=True, overshoot_deringing=False))
+    assert ours == golden
