@@ -183,8 +183,9 @@ def encode(image: np.ndarray, config: Optional[EncoderConfig] = None,
             else [cfg.subsampling, (1, 1), (1, 1)])
     qtables = make_qtables(cfg)
 
-    geom, planes, raw = pipeline.encode_planes(image, samp, qtables,
-                                               grayscale)
+    geom, planes, raw = pipeline.encode_planes(
+        image, samp, qtables, grayscale,
+        dering_on=cfg.overshoot_deringing)
     mcus_x, mcus_y, comps = geom
     restart = _restart_interval(cfg, mcus_x)
 

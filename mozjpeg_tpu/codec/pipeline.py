@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import color, dct, layout, quant, sample
+from ..ops import color, dct, dering, layout, quant, sample
 
 
 class CompGeom(NamedTuple):
@@ -46,9 +46,10 @@ def geometry(width: int, height: int, samp: List[Tuple[int, int]]
     return mcus_x, mcus_y, comps
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _encode_planes_420(rgb, mcus_x: int, mcus_y: int, geom: tuple,
-                       qluma=None, qchroma=None):
+                       dering_on: bool = False, qluma=None, qchroma=None,
+                       fp_one=None):
     """YCbCr 4:2:0-family pipeline. geom is the CompGeom tuple (static)."""
     gl, gcb, gcr = geom
     max_h, max_v = gl.h, gl.v
@@ -76,9 +77,16 @@ def _encode_planes_420(rgb, mcus_x: int, mcus_y: int, geom: tuple,
         p = layout.pad_plane(p, g.bh_pad * 8, g.bw_pad * 8)
         p = p[: g.bh_pad * 8, : g.bw_pad * 8]
         blocks = layout.blockify(p.astype(jnp.int32) - 128)
-        coeffs = dct.fdct_islow(blocks)
         qtbl = qluma if ci == 0 else qchroma
+        if dering_on:
+            szz = layout.to_zigzag(blocks).reshape(-1, 64)
+            szz = dering.dering(szz, qtbl.reshape(64)[0], fp_one)
+            blocks = layout.from_zigzag(
+                szz.reshape(g.bh_pad, g.bw_pad, 64))
+        coeffs = dct.fdct_islow(blocks)
         qz = quant.quantize_islow(coeffs, qtbl)
+        if dering_on:  # post-quantize clamp (jcdctmgr.c:760-768)
+            qz = jnp.clip(qz, -1023, 1023)
         zz = layout.to_zigzag(qz)
         zz = layout.add_dummy_blocks(zz.reshape(g.bh_pad, g.bw_pad, 64),
                                      g.bw, g.bh, g.h, g.v)
@@ -88,22 +96,29 @@ def _encode_planes_420(rgb, mcus_x: int, mcus_y: int, geom: tuple,
     return out_q, out_raw
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _encode_planes_gray(gray, mcus_x: int, mcus_y: int, geom: tuple,
-                        qluma=None):
+                        dering_on: bool = False, qluma=None, fp_one=None):
     (g,) = geom
     ph, pw = mcus_y * 8, mcus_x * 8
     p = layout.pad_plane(gray, ph, pw)
     blocks = layout.blockify(p.astype(jnp.int32) - 128)
+    if dering_on:
+        szz = layout.to_zigzag(blocks).reshape(-1, 64)
+        szz = dering.dering(szz, qluma.reshape(64)[0], fp_one)
+        blocks = layout.from_zigzag(szz.reshape(g.bh_pad, g.bw_pad, 64))
     coeffs = dct.fdct_islow(blocks)
     qz = quant.quantize_islow(coeffs, qluma)
+    if dering_on:
+        qz = jnp.clip(qz, -1023, 1023)
     zz = layout.to_zigzag(qz).reshape(g.bh_pad, g.bw_pad, 64)
     raw = layout.to_zigzag(coeffs).reshape(g.bh_pad, g.bw_pad, 64)
     return [zz.astype(jnp.int16)], [raw]
 
 
 def encode_planes(image: np.ndarray, samp: List[Tuple[int, int]],
-                  qtables: List[np.ndarray], grayscale: bool = False):
+                  qtables: List[np.ndarray], grayscale: bool = False,
+                  dering_on: bool = False):
     """Run the device pipeline; returns (geometry, [np (bh,bw,64) int16],
     [np (bh,bw,64) int32 raw/unquantized])."""
     h, w = image.shape[:2]
@@ -115,13 +130,15 @@ def encode_planes(image: np.ndarray, samp: List[Tuple[int, int]],
         else:
             gray = image
         q, raw = _encode_planes_gray(jnp.asarray(gray), mcus_x, mcus_y,
-                                     tuple(geom),
-                                     qluma=jnp.asarray(qtables[0]))
+                                     tuple(geom), dering_on,
+                                     qluma=jnp.asarray(qtables[0]),
+                                     fp_one=jnp.float32(1.0))
     else:
         q, raw = _encode_planes_420(jnp.asarray(image), mcus_x, mcus_y,
-                                    tuple(geom),
+                                    tuple(geom), dering_on,
                                     qluma=jnp.asarray(qtables[0]),
-                                    qchroma=jnp.asarray(qtables[1]))
+                                    qchroma=jnp.asarray(qtables[1]),
+                                    fp_one=jnp.float32(1.0))
     q = [np.asarray(x) for x in q]
     raw = [np.asarray(x) for x in raw]
     return (mcus_x, mcus_y, geom), q, raw

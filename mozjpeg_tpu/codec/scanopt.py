@@ -1,0 +1,222 @@
+"""jpegrescan-style scan optimization (optimize_scans).
+
+Reproduces the reference's greedy search over the 64-candidate (YCbCr) /
+23-candidate (gray) scan script: successive-approximation depth Al for
+luma/chroma, spectral frequency split, DC interleave choice — including the
+early-exit rules and the stitched output layout where each winning scan
+buffer carries its own DHT+SOS and scan 0 carries the frame header
+(/root/reference/jcmaster.c:773-962 select_scans, jcparam.c:734-852
+jpeg_search_progression).
+
+Unlike the reference (64 sequential trial encode passes over the image),
+candidate scans here are encoded from the already-resident coefficient
+planes; only the entropy pass runs per candidate.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..entropy import encode as entenc
+from . import marker, scans
+from .scans import ScanInfo
+
+AL_MAX_LUMA = scans.AL_MAX_LUMA          # 3
+AL_MAX_CHROMA = scans.AL_MAX_CHROMA      # 2
+NUM_FREQ_SPLITS = len(scans.FREQUENCY_SPLITS)  # 5
+
+
+class _Candidate:
+    __slots__ = ("buf", "size")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.size = len(buf)
+
+
+def _scan_buffer(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
+                 restart: int, frame_header: Optional[bytes]) -> bytes:
+    """Encode one candidate scan: [frame hdr] + DHT(s) + [DRI] + SOS + data."""
+    from .encoder import encode_scan_optimal
+    sg = entenc.ScanGeometry(scan, geom, planes)
+    sr = encode_scan_optimal(sg, dc_tbls, ac_tbls, restart)
+    w = marker.MarkerWriter()
+    if frame_header:
+        w.raw(frame_header)
+    entries = []
+    seen = set()
+    for ci in scan.comps:
+        if scan.Ss == 0 and scan.Ah == 0:
+            t = sr.dc_tbls[ci]
+            if t in sr.dc_tables and ("d", t) not in seen:
+                entries.append((0, t, sr.dc_tables[t]))
+                seen.add(("d", t))
+        if scan.Se > 0:
+            t = sr.ac_tbls[ci]
+            if t in sr.ac_tables and ("a", t) not in seen:
+                entries.append((1, t, sr.ac_tables[t]))
+                seen.add(("a", t))
+    w.dht_multi(entries)
+    if restart:
+        w.dri(restart)
+    comp_ids = [1, 2, 3]
+    w.sos([(comp_ids[ci],
+            sr.dc_tbls[ci] if scan.Ss == 0 and scan.Ah == 0 else 0,
+            sr.ac_tbls[ci] if scan.Se else 0)
+           for ci in scan.comps], scan.Ss, scan.Se, scan.Ah, scan.Al)
+    w.raw(sr.data)
+    return w.bytes()
+
+
+def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
+                          cfg, ncomps: int, restart: int) -> bytes:
+    script = scans.search_progression(ncomps, cfg.dc_scan_opt_mode)
+    num_scans = len(script)
+    _, _, comps = geom
+    dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomps)}
+    ac_tbls = dict(dc_tbls)
+
+    num_scans_luma_dc = 1
+    num_scans_luma = (num_scans_luma_dc + (3 * AL_MAX_LUMA + 2)
+                      + (2 * NUM_FREQ_SPLITS + 1))             # 23
+    num_scans_chroma_dc = 3 if ncomps == 3 else 0
+    luma_split_start = num_scans_luma_dc + 3 * AL_MAX_LUMA + 2  # 12
+    chroma_split_start = (num_scans_luma + num_scans_chroma_dc
+                          + (6 * AL_MAX_CHROMA + 4))            # 42
+
+    # frame header: DQT(s) + SOF2, goes into scan 0's buffer
+    fh = marker.MarkerWriter()
+    fh.dqt_multi([(i, qtables[i]) for i in range(min(ncomps, 2))])
+    comp_ids = [1, 2, 3][:ncomps]
+    fh.sof(marker.SOF2, 8, height, width,
+           [(comp_ids[ci], comps[ci].h, comps[ci].v, 0 if ci == 0 else 1)
+            for ci in range(ncomps)])
+    frame_header = fh.bytes()
+
+    sizes: Dict[int, int] = {}
+    bufs: Dict[int, bytes] = {}
+
+    best_Al_luma = 0
+    best_Al_chroma = 0
+    best_cost = 0
+    best_split_luma = 0
+    best_split_chroma = 0
+    interleave_chroma_dc = False
+
+    sn = 0
+    while sn < num_scans:
+        scan = script[sn]
+        # Al override for frequency-split scans (jcmaster.c:483-494)
+        if luma_split_start <= sn < num_scans_luma:
+            scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
+                            best_Al_luma)
+        elif ncomps == 3 and chroma_split_start <= sn < num_scans:
+            scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
+                            best_Al_chroma)
+        buf = _scan_buffer(scan, geom, planes, dc_tbls, ac_tbls, restart,
+                           frame_header if sn == 0 else None)
+        bufs[sn] = buf
+        sizes[sn] = len(buf) - (len(frame_header) if sn == 0 else 0)
+        nxt = sn + 1
+
+        # --- selection state machine (select_scans) ---
+        if 1 < nxt <= luma_split_start:
+            if (nxt - 1) % 3 == 2:
+                Al = (nxt - 1) // 3
+                cost = sizes[nxt - 2] + sizes[nxt - 1] \
+                    + sum(sizes[3 + 3 * i] for i in range(Al))
+                if Al == 0 or cost < best_cost:
+                    best_cost = cost
+                    best_Al_luma = Al
+                else:
+                    sn = luma_split_start - 1  # jump: next is split start
+        elif luma_split_start < nxt <= num_scans_luma:
+            if nxt == luma_split_start + 1:
+                best_split_luma = 0
+                best_cost = sizes[nxt - 1]
+            elif (nxt - luma_split_start) % 2 == 1:
+                idx = (nxt - luma_split_start) >> 1
+                cost = sizes[nxt - 2] + sizes[nxt - 1]
+                if cost < best_cost:
+                    best_cost = cost
+                    best_split_luma = idx
+                if ((idx == 2 and best_split_luma == 0)
+                        or (idx == 3 and best_split_luma != 2)
+                        or (idx == 4 and best_split_luma != 4)):
+                    sn = num_scans_luma - 1
+        elif num_scans > num_scans_luma:
+            base = num_scans_luma
+            if nxt == num_scans_luma + num_scans_chroma_dc:
+                interleave_chroma_dc = (sizes[base] <= sizes[base + 1]
+                                        + sizes[base + 2])
+            elif (num_scans_luma + num_scans_chroma_dc < nxt
+                  <= chroma_split_start):
+                base = num_scans_luma + num_scans_chroma_dc
+                if (nxt - base) % 6 == 4:
+                    Al = (nxt - base) // 6
+                    cost = (sizes[nxt - 4] + sizes[nxt - 3]
+                            + sizes[nxt - 2] + sizes[nxt - 1]
+                            + sum(sizes[base + 4 + 6 * i]
+                                  + sizes[base + 5 + 6 * i]
+                                  for i in range(Al)))
+                    if Al == 0 or cost < best_cost:
+                        best_cost = cost
+                        best_Al_chroma = Al
+                    else:
+                        sn = chroma_split_start - 1
+            elif chroma_split_start < nxt <= num_scans:
+                if nxt == chroma_split_start + 2:
+                    best_split_chroma = 0
+                    best_cost = sizes[nxt - 2] + sizes[nxt - 1]
+                elif (nxt - chroma_split_start) % 4 == 2:
+                    idx = (nxt - chroma_split_start) >> 2
+                    cost = (sizes[nxt - 4] + sizes[nxt - 3]
+                            + sizes[nxt - 2] + sizes[nxt - 1])
+                    if cost < best_cost:
+                        best_cost = cost
+                        best_split_chroma = idx
+                    if ((idx == 2 and best_split_chroma == 0)
+                            or (idx == 3 and best_split_chroma != 2)
+                            or (idx == 4 and best_split_chroma != 4)):
+                        sn = num_scans - 1
+        sn += 1
+
+    # --- final assembly (display order) ---
+    out = marker.MarkerWriter()
+    out.soi()
+    out.jfif_app0()
+    min_Al = min(best_Al_luma, best_Al_chroma)
+    order: List[int] = [0]
+    if ncomps == 3 and cfg.dc_scan_opt_mode != 0:
+        base = num_scans_luma
+        if interleave_chroma_dc and cfg.dc_scan_opt_mode != 1:
+            order.append(base)
+        else:
+            order += [base + 1, base + 2]
+    if best_split_luma == 0:
+        order.append(luma_split_start)
+    else:
+        order += [luma_split_start + 2 * (best_split_luma - 1) + 1,
+                  luma_split_start + 2 * (best_split_luma - 1) + 2]
+    for Al in range(best_Al_luma - 1, min_Al - 1, -1):
+        order.append(3 + 3 * Al)
+    if ncomps == 3:
+        if best_split_chroma == 0:
+            order += [chroma_split_start, chroma_split_start + 1]
+        else:
+            b = chroma_split_start + 4 * (best_split_chroma - 1)
+            order += [b + 2, b + 3, b + 4, b + 5]
+        cbase = num_scans_luma + num_scans_chroma_dc
+        for Al in range(best_Al_chroma - 1, min_Al - 1, -1):
+            order += [cbase + 6 * Al + 4, cbase + 6 * Al + 5]
+    for Al in range(min_Al - 1, -1, -1):
+        order.append(3 + 3 * Al)
+        if ncomps == 3:
+            cbase = num_scans_luma + num_scans_chroma_dc
+            order += [cbase + 6 * Al + 4, cbase + 6 * Al + 5]
+
+    for idx in order:
+        out.raw(bufs[idx])
+    out.eoi()
+    return out.bytes()

@@ -1,0 +1,109 @@
+"""Overshoot deringing — batched over all blocks.
+
+Reproduces preprocess_deringing (/root/reference/jcdctmgr.c:416-498): runs of
+clipped-white samples along the zigzag traversal are replaced by a Catmull-Rom
+overshoot curve capped by min(31, 2*q0, headroom). The reference's sequential
+run-finding becomes per-position run-boundary computation (prefix max/min of
+masked indices) + one 64-step scan for the exact float `position += step`
+accumulation; everything is batched over N blocks.
+
+Input/output: (N, 64) int32 centered samples in ZIGZAG order.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+MAXS = 127  # 255 - CENTERJSAMPLE
+
+
+@functools.partial(jax.jit, static_argnums=())
+def dering(zz: jnp.ndarray, q0: jnp.ndarray, one=None) -> jnp.ndarray:
+    del one  # retained for call compatibility; no longer needed
+    N = zz.shape[0]
+    pos = jnp.arange(64)
+    m = zz >= MAXS                                     # (N, 64) in a run?
+
+    total = jnp.sum(zz, axis=1)
+    cnt = jnp.sum(m.astype(jnp.int32), axis=1)
+    active = (cnt > 0) & (cnt < 64)
+
+    # headroom cap: maxsample + min(31, 2*q0, (127*64 - sum)/cnt)
+    headroom = (MAXS * 64 - total) // jnp.maximum(cnt, 1)
+    maxovershoot = MAXS + jnp.minimum(
+        jnp.minimum(31, 2 * q0.astype(jnp.int32)), headroom)  # (N,)
+
+    # run boundaries per position: start = 1 + last non-run index before i,
+    # end = first non-run index after i (64 if none)
+    notm_idx = jnp.where(~m, pos[None, :], -1)
+    last_notm = jax.lax.cummax(notm_idx, axis=1)       # (N, 64)
+    start = last_notm + 1                              # valid where m
+    notm_idx_f = jnp.where(~m, pos[None, :], 64)
+    end = jnp.flip(jax.lax.cummin(jnp.flip(notm_idx_f, 1), axis=1), 1)
+
+    # edge samples around the run (C's clamped indexing quirks kept)
+    def at(idx):
+        return jnp.take_along_axis(zz, idx, axis=1)
+
+    f1 = at(jnp.maximum(start - 1, 0))
+    f2 = at(jnp.maximum(start - 2, 0))
+    l1 = at(jnp.where(end < 63, end, 63))
+    l2 = at(jnp.where(end < 62, end + 1, 63))
+
+    fslope = jnp.maximum(f1 - f2, MAXS - f1)
+    lslope = jnp.maximum(l1 - l2, MAXS - l1)
+    fslope_ = jnp.where(start == 0, lslope, fslope)
+    lslope_ = jnp.where(end == 64, fslope, lslope)
+    # note: C applies the start==0 substitution first, so lslope at end==64
+    # uses the ORIGINAL fslope; both can't trigger in one run unless the
+    # whole line is a run (cnt==64, inactive) — order is safe.
+
+    length = end - start                               # (N, 64) per position
+    step = (1.0 / (length + 1).astype(jnp.float32))
+
+    # exact position accumulation: position starts at `step` for the first
+    # run element and += step per element (sequential f32 adds)
+    run_first = m & ~jnp.concatenate(
+        [jnp.zeros((N, 1), bool), m[:, :-1]], axis=1)
+
+    def pos_step(carry, i):
+        t = jnp.where(run_first[:, i], step[:, i],
+                      carry + step[:, i])
+        return t, t
+
+    _, t_hist = jax.lax.scan(pos_step, jnp.zeros((N,), jnp.float32),
+                             jnp.arange(64))
+    t = jnp.moveaxis(t_hist, 0, 1)                     # (N, 64)
+
+    # Catmull-Rom with C's exact expression structure:
+    # (v1,v2,v3,v4) = (127-fslope, 127, 127, 127-lslope).
+    # C rounds every f32 product before the adds; XLA's LLVM backend
+    # contracts mul+add into FMA (skipping that rounding) and neither
+    # optimization_barrier nor reduce_precision stops it. Routing each
+    # product through minimum(x, 3e38) — a semantic no-op for our value
+    # range (|products| < 1e5) — breaks the mul-feeds-add pattern, forcing
+    # the product to round exactly like C's float arithmetic.
+
+    _NOCONTRACT = jnp.float32(3.0e38)
+
+    def frnd(x):
+        return jnp.minimum(x, _NOCONTRACT)
+
+    tan1 = fslope_ * length                            # (v3 - v1) * length
+    tan2 = -lslope_ * length                           # (v4 - v2) * length
+    t2 = frnd(t * t)
+    t3 = frnd(t2 * t)
+    cf1 = (frnd(2.0 * t3) - frnd(3.0 * t2)) + 1.0
+    cf2 = frnd(-2.0 * t3) + frnd(3.0 * t2)
+    cf3 = (t3 - frnd(2.0 * t2)) + t
+    cf4 = t3 - t2
+    val = ((frnd(jnp.float32(MAXS) * cf1)
+            + frnd(tan1.astype(jnp.float32) * cf3))
+           + frnd(jnp.float32(MAXS) * cf2)) \
+        + frnd(tan2.astype(jnp.float32) * cf4)
+    new = jnp.minimum(jnp.ceil(val).astype(jnp.int32),
+                      maxovershoot[:, None])
+
+    return jnp.where(m & active[:, None], new, zz)

@@ -139,3 +139,43 @@ def test_trellis_byte_exact_kodak_q60(ref_tools, tmp_path):
         quality=60, profile=Profile.MAX_COMPRESSION, optimize_scans=False,
         trellis_quant=True, overshoot_deringing=False))
     assert ours == golden
+
+
+@pytest.mark.parametrize("name,quality", [
+    ("testorig.ppm", 75),
+    ("kodak_like_768x512_1.ppm", 75),
+    ("kodak_like_768x512_2.ppm", 60),
+    ("kodak_like_768x512_4.ppm", 90),
+])
+def test_full_mozjpeg_default_byte_exact(ref_tools, tmp_path, name, quality):
+    """The complete mozjpeg default: progressive + trellis + overshoot
+    deringing + optimize_scans (jpegrescan) + per-scan optimal tables."""
+    from mozjpeg_tpu.codec.config import quality_default_subsampling
+    src = corpus_path(name)
+    golden = run_cjpeg(["-quality", str(quality)], src,
+                       str(tmp_path / "g.jpg"))
+    img = ppm.read(src)
+    ours = encode(img, EncoderConfig(
+        quality=quality,
+        subsampling=quality_default_subsampling(quality)))
+    assert ours == golden
+
+
+def test_full_default_grayscale(ref_tools, tmp_path, testorig):
+    src = corpus_path("testorig.ppm")
+    golden = run_cjpeg(["-quality", "75", "-grayscale"], src,
+                       str(tmp_path / "g.jpg"))
+    ours = encode(testorig, EncoderConfig(quality=75, grayscale=True))
+    assert ours == golden
+
+
+def test_decode_own_full_output(ref_tools, tmp_path, testorig):
+    """Our decoder handles our own scan-optimized output bit-exactly
+    vs djpeg."""
+    data = encode(testorig, EncoderConfig(quality=75))
+    p = str(tmp_path / "o.jpg")
+    with open(p, "wb") as f:
+        f.write(data)
+    ref_pixels = run_djpeg(p, str(tmp_path / "o.ppm"))
+    ours = decode(data)
+    np.testing.assert_array_equal(ours, ref_pixels)
