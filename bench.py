@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark: encode MP/s per chip, full mozjpeg default path
+(progressive + trellis + overshoot deringing + optimize_scans) at q75 on the
+Kodak-size corpus, vs the reference mozjpeg single-core baseline measured on
+this machine (baseline_results.json, moz_default_full config).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra context goes to stderr. Runs on the default JAX backend (real TPU
+when present; the driver provides the chip).
+"""
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_baseline():
+    path = os.path.join(REPO, "baseline_results.json")
+    default = 5.60  # measured moz_default_full kodak q75 mean (BASELINE.md)
+    try:
+        rs = json.load(open(path))
+        v = [r["encode_mps"] for r in rs
+             if r["config"] == "moz_default_full" and "kodak" in r["image"]
+             and r["quality"] == 75]
+        return statistics.mean(v) if v else default
+    except Exception:
+        return default
+
+
+def main():
+    from mozjpeg_tpu.utils import ppm
+    from mozjpeg_tpu import encode, EncoderConfig
+
+    names = ["kodak_like_768x512_%d.ppm" % i for i in (1, 2, 3, 4)]
+    corpus = []
+    for n in names:
+        p = os.path.join(REPO, "corpus", n)
+        if not os.path.exists(p):
+            import subprocess
+            subprocess.run([sys.executable,
+                            os.path.join(REPO, "scripts", "make_corpus.py")],
+                           check=True)
+        corpus.append(ppm.read(p))
+
+    import jax
+    log("backend:", jax.default_backend(), jax.devices())
+
+    cfg = EncoderConfig(quality=75)  # full mozjpeg default
+    # warmup/compile
+    t0 = time.perf_counter()
+    sizes = [len(encode(img, cfg)) for img in corpus[:1]]
+    log("warmup+compile: %.1fs" % (time.perf_counter() - t0))
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    mp_total = 0.0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for img in corpus:
+            data = encode(img, cfg)
+            mp_total += img.shape[0] * img.shape[1] / 1e6
+    dt = time.perf_counter() - t0
+    mps = mp_total / dt
+    baseline = load_baseline()
+
+    log("bytes (first image): %d" % sizes[0])
+    log("encode: %.2f MP in %.2fs" % (mp_total, dt))
+    print(json.dumps({
+        "metric": "encode_mps_q75_mozjpeg_default",
+        "value": round(mps, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(mps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,31 +170,81 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
     return w.bytes()
 
 
-def encode(image: np.ndarray, config: Optional[EncoderConfig] = None,
-           **overrides) -> bytes:
-    """Encode an RGB (H, W, 3) or grayscale (H, W) uint8 image to JPEG."""
+def _resolve(image, config, overrides):
     if config is None:
         config = EncoderConfig(**overrides)
     cfg = config.resolved()
-
     grayscale = config.grayscale or image.ndim == 2
     ncomps = 1 if grayscale else 3
-    samp = ([(1, 1)] if grayscale
-            else [cfg.subsampling, (1, 1), (1, 1)])
+    samp = [(1, 1)] if grayscale else [cfg.subsampling, (1, 1), (1, 1)]
     qtables = make_qtables(cfg)
+    return config, cfg, grayscale, ncomps, samp, qtables
 
-    geom, planes, raw = pipeline.encode_planes(
-        image, samp, qtables, grayscale,
-        dering_on=cfg.overshoot_deringing)
+
+def _phase_p1(image, cfg, samp, qtables, grayscale):
+    from . import pipeline_t
+    geom, comp_res, small = pipeline_t.run_p1(
+        image, samp, qtables, cfg.overshoot_deringing, grayscale)
+    return geom, comp_res, small
+
+
+def _phase_trellis(geom, comp_res, small, cfg, qtables):
+    """Sync the small array, build tables/lambdas, dispatch trellis (async).
+    Returns the device array tuple of final planes."""
+    from . import pipeline_t, trellis
+    import jax.numpy as jnp
     mcus_x, mcus_y, comps = geom
-    restart = _restart_interval(cfg, mcus_x)
+    norms, hists = pipeline_t.unpack_small(geom, small)
+    lams, ac_sis, dc_sis, qtblzz, ncands = [], [], [], [], []
+    bands = [(1, 63)]
+    if cfg.use_scans_in_trellis:
+        fs = cfg.trellis_freq_split
+        bands = [(1, fs), (fs + 1, 63)]
+    for ci, (q_zz, raw_zz) in enumerate(comp_res):
+        slot = 0 if ci == 0 else 1
+        lam = trellis.lambda_from_norm(norms[ci], cfg.lambda_log_scale1,
+                                       cfg.lambda_log_scale2)
+        ac_si, dc_si = trellis.trellis_tables_from_hist(
+            hists[ci], slot, cfg.optimize_coding and not cfg.arithmetic)
+        qz = np.asarray(qtables[0] if ci == 0 else qtables[1]) \
+            .reshape(64)[consts.JPEG_ZIGZAG].astype(np.int32)
+        lams.append(lam)
+        ac_sis.append(ac_si)
+        dc_sis.append(dc_si)
+        qtblzz.append(qz)
+        ncands.append(trellis.get_num_dc_candidates(int(qz[0])))
+    packed = jnp.asarray(trellis.pack_trellis_inputs(
+        lams, ac_sis, dc_sis, qtblzz))
+    run = trellis.make_trellis_all_t(tuple(comps), None, tuple(bands),
+                                     cfg.trellis_quant_dc, tuple(ncands))
+    finals = run(tuple(r[1] for r in comp_res),
+                 tuple(r[0] for r in comp_res), packed)
+    for _ in range(max(1, cfg.trellis_num_loops) - 1):
+        finals = run(tuple(r[1] for r in comp_res), finals, packed)
+    return finals
 
-    if cfg.trellis_quant:
-        from . import trellis
-        planes = trellis.trellis_optimize(planes, raw, qtables, geom, cfg)
 
+def _phase_pack(geom, planes_t):
+    """Dispatch the single flat int16 packing of all comps (async)."""
+    from . import pipeline_t
+    _, _, comps = geom
+    return pipeline_t._pack_all(tuple(planes_t), tuple(comps))
+
+
+def _split_flat(geom, flat):
+    _, _, comps = geom
+    out = []
+    off = 0
+    for g in comps:
+        n = g.bh_pad * g.bw_pad * 64
+        out.append(flat[off:off + n].reshape(g.bh_pad, g.bw_pad, 64))
+        off += n
+    return out
+
+
+def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
+                   ncomps, restart):
     dc_tbls, ac_tbls = _std_dc_ac(ncomps)
-
     if cfg.progressive:
         if cfg.scan_script is not None:
             script = [scans.ScanInfo(tuple(s[0]), *s[1:])
@@ -202,8 +252,7 @@ def encode(image: np.ndarray, config: Optional[EncoderConfig] = None,
         elif cfg.optimize_scans:
             from . import scanopt
             return scanopt.encode_optimize_scans(
-                image.shape[1], image.shape[0], geom, planes, qtables,
-                cfg, ncomps, restart)
+                width, height, geom, planes, qtables, cfg, ncomps, restart)
         elif config.profile == Profile.MAX_COMPRESSION:
             script = scans.simple_progression_max(ncomps,
                                                   cfg.dc_scan_opt_mode)
@@ -216,12 +265,119 @@ def encode(image: np.ndarray, config: Optional[EncoderConfig] = None,
     for scan in script:
         sg = entenc.ScanGeometry(scan, geom, planes)
         if cfg.optimize_coding or cfg.progressive:
-            results.append(encode_scan_optimal(sg, dc_tbls, ac_tbls, restart))
+            results.append(encode_scan_optimal(sg, dc_tbls, ac_tbls,
+                                               restart))
         else:
             dct_, act_ = _scan_tables_std(ncomps)
             results.append(encode_scan_fixed(sg, dc_tbls, ac_tbls, dct_,
                                              act_, restart))
-
-    return assemble(image.shape[1], image.shape[0], geom, qtables, results,
-                    restart, cfg.progressive, ncomps,
+    return assemble(width, height, geom, qtables, results, restart,
+                    cfg.progressive, ncomps,
                     multi_dqt=config.profile != Profile.FASTEST)
+
+
+def encode(image: np.ndarray, config: Optional[EncoderConfig] = None,
+           **overrides) -> bytes:
+    """Encode an RGB (H, W, 3) or grayscale (H, W) uint8 image to JPEG."""
+    return encode_many([image], config, **overrides)[0]
+
+
+def encode_many(images, config: Optional[EncoderConfig] = None,
+                **overrides):
+    """Encode a list of images with a software pipeline: device programs for
+    image i+1 are queued (JAX async dispatch) while the host entropy-codes
+    image i; all transfers are single packed arrays. Same-shape groups run
+    fully batched: one dispatch and one transfer each way for the group."""
+    import numpy as _np
+    from . import pipeline_t
+    if len(images) > 1:
+        shapes = {img.shape for img in images}
+        if len(shapes) == 1:
+            cfg_o, cfg, gray, ncomps, samp, qt = _resolve(
+                images[0], config, overrides)
+            from .pipeline import geometry
+            h, w = images[0].shape[:2]
+            geom = geometry(w, h, samp)
+            if pipeline_t.batchable(geom) and not gray:
+                return _encode_batch(images, cfg_o, cfg, ncomps, samp, qt)
+    out = [None] * len(images)
+    states = []
+    resolved = [_resolve(img, config, overrides) for img in images]
+    # stage 1: dispatch all device pipelines
+    for img, (cfg_o, cfg, gray, ncomps, samp, qt) in zip(images, resolved):
+        geom, comp_res, small = _phase_p1(img, cfg, samp, qt, gray)
+        states.append({"geom": geom, "comp_res": comp_res, "small": small})
+    # stage 2: trellis dispatch (one host sync per image for norms/hists)
+    for st, (cfg_o, cfg, gray, ncomps, samp, qt) in zip(states, resolved):
+        if cfg.trellis_quant:
+            finals = _phase_trellis(st["geom"], st["comp_res"], st["small"],
+                                    cfg, qt)
+        else:
+            finals = tuple(r[0] for r in st["comp_res"])
+        st["flat"] = _phase_pack(st["geom"], finals)
+    # stage 3: download + host entropy
+    for i, (st, img, (cfg_o, cfg, gray, ncomps, samp, qt)) in \
+            enumerate(zip(states, images, resolved)):
+        planes = _split_flat(st["geom"], _np.asarray(st["flat"]))
+        mcus_x = st["geom"][0]
+        restart = _restart_interval(cfg, mcus_x)
+        out[i] = _phase_entropy(img.shape[1], img.shape[0], st["geom"],
+                                planes, qt, cfg_o, cfg, ncomps, restart)
+    return out
+
+
+def _encode_batch(images, config, cfg, ncomps, samp, qtables):
+    """Fully batched group encode (one dispatch / one transfer per stage)."""
+    import numpy as _np
+    import jax.numpy as jnp
+    from . import pipeline_t, trellis
+    b = len(images)
+    stack = _np.stack(images)
+    geom, merged, smalls = pipeline_t.run_p1_batch(
+        stack, samp, qtables, cfg.overshoot_deringing)
+    mcus_x, mcus_y, comps = geom
+    restart = _restart_interval(cfg, mcus_x)
+
+    if cfg.trellis_quant:
+        per_img = pipeline_t.unpack_small_batch(geom, smalls, b)
+        bands = [(1, 63)]
+        if cfg.use_scans_in_trellis:
+            fs = cfg.trellis_freq_split
+            bands = [(1, fs), (fs + 1, 63)]
+        lams, ac_sis, dc_sis, qtblzz, ncands = [], [], [], [], []
+        for ci in range(ncomps):
+            lam_imgs = []
+            ac_tbl_imgs = []
+            slot = 0 if ci == 0 else 1
+            for (norms, hists) in per_img:
+                lam_imgs.append(trellis.lambda_from_norm(
+                    norms[ci], cfg.lambda_log_scale1, cfg.lambda_log_scale2))
+                ac_si, dc_si = trellis.trellis_tables_from_hist(
+                    hists[ci], slot,
+                    cfg.optimize_coding and not cfg.arithmetic)
+                ac_tbl_imgs.append(ac_si)
+            lams.append(_np.concatenate(lam_imgs))
+            ac_sis.append(_np.stack(ac_tbl_imgs))
+            dc_sis.append(dc_si)
+            qz = _np.asarray(qtables[0] if ci == 0 else qtables[1]) \
+                .reshape(64)[consts.JPEG_ZIGZAG].astype(_np.int32)
+            qtblzz.append(qz)
+            ncands.append(trellis.get_num_dc_candidates(int(qz[0])))
+        packed = jnp.asarray(trellis.pack_trellis_inputs(
+            lams, ac_sis, dc_sis, qtblzz))
+        run = trellis.make_trellis_all_t(tuple(comps), None, tuple(bands),
+                                         cfg.trellis_quant_dc,
+                                         tuple(ncands), batch=b)
+        finals = run(tuple(m[1] for m in merged),
+                     tuple(m[0] for m in merged), packed)
+        for _ in range(max(1, cfg.trellis_num_loops) - 1):
+            finals = run(tuple(m[1] for m in merged), finals, packed)
+    else:
+        finals = tuple(m[0] for m in merged)
+
+    per_image_planes = pipeline_t.download_final_batch(geom, finals, b)
+    out = []
+    for img, planes in zip(images, per_image_planes):
+        out.append(_phase_entropy(img.shape[1], img.shape[0], geom, planes,
+                                  qtables, config, cfg, ncomps, restart))
+    return out

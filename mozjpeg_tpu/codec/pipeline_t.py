@@ -1,0 +1,266 @@
+"""Fast-path device pipeline in coefficient-major layout.
+
+Two jitted programs bound by device-resident arrays (nothing large crosses
+the tunnel between them):
+
+  P1: image -> per comp {q_real (64,N) i16, raw (64,N) i32, norm (N,) f32,
+      ac-first hist (256,)} — raw/q stay on device for P2.
+  P2: trellis (AC DP + DC chains, all comps, one dispatch) -> final padded
+      planes (64, Npad) i16 (downloaded once, flattened, for host entropy).
+
+Block data lives as (64, N) / (8, 8, N) with the block index in the TPU lane
+dimension — the (..., 8, 8) layout would leave 120 of 128 lanes idle.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import consts
+from ..ops import color, dct, dering, layout, quant, sample, symbols
+from ..utils.xfer import to_host
+from .pipeline import CompGeom, geometry
+
+
+def _comp_plane(p, g: CompGeom, max_h: int, max_v: int, h2: int):
+    if g.v < max_v:
+        p = p[:h2]
+    if g.h < max_h and g.v < max_v:
+        p = sample.downsample_h2v2(p)
+    elif g.h < max_h:
+        p = sample.downsample_h2v1(p)
+    elif g.v < max_v:
+        p = sample.downsample_h1v2(p)
+    p = layout.pad_plane(p, g.bh_pad * 8, g.bw_pad * 8)
+    return p[: g.bh_pad * 8, : g.bw_pad * 8]
+
+
+def _natural_order_positions():
+    """zigzag position of natural index i, for the norm accumulation order."""
+    return np.argsort(consts.JPEG_ZIGZAG)
+
+
+_ZZ_OF_NAT = _natural_order_positions()
+
+_QTBL_CACHE = {}
+
+
+def _dev_qtbl(t: np.ndarray):
+    key = t.tobytes()
+    if key not in _QTBL_CACHE:
+        _QTBL_CACHE[key] = jnp.asarray(t.reshape(8, 8, 1))
+    return _QTBL_CACHE[key]
+
+
+def _norm_seq(raw_zz):
+    """Sequential f32 norm accumulation in NATURAL index order (exact C)."""
+    n = raw_zz.shape[1]
+    terms = raw_zz.astype(jnp.float32) ** 2            # (64, N)
+
+    def step(c, i):
+        return c + terms[i], None
+
+    order = jnp.asarray(_ZZ_OF_NAT[1:], dtype=jnp.int32)
+    acc, _ = jax.lax.scan(step, jnp.zeros((n,), jnp.float32), order)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
+        qluma81=None, qchroma81=None):
+    """Per comp (q_zz, raw_zz) device arrays + ONE packed small array
+    [norms as f32-bits | hists as int32] for a single host transfer."""
+    gl = geom[0]
+    max_h, max_v = gl.h, gl.v
+    h = rgb.shape[0]
+    ph, pw = mcus_y * 8 * max_v, mcus_x * 8 * max_h
+    h2 = -(-h // max_v) * max_v
+    if rgb.ndim == 3:
+        ycc = color.rgb_to_ycc(rgb)
+        planes = [layout.pad_plane(ycc[..., i], ph, pw)
+                  for i in range(len(geom))]
+    else:
+        planes = [layout.pad_plane(rgb, ph, pw)]
+    out = []
+    for ci, g in enumerate(geom):
+        p = _comp_plane(planes[ci], g, max_h, max_v, h2)
+        # real blocks only, raster order, coefficient-major
+        blocks = layout.blockify_t(
+            p[: g.bh * 8, : g.bw * 8].astype(jnp.int32) - 128)
+        q81 = qluma81 if ci == 0 else qchroma81
+        if dering_on:
+            szz = layout.to_zigzag_t(blocks)
+            szz = dering.dering_t(szz, q81[0, 0, 0])
+            blocks = layout.from_zigzag_t(szz)
+        coeffs = dct.fdct_islow_t(blocks)              # (8, 8, N) raw
+        qz = quant.quantize_islow_t(coeffs, q81)
+        q_zz = layout.to_zigzag_t(qz)                  # (64, N) int16
+        raw_zz = layout.to_zigzag_t(coeffs)            # (64, N) int32
+        norm = _norm_seq(raw_zz)
+        achist = symbols.ac_first_histogram_t(q_zz)
+        out.append((q_zz, raw_zz, norm, achist))
+    # pack all small outputs into one int32 buffer (one tunnel round trip)
+    small = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(o[2], jnp.int32) for o in out]
+        + [o[3] for o in out])
+    return [o[:2] for o in out], small
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _pad_for_entropy(q_zz, g: CompGeom, transpose: bool = True):
+    """(64, N real) -> flattened (Npad*64,) int16 in (bh_pad, bw_pad, 64)
+    block-major order for the host entropy engine."""
+    zp = layout.add_dummy_blocks_t(q_zz, g.bw, g.bh, g.bw_pad, g.bh_pad,
+                                   g.h, g.v)
+    # (64, Npad) -> (Npad, 64) flat
+    return jnp.transpose(zp, (1, 0)).reshape(-1)
+
+
+def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
+           dering_on: bool, grayscale: bool = False):
+    """-> (geom, [(q_zz, raw_zz)] device arrays, small_dev packed array).
+
+    Unpack small_dev with unpack_small() when the host needs norms/hists."""
+    h, w = image.shape[:2]
+    mcus_x, mcus_y, geom = geometry(w, h, samp)
+    q81 = [_dev_qtbl(np.asarray(t)) for t in qtables]
+    res, small = _p1(jnp.asarray(image), mcus_x, mcus_y, tuple(geom),
+                     dering_on, qluma81=q81[0],
+                     qchroma81=q81[1] if len(q81) > 1 else q81[0])
+    return (mcus_x, mcus_y, geom), res, small
+
+
+def unpack_small(geom, small_dev):
+    """One host transfer -> ([norm f32 per comp], [achist i32 per comp])."""
+    _, _, comps = geom
+    buf = np.asarray(small_dev)
+    norms, hists = [], []
+    off = 0
+    for g in comps:
+        n = g.bh * g.bw
+        norms.append(buf[off:off + n].view(np.float32))
+        off += n
+    for g in comps:
+        hists.append(buf[off:off + 256])
+        off += 256
+    return norms, hists
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pack_all(planes_t, geoms):
+    """Concat every comp's padded plane into ONE flat int16 buffer."""
+    return jnp.concatenate(
+        [_pad_for_entropy(q, g) for q, g in zip(planes_t, geoms)])
+
+
+def download_planes(geom, comp_results) -> List[np.ndarray]:
+    return download_final(geom, [r[0] for r in comp_results])
+
+
+def download_final(geom, planes_t) -> List[np.ndarray]:
+    """Final planes -> host [(bh_pad, bw_pad, 64) int16]: ONE flat
+    transfer for all comps (the tunnel charges ~25 ms latency per array
+    and has pathological 2D int16 paths)."""
+    _, _, comps = geom
+    flat = np.asarray(_pack_all(tuple(planes_t), tuple(comps)))
+    out = []
+    off = 0
+    for g in comps:
+        n = g.bh_pad * g.bw_pad * 64
+        out.append(flat[off:off + n].reshape(g.bh_pad, g.bw_pad, 64))
+        off += n
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched variants: a group of same-shape images in ONE dispatch and ONE
+# transfer each way. Image blocks are concatenated along the lane dimension
+# (N' = B*N) so every downstream kernel (trellis included) runs unchanged.
+# Requires dummy-free geometry (bw % h == 0 and bh % v == 0 per comp) —
+# callers fall back to the per-image path otherwise.
+# ---------------------------------------------------------------------------
+
+def batchable(geom) -> bool:
+    _, _, comps = geom
+    return all(g.bw % g.h == 0 and g.bh % g.v == 0
+               and g.bw == g.bw_pad and g.bh == g.bh_pad for g in comps)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
+              qluma81=None, qchroma81=None):
+    def one(rgb):
+        return _p1.__wrapped__(rgb, mcus_x, mcus_y, geom, dering_on,
+                               qluma81, qchroma81)
+
+    res, smalls = jax.vmap(one)(rgbs)
+    b = rgbs.shape[0]
+    merged = []
+    for (q_zz, raw_zz) in res:                  # (B, 64, N) each
+        q2 = jnp.moveaxis(q_zz, 0, 1).reshape(64, -1)
+        r2 = jnp.moveaxis(raw_zz, 0, 1).reshape(64, -1)
+        merged.append((q2, r2))
+    return merged, smalls.reshape(-1)           # one small buffer for all B
+
+
+def run_p1_batch(images: np.ndarray, samp, qtables, dering_on: bool):
+    """images (B, H, W, 3) -> (geom, [(q,raw) with N'=B*N], smalls (B,...))."""
+    b, h, w = images.shape[:3]
+    mcus_x, mcus_y, geom = geometry(w, h, samp)
+    q81 = [_dev_qtbl(np.asarray(t)) for t in qtables]
+    res, small = _p1_batch(jnp.asarray(images), mcus_x, mcus_y, tuple(geom),
+                           dering_on, qluma81=q81[0],
+                           qchroma81=q81[1] if len(q81) > 1 else q81[0])
+    return (mcus_x, mcus_y, geom), res, small
+
+
+def unpack_small_batch(geom, small_dev, b: int):
+    """-> per image ([norms per comp], [hists per comp])."""
+    _, _, comps = geom
+    buf = np.asarray(small_dev).reshape(b, -1)
+    out = []
+    for i in range(b):
+        norms, hists = [], []
+        off = 0
+        for g in comps:
+            n = g.bh * g.bw
+            norms.append(buf[i, off:off + n].view(np.float32))
+            off += n
+        for g in comps:
+            hists.append(buf[i, off:off + 256])
+            off += 256
+        out.append((norms, hists))
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _pack_all_batch(planes_t, geoms, b: int):
+    """Per comp (64, B*N) planes -> ONE flat int16 buffer ordered
+    [image0: comp0 blocks, comp1, ...][image1: ...]."""
+    per_image = []
+    for i in range(b):
+        for q, g in zip(planes_t, geoms):
+            n = g.bh * g.bw
+            sl = q[:, i * n:(i + 1) * n]
+            per_image.append(jnp.transpose(sl, (1, 0)).reshape(-1))
+    return jnp.concatenate(per_image)
+
+
+def download_final_batch(geom, planes_t, b: int):
+    """-> [per image [(bh, bw, 64) planes per comp]] via one transfer."""
+    _, _, comps = geom
+    flat = np.asarray(_pack_all_batch(tuple(planes_t), tuple(comps), b))
+    out = []
+    off = 0
+    for i in range(b):
+        planes = []
+        for g in comps:
+            n = g.bh * g.bw * 64
+            planes.append(flat[off:off + n].reshape(g.bh, g.bw, 64))
+            off += n
+        out.append(planes)
+    return out

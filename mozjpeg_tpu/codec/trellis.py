@@ -94,9 +94,9 @@ def trellis_ac(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
     cdist = ((delta * delta).astype(jnp.float32)
              * lam[:, None, None]) * ltbl[None, :, None]
 
-    ac_si_f = ac_si.astype(jnp.float32)
-    zrl_bits = ac_si_f[0xF0]
-    zrl_ok = ac_si[0xF0] > 0
+    ac_si_f = ac_si.astype(jnp.float32)             # (B, 256)
+    zrl_bits_l = jnp.repeat(ac_si_f[:, 0xF0], n_img)   # (N,) per-lane
+    zrl_ok_l = jnp.repeat(ac_si[:, 0xF0] > 0, n_img)   # (N,)
 
     j_idx = jnp.arange(64)
     j_is_start = j_idx == (Ss - 1)
@@ -381,3 +381,247 @@ def _gather_ac_table(plane: np.ndarray, g) -> HuffTable:
         for size in range(12):
             counts[16 * run + size] += 1
     return entenc.gen_optimal_table(counts)
+
+
+# ---------------------------------------------------------------------------
+# Coefficient-major fast path: one dispatch for all components (AC DP + DC
+# chains inside a single jitted program; raw/q arrive as device arrays from
+# pipeline_t.P1 — nothing large crosses the host boundary).
+# ---------------------------------------------------------------------------
+
+def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
+    """Transposed trellis_ac: raw/qcoef (64, N); same exact semantics.
+
+    ac_si: (B, 256) per-image AC code lengths, N = B * n_img (image-major).
+    B == 1 is the single-image case."""
+    N = raw.shape[1]
+    B = ac_si.shape[0]
+    n_img = N // B
+    pos = jnp.arange(64)[:, None]                      # (64, 1)
+    in_band = (pos >= Ss) & (pos <= Se)                # (64, 1)
+
+    x = jnp.abs(raw)
+    sign = jnp.where(raw < 0, -1, 1)
+    q8 = (qtbl_zz.astype(jnp.int32) << 3)[:, None]     # (64, 1)
+    qval = jnp.minimum((x + (q8 >> 1)) // q8, 1023)    # (64, N)
+
+    ltbl = (1.0 / (qtbl_zz.astype(jnp.float32)
+                   * qtbl_zz.astype(jnp.float32)))[:, None]
+
+    zdist = ((x * x).astype(jnp.float32) * lam[None, :]) * ltbl
+    zterm = jnp.where(in_band, zdist, 0.0)
+
+    def azd_step(c, i):
+        c = c + zterm[i]
+        return c, c
+
+    _, azd = jax.lax.scan(azd_step, jnp.zeros((N,), jnp.float32),
+                          jnp.arange(64))              # (64, N)
+    azd_prev = jnp.concatenate(
+        [jnp.zeros((1, N), jnp.float32), azd[:-1]], axis=0)
+
+    nc = _nbits(qval)                                  # (64, N)
+    k = jnp.arange(KMAX)[None, :, None]                # (1, K, 1)
+    cand = jnp.where(k == nc[:, None, :] - 1,
+                     qval[:, None, :], ((2 << k) - 1))  # (64, K, N)
+    cand_valid = k < nc[:, None, :]
+    cand_bits_f = (jnp.arange(KMAX) + 1).astype(jnp.float32)
+    delta = cand * q8[:, :, None] - x[:, None, :]
+    cdist = ((delta * delta).astype(jnp.float32)
+             * lam[None, None, :]) * ltbl[:, :, None]
+
+    ac_si_f = ac_si.astype(jnp.float32)             # (B, 256)
+    zrl_bits_l = jnp.repeat(ac_si_f[:, 0xF0], n_img)   # (N,) per-lane
+    zrl_ok_l = jnp.repeat(ac_si[:, 0xF0] > 0, n_img)   # (N,)
+
+    j_idx = jnp.arange(64)
+    j_is_start = (j_idx == (Ss - 1))[:, None]          # (64, 1)
+    j_nonzero = (qval != 0) & in_band
+    j_valid_static = j_is_start | j_nonzero            # (64, N)
+
+    init_acc = jnp.where(j_is_start, jnp.float32(0), BIG) + jnp.zeros((1, N))
+
+    def step(acc, i):
+        run = i - 1 - j_idx                            # (64,)
+        run_ok = ((run >= 0)[:, None]
+                  & ((run < 16)[:, None] | zrl_ok_l[None, :]))  # (64, N)
+        run_bits = jnp.where((run >= 16)[:, None],
+                             (run >> 4).astype(jnp.float32)[:, None]
+                             * zrl_bits_l[None, :], 0.0)        # (64, N)
+        sym_idx = (16 * (run & 15))[:, None] + (jnp.arange(KMAX) + 1)[None, :]
+        coef_len = ac_si_f[:, sym_idx]                 # (B, 64, K)
+        coef_len = jnp.repeat(jnp.transpose(coef_len, (1, 2, 0)),
+                              n_img, axis=2)           # (64, K, N)
+        coef_ok = coef_len > 0
+        rate = (coef_len + cand_bits_f[None, :, None]
+                + run_bits[:, None, :])                # (64, K, N)
+
+        cdist_i = cdist[i]                             # (K, N)
+        cand_i = cand[i]
+        cand_ok_i = cand_valid[i]
+        qval_i = qval[i]                               # (N,)
+
+        tail = (azd_prev[i][None, :] - azd) + acc      # (64, N)
+        cost = (rate + cdist_i[None, :, :]) + tail[:, None, :]
+        valid = ((j_valid_static & (j_idx < i)[:, None])[:, None, :]
+                 & run_ok[:, None, :]
+                 & coef_ok & cand_ok_i[None, :, :]
+                 & (qval_i != 0)[None, None, :])
+        cost = jnp.where(valid, cost, BIG)
+
+        flat = cost.reshape(64 * KMAX, N)
+        arg = jnp.argmin(flat, axis=0)                 # (N,) first-min ties
+        best = jnp.take_along_axis(flat, arg[None, :], axis=0)[0]
+        bj = (arg // KMAX).astype(jnp.int32)
+        bk = arg % KMAX
+        val = jnp.take_along_axis(cand_i, bk[None, :], axis=0)[0]
+
+        new_acc_i = jnp.where(qval_i != 0, best, BIG)
+        acc = acc.at[i].set(new_acc_i)
+        return acc, (bj, val)
+
+    acc, (runstart_h, val_h) = jax.lax.scan(step, init_acc,
+                                            jnp.arange(Ss, Se + 1))
+    steps = Se - Ss + 1
+    run_start = jnp.zeros((64, N), jnp.int32).at[Ss:Se + 1].set(runstart_h)
+    best_val = jnp.zeros((64, N), jnp.int32).at[Ss:Se + 1].set(val_h)
+
+    azd_Se = azd[Se]
+    eob_len = jnp.repeat(ac_si_f[:, 0], n_img)[None, :]  # (1, N)
+    end_cost = ((acc + azd_Se[None, :]) - azd) \
+        + jnp.where(pos < Se, eob_len, 0.0)
+    end_cost = jnp.where(j_nonzero, end_cost, BIG)
+    end_cost = end_cost.at[Ss - 1].set(azd_Se + eob_len[0])
+    last_idx = jnp.argmin(end_cost, axis=0).astype(jnp.int32)  # (N,)
+
+    def walk(carry, _):
+        cur, keep = carry
+        keep = keep | ((j_idx[:, None] == cur[None, :])
+                       & (cur >= Ss)[None, :])
+        nxt = jnp.take_along_axis(run_start,
+                                  jnp.maximum(cur, 0)[None, :], axis=0)[0]
+        nxt = jnp.where(cur >= Ss, nxt, Ss - 1)
+        return (nxt, keep), None
+
+    (_, keep), _ = jax.lax.scan(
+        walk, (last_idx, jnp.zeros((64, N), bool)), None, length=steps)
+    keep = keep & j_nonzero
+
+    new_band = jnp.where(keep, best_val * sign, 0).astype(jnp.int16)
+    return jnp.where(in_band, new_band, qcoef)
+
+
+def _trellis_dc_t(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int):
+    """Same DP as trellis_dc_rows (already verified) for use inside the
+    combined jit; raw_dc (R, L)."""
+    return trellis_dc_rows.__wrapped__(raw_dc, last_dc0, q0, dc_si,
+                                       lam_dc, nc)
+
+
+@functools.lru_cache(maxsize=64)
+def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
+                       batch: int = 1):
+    """Build a single jitted program running trellis for every component
+    (cached per configuration — a fresh closure per call would recompile).
+
+    geoms: tuple of CompGeom; bands: ((Ss, Se), ...) static; ncands:
+    per-comp DC candidate counts (static).
+    """
+    geoms = tuple(geoms)
+
+    nlam = [batch * g.bh * g.bw for g in geoms]
+
+    @jax.jit
+    def run(raws, qs, packed):
+        # packed (int32 1D): [lam bits/comp | ac_si (B,256)/comp | dc_si |
+        # qtbl_zz]
+        off = 0
+        lams, ac_sis, dc_sis, qtbl_zzs = [], [], [], []
+        for n in nlam:
+            lams.append(jax.lax.bitcast_convert_type(
+                packed[off:off + n], jnp.float32))
+            off += n
+        for _ in geoms:
+            ac_sis.append(packed[off:off + batch * 256].reshape(batch, 256))
+            off += batch * 256
+        for lst, sz in ((dc_sis, 256), (qtbl_zzs, 64)):
+            for _ in geoms:
+                lst.append(packed[off:off + sz])
+                off += sz
+        outs = []
+        for ci, g in enumerate(geoms):
+            raw = raws[ci]
+            new_q = qs[ci]
+            lam = lams[ci]
+            for (ss, se) in bands:
+                new_q = _trellis_ac_t(raw, new_q, qtbl_zzs[ci],
+                                      ac_sis[ci], lam, ss, se)
+            if dc_on:
+                q0 = qtbl_zzs[ci][0]
+                ltbl0 = (1.0 / (qtbl_zzs[ci][0].astype(jnp.float32)
+                                * qtbl_zzs[ci][0].astype(jnp.float32)))
+                bh_t = batch * g.bh
+                lam_dc_full = (lam * ltbl0).reshape(bh_t, g.bw)
+                raw_dc = raw[0].reshape(bh_t, g.bw)
+                v = g.v
+                dc_rows = []
+                prev = None
+                for p in range(v):
+                    rr = raw_dc[p::v]
+                    ll = lam_dc_full[p::v]
+                    nph = rr.shape[0]
+                    init = (jnp.zeros(nph, jnp.int32) if p == 0
+                            else prev[:nph])
+                    dc, fin = _trellis_dc_t(rr, init, q0, dc_sis[ci], ll,
+                                            ncands[ci])
+                    dc_rows.append(dc)
+                    prev = fin
+                # interleave phases back into row order
+                dc_all = jnp.zeros((bh_t, g.bw), jnp.int32)
+                for p in range(v):
+                    dc_all = dc_all.at[p::v].set(dc_rows[p])
+                new_q = new_q.at[0].set(
+                    dc_all.reshape(-1).astype(jnp.int16))
+            outs.append(new_q)
+        return tuple(outs)
+
+    return run
+
+
+def lambda_from_norm(norm_sum: np.ndarray, s1: float, s2: float) -> np.ndarray:
+    """Host lambda from the device-computed sequential f32 norm SUM."""
+    norm = norm_sum / np.float32(63.0)
+    if s2 > 0:
+        lam = (np.float64(2.0) ** s1) / (np.float64(2.0) ** s2
+                                         + norm.astype(np.float64))
+    else:
+        lam = np.full(norm.shape, np.float64(2.0) ** (s1 - 12.0))
+    return lam.astype(np.float32)
+
+
+def trellis_tables_from_hist(achist: np.ndarray, tbl_slot: int,
+                             optimize_coding: bool):
+    """Rate tables for the trellis pass from a device AC-first histogram."""
+    from ..codec.encoder import STD_TABLES
+    if optimize_coding:
+        f = np.zeros(257, np.int64)
+        f[:256] = achist.astype(np.int64)
+        for run in range(16):
+            for size in range(12):
+                f[16 * run + size] += 1
+        ac_tbl = entenc.gen_optimal_table(f)
+    else:
+        ac_tbl = STD_TABLES[(1, tbl_slot)]
+    dc_tbl = STD_TABLES[(0, tbl_slot)]
+    _, ac_si = derive_codes(ac_tbl)
+    _, dc_si = derive_codes(dc_tbl)
+    return ac_si.astype(np.int32), dc_si.astype(np.int32)
+
+
+def pack_trellis_inputs(lams, ac_sis, dc_sis, qtbl_zzs) -> np.ndarray:
+    """Host-side packing matching make_trellis_all_t's run(packed) layout."""
+    parts = [np.asarray(l, np.float32).view(np.int32).ravel() for l in lams]
+    parts += [np.asarray(a, np.int32).ravel() for a in ac_sis]
+    parts += [np.asarray(d, np.int32).ravel() for d in dc_sis]
+    parts += [np.asarray(q, np.int32).ravel() for q in qtbl_zzs]
+    return np.concatenate(parts)

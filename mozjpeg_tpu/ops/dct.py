@@ -201,3 +201,30 @@ def fdct_islow_np(blocks: np.ndarray) -> np.ndarray:
 def idct_islow_np(coeffs: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
     return np.asarray(idct_islow(jnp.asarray(coeffs, dtype=jnp.int32),
                                  jnp.asarray(qtbl, dtype=jnp.int32)))
+
+
+# ---------------------------------------------------------------------------
+# Coefficient-major ("t") layout: blocks as (8, 8, N) / (64, N) with the
+# block index in the TPU lane dimension. The (..., 8, 8) layout leaves 120 of
+# 128 lanes idle; with N in lanes every butterfly line runs at full VPU width.
+# ---------------------------------------------------------------------------
+
+def fdct_islow_t(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact islow forward DCT on (8, 8, N) int32 centered samples."""
+    d = [x[:, c, :] for c in range(8)]                 # pass 1 over rows
+    o = _fdct_butterfly(d, PASS1_BITS, CONST_BITS - PASS1_BITS)
+    y = jnp.stack(o, axis=1)                           # (8, 8, N)
+    d = [y[r, :, :] for r in range(8)]                 # pass 2 over columns
+    o = _fdct_butterfly(d, -PASS1_BITS, CONST_BITS + PASS1_BITS)
+    return jnp.stack(o, axis=0)
+
+
+def idct_islow_t(coeffs: jnp.ndarray, qtbl81: jnp.ndarray) -> jnp.ndarray:
+    """Exact islow dequant+IDCT on (8, 8, N) int coeffs; qtbl81 (8, 8, 1)."""
+    x = coeffs.astype(jnp.int32) * qtbl81.astype(jnp.int32)
+    d = [x[r, :, :] for r in range(8)]                 # pass 1: columns
+    o = _idct_butterfly(d, CONST_BITS - PASS1_BITS)
+    y = jnp.stack(o, axis=0)
+    d = [y[:, c, :] for c in range(8)]                 # pass 2: rows
+    o = _idct_butterfly(d, CONST_BITS + PASS1_BITS + 3)
+    return _range_limit(jnp.stack(o, axis=1))

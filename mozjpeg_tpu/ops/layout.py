@@ -95,3 +95,59 @@ def add_dummy_blocks(zz: jnp.ndarray, real_bw: int, real_bh: int,
         rows = jnp.broadcast_to(row[None], (bh - real_bh, bw, 64))
         zz = jnp.concatenate([zz, rows], axis=0)
     return zz
+
+
+# ---------------------------------------------------------------------------
+# Coefficient-major ("t") layout helpers: (64, N) with blocks in lanes.
+# ---------------------------------------------------------------------------
+
+def blockify_t(plane: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) -> (8, 8, N) with N = (H//8)*(W//8) raster block order."""
+    h, w = plane.shape
+    x = plane.reshape(h // 8, 8, w // 8, 8)
+    return jnp.transpose(x, (1, 3, 0, 2)).reshape(8, 8, -1)
+
+
+def unblockify_t(blocks: jnp.ndarray, bh: int, bw: int) -> jnp.ndarray:
+    """(8, 8, N) -> (bh*8, bw*8)."""
+    x = blocks.reshape(8, 8, bh, bw)
+    return jnp.transpose(x, (2, 0, 3, 1)).reshape(bh * 8, bw * 8)
+
+
+def to_zigzag_t(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(8, 8, N) natural -> (64, N) zigzag."""
+    flat = blocks.reshape(64, -1)
+    return jnp.stack([flat[int(i)] for i in JPEG_ZIGZAG], axis=0)
+
+
+def from_zigzag_t(zz: jnp.ndarray) -> jnp.ndarray:
+    """(64, N) zigzag -> (8, 8, N) natural."""
+    out = jnp.stack([zz[int(i)] for i in _ZZ_INV], axis=0)
+    return out.reshape(8, 8, -1)
+
+
+def add_dummy_blocks_t(zz: jnp.ndarray, real_bw: int, real_bh: int,
+                       bw: int, bh: int, h_samp: int, v_samp: int
+                       ) -> jnp.ndarray:
+    """(64, real_bh*real_bw) zigzag planes -> (64, bh*bw) with MCU dummy
+    blocks appended (DC copy, zero AC).
+
+    Same semantics as add_dummy_blocks (jccoefct.c:300-347) in t layout.
+    """
+    z = zz.reshape(64, real_bh, real_bw)
+    if real_bw == bw and real_bh == bh:
+        return z.reshape(64, bh * bw)
+    if real_bw < bw:
+        last_dc = z[0:1, :, real_bw - 1:real_bw]       # (1, bh, 1)
+        dummy = jnp.concatenate(
+            [jnp.broadcast_to(last_dc, (1, real_bh, bw - real_bw)),
+             jnp.zeros((63, real_bh, bw - real_bw), dtype=z.dtype)], axis=0)
+        z = jnp.concatenate([z, dummy], axis=2)
+    if real_bh < bh:
+        src = z[0, real_bh - 1, :].reshape(bw // h_samp, h_samp)[:, -1:]
+        dcrow = jnp.broadcast_to(src, (bw // h_samp, h_samp)).reshape(bw)
+        row = jnp.concatenate(
+            [dcrow[None, :], jnp.zeros((63, bw), dtype=z.dtype)], axis=0)
+        rows = jnp.broadcast_to(row[:, None, :], (64, bh - real_bh, bw))
+        z = jnp.concatenate([z, rows], axis=1)
+    return z.reshape(64, bh * bw)

@@ -24,3 +24,11 @@ def quantize_islow(coeffs: jnp.ndarray, qtbl: jnp.ndarray) -> jnp.ndarray:
 def dequantize(coeffs: jnp.ndarray, qtbl: jnp.ndarray) -> jnp.ndarray:
     """(..., 8, 8) int16 × (8, 8) -> int32 (decode side; fused into IDCT)."""
     return coeffs.astype(jnp.int32) * qtbl.astype(jnp.int32)
+
+
+def quantize_islow_t(coeffs: jnp.ndarray, qtbl81: jnp.ndarray) -> jnp.ndarray:
+    """(8, 8, N) int32 islow output x qtbl81 (8, 8, 1) -> (8, 8, N) int16."""
+    q = qtbl81.astype(jnp.int32) << 3
+    a = jnp.abs(coeffs)
+    mag = (a + (q >> 1)) // q
+    return jnp.where(coeffs < 0, -mag, mag).astype(jnp.int16)

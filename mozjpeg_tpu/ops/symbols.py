@@ -1,0 +1,157 @@
+"""Device-side entropy symbolization and histogramming.
+
+Computes baseline-Huffman symbol statistics for whole coefficient planes as
+batched array ops: per-block (run,size) AC symbols, ZRL/EOB counts, and DC
+delta categories in MCU traversal order. These are the `dc_counts/ac_counts`
+arrays of the reference's gather pass (/root/reference/jchuff.c:886-944)
+computed without a sequential MCU walk — and the building block for
+multi-chip shared-table encoding (histograms psum over the device mesh).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _nbits(v):
+    v = v.astype(jnp.int32)
+    return jnp.where(v > 0, 32 - jax.lax.clz(jnp.maximum(v, 1)), 0)
+
+
+def ac_histogram(zz: jnp.ndarray) -> jnp.ndarray:
+    """(N, 64) int zigzag blocks -> (256,) int32 AC symbol counts.
+
+    Sequential-scan semantics per block: runs of zeros before each nonzero
+    AC coefficient produce (run>>4) ZRL symbols plus ((run&15)<<4 | nbits);
+    trailing zeros produce one EOB (symbol 0) unless position 63 is nonzero.
+    """
+    ac = zz[:, 1:].astype(jnp.int32)                   # (N, 63)
+    nz = ac != 0
+    pos = jnp.arange(1, 64)
+
+    # previous nonzero position (or 0) at each position
+    idx = jnp.where(nz, pos[None, :], 0)
+    prev_incl = jax.lax.cummax(idx, axis=1)            # last nz pos <= i
+    prev_excl = jnp.concatenate(
+        [jnp.zeros((ac.shape[0], 1), jnp.int32), prev_incl[:, :-1]], axis=1)
+    run = pos[None, :] - prev_excl - 1                 # zeros before pos
+
+    size = _nbits(jnp.abs(ac))
+    sym = ((run & 15) << 4) | size                     # valid where nz
+    zrl_count = jnp.where(nz, run >> 4, 0)
+
+    hist = jnp.zeros(256, jnp.int32)
+    flat_sym = jnp.where(nz, sym, 0).reshape(-1)
+    flat_w = nz.astype(jnp.int32).reshape(-1)
+    hist = hist.at[flat_sym].add(flat_w)
+    hist = hist.at[0xF0].add(jnp.sum(zrl_count))
+    # EOB: one per block whose last AC (pos 63) is zero... unless all-zero
+    # block (still EOB). EOB emitted iff trailing zeros exist.
+    has_trailing = ac[:, -1] == 0
+    hist = hist.at[0x00].add(jnp.sum(has_trailing.astype(jnp.int32)))
+    return hist
+
+
+def dc_histogram_interleaved(plane: jnp.ndarray, h: int, v: int,
+                             mcus_x: int, mcus_y: int) -> jnp.ndarray:
+    """DC delta-category counts over interleaved-MCU traversal order.
+
+    plane: (bh_pad, bw_pad, 64) zigzag coeffs. The DC predictor chains
+    across the component's blocks in MCU order (jchuff encode_one_block).
+    """
+    dc = plane[:, :, 0].astype(jnp.int32)
+    # reorder to MCU traversal: (my, mx, v, h)
+    m = dc.reshape(mcus_y, v, mcus_x, h)
+    seq = jnp.transpose(m, (0, 2, 1, 3)).reshape(-1)
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), seq[:-1]])
+    delta = seq - prev
+    size = _nbits(jnp.abs(delta))
+    hist = jnp.zeros(256, jnp.int32)
+    return hist.at[size].add(1)
+
+
+def dc_histogram_single(plane: jnp.ndarray, bw: int, bh: int) -> jnp.ndarray:
+    """DC histogram for a non-interleaved scan (raster over real blocks)."""
+    dc = plane[:bh, :bw, 0].astype(jnp.int32).reshape(-1)
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), dc[:-1]])
+    size = _nbits(jnp.abs(dc - prev))
+    hist = jnp.zeros(256, jnp.int32)
+    return hist.at[size].add(1)
+
+
+# ---------------------------------------------------------------------------
+# Coefficient-major ("t") layout + progressive AC-first statistics.
+# ---------------------------------------------------------------------------
+
+def ac_first_histogram_t(zz: jnp.ndarray, Ss: int = 1, Se: int = 63
+                         ) -> jnp.ndarray:
+    """Exact phuff AC-first (Ah=0, Al=0) symbol counts for one component.
+
+    zz: (64, N) zigzag coefficients in SCAN ORDER (raster over real blocks).
+    Reproduces encode_mcu_AC_first gather semantics incl. cross-block EOB-run
+    accumulation and the 0x7FFF forced flush (/root/reference/jcphuff.c).
+    """
+    band = zz[Ss:Se + 1].astype(jnp.int32)             # (L, N)
+    L, N = band.shape
+    nz = band != 0
+    pos = jnp.arange(L)[:, None]
+
+    # per-block run/size symbols (within-block zero runs)
+    idx = jnp.where(nz, pos + 1, 0)                    # 1-based to use 0=none
+    prev_incl = jax.lax.cummax(idx, axis=0)
+    prev_excl = jnp.concatenate(
+        [jnp.zeros((1, N), jnp.int32), prev_incl[:-1]], axis=0)
+    run = pos + 1 - prev_excl - 1
+    size = _nbits(jnp.abs(band))
+    sym = ((run & 15) << 4) | size
+    zrl = jnp.where(nz, run >> 4, 0)
+
+    hist = jnp.zeros(256, jnp.int32)
+    hist = hist.at[jnp.where(nz, sym, 0).reshape(-1)] \
+        .add(nz.astype(jnp.int32).reshape(-1))
+    hist = hist.at[0xF0].add(jnp.sum(zrl))
+
+    # EOB runs across blocks: a run starts at a block with trailing zeros,
+    # extends over following all-zero blocks, ends before the next block
+    # containing any nonzero (or at stream end).
+    has_nz = jnp.any(nz, axis=0)                       # (N,)
+    trailing = ~nz[-1]                                 # block ends early
+    bidx = jnp.arange(N)
+    # previous nonzero block strictly before b (or -1)
+    nzpos = jnp.where(has_nz, bidx, -1)
+    prev_nzb_incl = jax.lax.cummax(nzpos)
+    prev_nzb = jnp.concatenate([jnp.full(1, -1, jnp.int32),
+                                prev_nzb_incl[:-1]])
+    # at each nonzero block b: pending run R = gap zeros + trailing(prev_nzb)
+    gap = bidx - prev_nzb - 1
+    prev_trail = jnp.where(prev_nzb >= 0,
+                           jnp.take(trailing, jnp.maximum(prev_nzb, 0)),
+                           False)
+    run_at = gap + prev_trail.astype(jnp.int32)        # run emitted before b
+    emit_here = has_nz & (run_at > 0)
+
+    # final run at stream end
+    last_nzb = prev_nzb_incl[-1]
+    tail_gap = (N - 1) - last_nzb
+    last_trail = jnp.where(last_nzb >= 0,
+                           jnp.take(trailing, jnp.maximum(last_nzb, 0)),
+                           False)
+    final_run = jnp.where(last_nzb >= 0,
+                          tail_gap + last_trail.astype(jnp.int32),
+                          N)  # no nonzero block at all: N all-zero blocks
+
+    def add_runs(hist, runs, valid):
+        # split runs at the 0x7FFF forced-flush boundary
+        k = jnp.where(valid, runs // 0x7FFF, 0)
+        r = jnp.where(valid, runs % 0x7FFF, 0)
+        # k full symbols of EOB(32767): category nbits(32767)-1 = 14
+        hist = hist.at[14 << 4].add(jnp.sum(k))
+        cat = jnp.maximum(_nbits(r) - 1, 0)
+        w = (valid & (r > 0)).astype(jnp.int32)
+        hist = hist.at[jnp.where(w > 0, cat << 4, 0).reshape(-1)] \
+            .add(w.reshape(-1))
+        return hist
+
+    hist = add_runs(hist, run_at, emit_here)
+    hist = add_runs(hist, final_run[None], jnp.array([True])[None])
+    return hist
