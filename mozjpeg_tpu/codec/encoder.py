@@ -335,6 +335,10 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
     stack = _np.stack(images)
     geom, merged, smalls = pipeline_t.run_p1_batch(
         stack, samp, qtables, cfg.overshoot_deringing)
+    try:
+        smalls.copy_to_host_async()
+    except Exception:
+        pass
     mcus_x, mcus_y, comps = geom
     restart = _restart_interval(cfg, mcus_x)
 
@@ -375,7 +379,13 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
     else:
         finals = tuple(m[0] for m in merged)
 
-    per_image_planes = pipeline_t.download_final_batch(geom, finals, b)
+    flat_dev = pipeline_t._pack_all_batch(tuple(finals), tuple(comps), b)
+    try:
+        flat_dev.copy_to_host_async()
+    except Exception:
+        pass
+    per_image_planes = pipeline_t.split_flat_batch(geom, np.asarray(flat_dev),
+                                                   b)
     out = []
     for img, planes in zip(images, per_image_planes):
         out.append(_phase_entropy(img.shape[1], img.shape[0], geom, planes,

@@ -250,6 +250,20 @@ def _pack_all_batch(planes_t, geoms, b: int):
     return jnp.concatenate(per_image)
 
 
+def split_flat_batch(geom, flat: np.ndarray, b: int):
+    _, _, comps = geom
+    out = []
+    off = 0
+    for i in range(b):
+        planes = []
+        for g in comps:
+            n = g.bh * g.bw * 64
+            planes.append(flat[off:off + n].reshape(g.bh, g.bw, 64))
+            off += n
+        out.append(planes)
+    return out
+
+
 def download_final_batch(geom, planes_t, b: int):
     """-> [per image [(bh, bw, 64) planes per comp]] via one transfer."""
     _, _, comps = geom

@@ -142,7 +142,8 @@ def trellis_ac(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
         return acc, (bj, val)
 
     acc, (runstart_h, val_h) = jax.lax.scan(step, init_acc,
-                                            jnp.arange(Ss, Se + 1))
+                                            jnp.arange(Ss, Se + 1),
+                                            unroll=Se - Ss + 1)
     steps = Se - Ss + 1
     run_start = jnp.zeros((N, 64), jnp.int32) \
         .at[:, Ss:Se + 1].set(jnp.moveaxis(runstart_h, 0, 1))
@@ -393,22 +394,26 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
     """Transposed trellis_ac: raw/qcoef (64, N); same exact semantics.
 
     ac_si: (B, 256) per-image AC code lengths, N = B * n_img (image-major).
-    B == 1 is the single-image case."""
+    Candidate values/distances are computed inside the DP step from row
+    slices — precomputing (64, K, N) tensors made every scan step stream
+    them from HBM (profiled at ~60% of trellis time).
+    """
     N = raw.shape[1]
     B = ac_si.shape[0]
     n_img = N // B
     pos = jnp.arange(64)[:, None]                      # (64, 1)
-    in_band = (pos >= Ss) & (pos <= Se)                # (64, 1)
+    in_band = (pos >= Ss) & (pos <= Se)
 
     x = jnp.abs(raw)
     sign = jnp.where(raw < 0, -1, 1)
-    q8 = (qtbl_zz.astype(jnp.int32) << 3)[:, None]     # (64, 1)
+    q8_v = qtbl_zz.astype(jnp.int32) << 3              # (64,)
+    q8 = q8_v[:, None]
     qval = jnp.minimum((x + (q8 >> 1)) // q8, 1023)    # (64, N)
 
     ltbl = (1.0 / (qtbl_zz.astype(jnp.float32)
-                   * qtbl_zz.astype(jnp.float32)))[:, None]
+                   * qtbl_zz.astype(jnp.float32)))     # (64,)
 
-    zdist = ((x * x).astype(jnp.float32) * lam[None, :]) * ltbl
+    zdist = ((x * x).astype(jnp.float32) * lam[None, :]) * ltbl[:, None]
     zterm = jnp.where(in_band, zdist, 0.0)
 
     def azd_step(c, i):
@@ -421,45 +426,48 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
         [jnp.zeros((1, N), jnp.float32), azd[:-1]], axis=0)
 
     nc = _nbits(qval)                                  # (64, N)
-    k = jnp.arange(KMAX)[None, :, None]                # (1, K, 1)
-    cand = jnp.where(k == nc[:, None, :] - 1,
-                     qval[:, None, :], ((2 << k) - 1))  # (64, K, N)
-    cand_valid = k < nc[:, None, :]
-    cand_bits_f = (jnp.arange(KMAX) + 1).astype(jnp.float32)
-    delta = cand * q8[:, :, None] - x[:, None, :]
-    cdist = ((delta * delta).astype(jnp.float32)
-             * lam[None, None, :]) * ltbl[:, :, None]
+    kv = jnp.arange(KMAX)                              # (K,)
+    cand_bits_f = (kv + 1).astype(jnp.float32)
 
-    ac_si_f = ac_si.astype(jnp.float32)             # (B, 256)
-    zrl_bits_l = jnp.repeat(ac_si_f[:, 0xF0], n_img)   # (N,) per-lane
-    zrl_ok_l = jnp.repeat(ac_si[:, 0xF0] > 0, n_img)   # (N,)
+    ac_si_f = ac_si.astype(jnp.float32)                # (B, 256)
+    zrl_bits_l = jnp.repeat(ac_si_f[:, 0xF0], n_img)   # (N,)
+    zrl_ok_l = jnp.repeat(ac_si[:, 0xF0] > 0, n_img)
 
     j_idx = jnp.arange(64)
-    j_is_start = (j_idx == (Ss - 1))[:, None]          # (64, 1)
+    j_is_start = (j_idx == (Ss - 1))[:, None]
     j_nonzero = (qval != 0) & in_band
     j_valid_static = j_is_start | j_nonzero            # (64, N)
 
     init_acc = jnp.where(j_is_start, jnp.float32(0), BIG) + jnp.zeros((1, N))
 
     def step(acc, i):
+        # per-position candidate set computed from row slices
+        x_i = x[i]                                     # (N,)
+        qval_i = qval[i]
+        nc_i = nc[i]
+        cand_i = jnp.where(kv[:, None] == nc_i[None, :] - 1,
+                           qval_i[None, :], ((2 << kv) - 1)[:, None])
+        cand_ok_i = kv[:, None] < nc_i[None, :]        # (K, N)
+        delta = cand_i * q8_v[i] - x_i[None, :]
+        # minimum() forbids FMA contraction of the product chain into the
+        # cost add (C rounds each f32 product; see ops/dering.py)
+        cdist_i = jnp.minimum(((delta * delta).astype(jnp.float32)
+                               * lam[None, :]) * ltbl[i],
+                              jnp.float32(3.0e38))     # (K, N)
+
         run = i - 1 - j_idx                            # (64,)
         run_ok = ((run >= 0)[:, None]
-                  & ((run < 16)[:, None] | zrl_ok_l[None, :]))  # (64, N)
+                  & ((run < 16)[:, None] | zrl_ok_l[None, :]))
         run_bits = jnp.where((run >= 16)[:, None],
                              (run >> 4).astype(jnp.float32)[:, None]
-                             * zrl_bits_l[None, :], 0.0)        # (64, N)
-        sym_idx = (16 * (run & 15))[:, None] + (jnp.arange(KMAX) + 1)[None, :]
+                             * zrl_bits_l[None, :], 0.0)
+        sym_idx = (16 * (run & 15))[:, None] + (kv + 1)[None, :]
         coef_len = ac_si_f[:, sym_idx]                 # (B, 64, K)
         coef_len = jnp.repeat(jnp.transpose(coef_len, (1, 2, 0)),
                               n_img, axis=2)           # (64, K, N)
         coef_ok = coef_len > 0
         rate = (coef_len + cand_bits_f[None, :, None]
-                + run_bits[:, None, :])                # (64, K, N)
-
-        cdist_i = cdist[i]                             # (K, N)
-        cand_i = cand[i]
-        cand_ok_i = cand_valid[i]
-        qval_i = qval[i]                               # (N,)
+                + run_bits[:, None, :])
 
         tail = (azd_prev[i][None, :] - azd) + acc      # (64, N)
         cost = (rate + cdist_i[None, :, :]) + tail[:, None, :]
@@ -470,7 +478,7 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
         cost = jnp.where(valid, cost, BIG)
 
         flat = cost.reshape(64 * KMAX, N)
-        arg = jnp.argmin(flat, axis=0)                 # (N,) first-min ties
+        arg = jnp.argmin(flat, axis=0)
         best = jnp.take_along_axis(flat, arg[None, :], axis=0)[0]
         bj = (arg // KMAX).astype(jnp.int32)
         bk = arg % KMAX
@@ -481,7 +489,8 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
         return acc, (bj, val)
 
     acc, (runstart_h, val_h) = jax.lax.scan(step, init_acc,
-                                            jnp.arange(Ss, Se + 1))
+                                            jnp.arange(Ss, Se + 1),
+                                            unroll=Se - Ss + 1)
     steps = Se - Ss + 1
     run_start = jnp.zeros((64, N), jnp.int32).at[Ss:Se + 1].set(runstart_h)
     best_val = jnp.zeros((64, N), jnp.int32).at[Ss:Se + 1].set(val_h)
@@ -492,19 +501,21 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
         + jnp.where(pos < Se, eob_len, 0.0)
     end_cost = jnp.where(j_nonzero, end_cost, BIG)
     end_cost = end_cost.at[Ss - 1].set(azd_Se + eob_len[0])
-    last_idx = jnp.argmin(end_cost, axis=0).astype(jnp.int32)  # (N,)
+    last_idx = jnp.argmin(end_cost, axis=0).astype(jnp.int32)
 
-    def walk(carry, _):
-        cur, keep = carry
-        keep = keep | ((j_idx[:, None] == cur[None, :])
-                       & (cur >= Ss)[None, :])
+    # path reconstruction: carry only the cursor; the membership mask is
+    # reduced from the emitted cursor trail afterwards (a carried (64, N)
+    # bool accumulated per-step profiled as ~370 ms of buffer copies)
+    def walk(cur, _):
         nxt = jnp.take_along_axis(run_start,
                                   jnp.maximum(cur, 0)[None, :], axis=0)[0]
         nxt = jnp.where(cur >= Ss, nxt, Ss - 1)
-        return (nxt, keep), None
+        return nxt, cur
 
-    (_, keep), _ = jax.lax.scan(
-        walk, (last_idx, jnp.zeros((64, N), bool)), None, length=steps)
+    _, curs = jax.lax.scan(walk, last_idx, None, length=steps,
+                           unroll=steps)               # (steps, N)
+    curs_valid = jnp.where(curs >= Ss, curs, 64)       # 64 = out of range
+    keep = jnp.any(curs_valid[:, None, :] == j_idx[None, :, None], axis=0)
     keep = keep & j_nonzero
 
     new_band = jnp.where(keep, best_val * sign, 0).astype(jnp.int16)
