@@ -1,0 +1,139 @@
+"""cjpeg-compatible CLI (flag surface of /root/reference/cjpeg.c:371-712).
+
+Usage: python -m mozjpeg_tpu.cli.cjpeg [switches] [inputfile]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..codec.config import (EncoderConfig, Profile,
+                            quality_default_subsampling)
+from ..utils import ppm
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="cjpeg", add_help=True,
+                                description="TPU-native mozjpeg encoder")
+    p.add_argument("-quality", type=float, default=75)
+    p.add_argument("-grayscale", "-greyscale", action="store_true",
+                   dest="grayscale")
+    p.add_argument("-baseline", action="store_true")
+    p.add_argument("-optimize", "-optimise", action="store_true",
+                   dest="optimize", default=None)
+    p.add_argument("-progressive", action="store_true", default=None)
+    p.add_argument("-fastcrush", action="store_true")
+    p.add_argument("-revert", action="store_true")
+    p.add_argument("-baseline_seq", action="store_true",
+                   help=argparse.SUPPRESS)
+    p.add_argument("-notrellis", action="store_true")
+    p.add_argument("-notrellis-dc", action="store_true", dest="notrellis_dc")
+    p.add_argument("-trellis-dc-ver-weight", type=float, default=0.0,
+                   dest="trellis_dc_ver_weight")
+    p.add_argument("-noovershoot", action="store_true")
+    p.add_argument("-tune-psnr", action="store_true", dest="tune_psnr")
+    p.add_argument("-tune-ssim", action="store_true", dest="tune_ssim")
+    p.add_argument("-tune-ms-ssim", action="store_true", dest="tune_ms_ssim")
+    p.add_argument("-tune-hvs-psnr", action="store_true",
+                   dest="tune_hvs_psnr")
+    p.add_argument("-quant-table", type=int, default=None,
+                   dest="quant_table")
+    p.add_argument("-sample", type=str, default=None)
+    p.add_argument("-smooth", type=int, default=0)
+    p.add_argument("-restart", type=str, default=None)
+    p.add_argument("-arithmetic", action="store_true")
+    p.add_argument("-dc-scan-opt", type=int, default=0, dest="dc_scan_opt")
+    p.add_argument("-lambda1", type=float, default=14.75)
+    p.add_argument("-lambda2", type=float, default=16.5)
+    p.add_argument("-outfile", type=str, default=None)
+    p.add_argument("input", nargs="?", default=None)
+    return p
+
+
+def config_from_args(a) -> EncoderConfig:
+    profile = Profile.FASTEST if a.revert else Profile.MAX_COMPRESSION
+    subsampling = quality_default_subsampling(a.quality)
+    if a.sample:
+        hv = a.sample.split(",")[0]
+        h, v = hv.split("x")
+        subsampling = (int(h), int(v))
+    restart_interval = 0
+    restart_in_rows = 0
+    if a.restart:
+        if a.restart.lower().endswith("b"):
+            restart_interval = int(a.restart[:-1])
+        else:
+            restart_in_rows = int(a.restart)
+
+    # tuning flags (cjpeg.c:678-705): set lambda scales + quant table
+    quant_idx = a.quant_table
+    l1, l2 = a.lambda1, a.lambda2
+    use_lambda_tbl = True
+    if a.tune_psnr:
+        quant_idx = 1 if quant_idx is None else quant_idx
+        l1, l2 = 9.0, 0.0
+        use_lambda_tbl = False
+    elif a.tune_ssim:
+        quant_idx = 1 if quant_idx is None else quant_idx
+        l1, l2 = 11.5, 12.75
+        use_lambda_tbl = False
+    elif a.tune_ms_ssim:
+        quant_idx = 3 if quant_idx is None else quant_idx
+        l1, l2 = 12.0, 13.0
+        use_lambda_tbl = False
+    elif a.tune_hvs_psnr:
+        quant_idx = 3 if quant_idx is None else quant_idx
+        l1, l2 = 14.75, 16.5
+        use_lambda_tbl = True
+
+    return EncoderConfig(
+        quality=a.quality,
+        profile=profile,
+        subsampling=subsampling,
+        grayscale=a.grayscale,
+        progressive=(False if a.baseline else a.progressive),
+        optimize_coding=(True if a.optimize else
+                         (False if a.revert else None)),
+        optimize_scans=False if (a.fastcrush or a.revert) else None,
+        trellis_quant=False if (a.notrellis or a.revert) else None,
+        trellis_quant_dc=not a.notrellis_dc,
+        trellis_delta_dc_weight=a.trellis_dc_ver_weight,
+        overshoot_deringing=False if (a.noovershoot or a.revert) else None,
+        arithmetic=a.arithmetic,
+        restart_interval=restart_interval,
+        restart_in_rows=restart_in_rows,
+        dc_scan_opt_mode=a.dc_scan_opt,
+        quant_tbl_idx=quant_idx,
+        force_baseline=a.baseline,
+        lambda_log_scale1=l1,
+        lambda_log_scale2=l2,
+        use_lambda_weight_tbl=use_lambda_tbl,
+        smoothing_factor=a.smooth,
+    )
+
+
+def main(argv=None):
+    a = build_parser().parse_args(argv)
+    from ..codec.encoder import encode
+    if a.input:
+        img = ppm.read(a.input)
+    else:
+        sys.stderr.write("reading PPM from stdin\n")
+        import io
+        data = sys.stdin.buffer.read()
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".ppm") as f:
+            f.write(data)
+            f.flush()
+            img = ppm.read(f.name)
+    out = encode(img, config_from_args(a))
+    if a.outfile:
+        with open(a.outfile, "wb") as f:
+            f.write(out)
+    else:
+        sys.stdout.buffer.write(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

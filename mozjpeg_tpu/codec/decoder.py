@@ -170,9 +170,79 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
 def decode(data: bytes) -> np.ndarray:
     """Decode a JPEG byte stream to RGB (H, W, 3) or grayscale (H, W)."""
     jp = marker.parse(data)
-    if jp.arithmetic:
-        raise NotImplementedError("arithmetic decode: see codec/arith.py")
     if jp.lossless:
-        raise NotImplementedError("lossless decode: see codec/lossless.py")
-    planes = decode_coefficients(jp, data)
+        from . import lossless
+        return lossless.decode_lossless(jp, data)
+    if jp.arithmetic:
+        from . import arith
+        planes = arith.decode_coefficients_arith(jp, data)
+    else:
+        planes = decode_coefficients(jp, data)
     return render(jp, planes)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _render_plane_scaled(zz, qtbl, bh: int, bw: int, ch: int, cw: int,
+                         size: int):
+    from ..ops import idct_scaled
+    blocks = layout.from_zigzag(zz.astype(jnp.int32))
+    if size == 4:
+        pix = idct_scaled.idct_4x4(blocks, qtbl)
+    elif size == 2:
+        pix = idct_scaled.idct_2x2(blocks, qtbl)
+    elif size == 1:
+        pix = idct_scaled.idct_1x1(blocks, qtbl)
+    else:
+        pix = dct.idct_islow(blocks, qtbl)
+    x = jnp.moveaxis(pix, -2, -3)
+    plane = x.reshape(bh * size, bw * size)
+    return plane[:ch, :cw]
+
+
+def decode_scaled(data: bytes, num: int, den: int) -> np.ndarray:
+    """Scaled decode (djpeg -scale num/den), sizes 1/8, 2/8, 4/8, 8/8.
+
+    Mirrors jdmaster.c's scaled-size selection: every component uses the
+    same reduced IDCT size here (the common path for equal sampling)."""
+    jp = marker.parse(data)
+    g = num * 8 // den
+    if g not in (1, 2, 4, 8) or num * 8 != g * den:
+        raise NotImplementedError("scale %d/%d not supported" % (num, den))
+    size = g
+    planes = decode_coefficients(jp, data)
+    max_h, max_v = jp.max_h, jp.max_v
+    out_w = -(-jp.width * size // 8)
+    out_h = -(-jp.height * size // 8)
+    sample_planes = []
+    upsample_needed = False
+    for ci, c in enumerate(jp.components):
+        if c.h != c.v or max_h // c.h != max_v // c.v:
+            raise NotImplementedError("scaled decode needs square sampling")
+        # per-comp scaled IDCT size compensates subsampling (jdmaster.c):
+        # chroma at scale 1/2 renders with 8x8 directly — no upsampling.
+        csize = min(8, size * (max_h // c.h))
+        cw_full = -(-jp.width * c.h // max_h)
+        ch_full = -(-jp.height * c.v // max_v)
+        bw, bh = -(-cw_full // 8), -(-ch_full // 8)
+        if csize == size * (max_h // c.h):
+            cw, ch = out_w, out_h
+        else:
+            cw = -(-cw_full * csize // 8)
+            ch = -(-ch_full * csize // 8)
+            upsample_needed = True
+        qt = jp.scan_qtables[0].get(c.quant_tbl, jp.qtables.get(c.quant_tbl))
+        zz = jnp.asarray(np.ascontiguousarray(planes[ci][:bh, :bw]))
+        sample_planes.append(_render_plane_scaled(
+            zz, jnp.asarray(qt), bh, bw, ch, cw, csize))
+    if len(jp.components) == 1:
+        return np.asarray(sample_planes[0])[:out_h, :out_w]
+    y, cb, cr = sample_planes[:3]
+    c1 = jp.components[1]
+    if not upsample_needed or c1.h == max_h:
+        mode = "none"
+    elif c1.h * 2 == max_h and c1.v * 2 == max_v:
+        mode = "h2v2"
+    else:
+        mode = "h2v1"
+    rgb = _upsample_color(y, cb, cr, mode, out_h, out_w)
+    return np.asarray(rgb)

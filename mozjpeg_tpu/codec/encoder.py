@@ -245,6 +245,9 @@ def _split_flat(geom, flat):
 def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
                    ncomps, restart):
     dc_tbls, ac_tbls = _std_dc_ac(ncomps)
+    if cfg.arithmetic:
+        return _entropy_arith(width, height, geom, planes, qtables, config,
+                              cfg, ncomps, restart, dc_tbls, ac_tbls)
     if cfg.progressive:
         if cfg.scan_script is not None:
             script = [scans.ScanInfo(tuple(s[0]), *s[1:])
@@ -274,6 +277,66 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
     return assemble(width, height, geom, qtables, results, restart,
                     cfg.progressive, ncomps,
                     multi_dqt=config.profile != Profile.FASTEST)
+
+
+
+
+def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
+                   ncomps, restart, dc_tbls, ac_tbls):
+    """Arithmetic-coded output scans (SOF9/SOF10 + DAC markers)."""
+    from . import arith
+    _, _, comps = geom
+    if cfg.progressive:
+        if cfg.scan_script is not None:
+            script = [scans.ScanInfo(tuple(s[0]), *s[1:])
+                      for s in cfg.scan_script]
+        elif config.profile == Profile.MAX_COMPRESSION:
+            script = scans.simple_progression_max(ncomps,
+                                                  cfg.dc_scan_opt_mode)
+        else:
+            script = scans.simple_progression_legacy(ncomps)
+    else:
+        script = scans.baseline_script(ncomps)
+
+    w = marker.MarkerWriter()
+    w.soi()
+    w.jfif_app0()
+    if config.profile != Profile.FASTEST:
+        w.dqt_multi([(i, qtables[i]) for i in range(min(ncomps, 2))])
+    else:
+        w.dqt(0, qtables[0])
+        if ncomps > 1:
+            w.dqt(1, qtables[1])
+    sof_code = marker.SOF10 if cfg.progressive else marker.SOF9
+    comp_ids = [1, 2, 3][:ncomps]
+    w.sof(sof_code, 8, height, width,
+          [(comp_ids[ci], comps[ci].h, comps[ci].v, 0 if ci == 0 else 1)
+           for ci in range(ncomps)])
+    if restart:
+        w.dri(restart)
+    for scan in script:
+        entries = []
+        for ci in scan.comps:
+            if scan.Ss == 0 and scan.Ah == 0:
+                t = dc_tbls[ci]
+                e = (0, t, (int(arith.DC_U[t]) << 4) | int(arith.DC_L[t]))
+                if e not in entries:
+                    entries.append(e)
+            if scan.Se:
+                t = ac_tbls[ci]
+                e = (1, t, int(arith.AC_K[t]))
+                if e not in entries:
+                    entries.append(e)
+        if entries:
+            w.dac(entries)
+        w.sos([(comp_ids[ci],
+                dc_tbls[ci] if scan.Ss == 0 and scan.Ah == 0 else 0,
+                ac_tbls[ci] if scan.Se else 0)
+               for ci in scan.comps], scan.Ss, scan.Se, scan.Ah, scan.Al)
+        w.raw(arith.encode_scan_arith(scan, geom, planes, dc_tbls, ac_tbls,
+                                      restart))
+    w.eoi()
+    return w.bytes()
 
 
 def encode(image: np.ndarray, config: Optional[EncoderConfig] = None,
@@ -386,8 +449,9 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
         pass
     per_image_planes = pipeline_t.split_flat_batch(geom, np.asarray(flat_dev),
                                                    b)
-    out = []
-    for img, planes in zip(images, per_image_planes):
-        out.append(_phase_entropy(img.shape[1], img.shape[0], geom, planes,
-                                  qtables, config, cfg, ncomps, restart))
-    return out
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(8, b)) as ex:
+        futs = [ex.submit(_phase_entropy, img.shape[1], img.shape[0], geom,
+                          planes, qtables, config, cfg, ncomps, restart)
+                for img, planes in zip(images, per_image_planes)]
+        return [f.result() for f in futs]

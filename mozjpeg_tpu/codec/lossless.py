@@ -1,0 +1,126 @@
+"""Lossless JPEG (process 14) encode/decode orchestration.
+
+SOF3 frames, predictors 1-7, point transform; RGB images stay RGB (three
+1x1-sampled components, /root/reference/jcparam.c jpeg_enable_lossless +
+jpeg_default_colorspace lossless branch).
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional
+
+import numpy as np
+
+from ..entropy import encode as entenc
+from ..entropy.huffman import HuffTable, derive_codes, derive_decode_table
+from ..native import lib, u8p, u32p, i32p, i64p
+from . import marker
+
+lib.mj_lossless_encode.restype = ctypes.c_long
+lib.mj_lossless_encode.argtypes = [
+    ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    i32p, u32p, u8p, u8p, ctypes.c_long, i64p, ctypes.c_int]
+lib.mj_lossless_decode.restype = ctypes.c_long
+lib.mj_lossless_decode.argtypes = [
+    u8p, ctypes.c_long, ctypes.POINTER(ctypes.c_void_p), ctypes.c_int,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    i32p, i32p, i64p, i32p, u8p]
+
+
+def encode_lossless(image: np.ndarray, predictor: int = 1,
+                    point_transform: int = 0, precision: int = 8) -> bytes:
+    """Encode (H, W[, 3]) uint8/uint16 losslessly (SOF3 + optimal tables)."""
+    if image.ndim == 2:
+        comps = [image]
+    else:
+        comps = [image[:, :, i] for i in range(image.shape[2])]
+    ncomp = len(comps)
+    h, w = comps[0].shape
+    pt = point_transform
+    planes = [np.ascontiguousarray((c.astype(np.uint16) >> pt))
+              for c in comps]
+    ptrs = (ctypes.c_void_p * ncomp)(
+        *[p.ctypes.data for p in planes])
+    tbl_idx = np.array([0 if i == 0 else 1 for i in range(ncomp)][:ncomp],
+                       np.int32)
+
+    # gather stats -> optimal tables
+    counts = np.zeros(4 * 257, np.int64)
+    lib.mj_lossless_encode(ptrs, ncomp, w, h, predictor, precision, pt,
+                           tbl_idx.ctypes.data_as(i32p), None, None, None, 0,
+                           counts.ctypes.data_as(i64p), 1)
+    tables = {}
+    for t in sorted(set(tbl_idx.tolist())):
+        tables[t] = entenc.gen_optimal_table(counts[t * 257:(t + 1) * 257])
+    co = np.zeros(4 * 256, np.uint32)
+    si = np.zeros(4 * 256, np.uint8)
+    for t, tbl in tables.items():
+        c_, s_ = derive_codes(tbl)
+        co[t * 256:(t + 1) * 256] = c_
+        si[t * 256:(t + 1) * 256] = s_
+
+    out = np.empty(w * h * ncomp * 4 + (1 << 16), np.uint8)
+    n = lib.mj_lossless_encode(ptrs, ncomp, w, h, predictor, precision, pt,
+                               tbl_idx.ctypes.data_as(i32p),
+                               co.ctypes.data_as(u32p),
+                               si.ctypes.data_as(u8p),
+                               out.ctypes.data_as(u8p), out.size, None, 0)
+    if n < 0:
+        raise RuntimeError("lossless encode overflow")
+
+    wtr = marker.MarkerWriter()
+    wtr.soi()
+    comp_ids = list(range(1, ncomp + 1))
+    wtr.sof(marker.SOF3, precision, h, w,
+            [(comp_ids[i], 1, 1, 0) for i in range(ncomp)])
+    for ci in sorted(set(tbl_idx.tolist())):
+        wtr.dht(0, ci, tables[ci])
+    wtr.sos([(comp_ids[i], int(tbl_idx[i]), 0) for i in range(ncomp)],
+            predictor, 0, 0, pt)
+    wtr.raw(bytes(out[:n]))
+    wtr.eoi()
+    return wtr.bytes()
+
+
+def decode_lossless(jp: marker.ParsedJpeg, data: bytes) -> np.ndarray:
+    scan = jp.scans[0]
+    predictor = scan.Ss
+    pt = scan.Al
+    ncomp = len(jp.components)
+    h, w = jp.height, jp.width
+    planes = [np.zeros((h, w), np.uint16) for _ in range(ncomp)]
+    ptrs = (ctypes.c_void_p * ncomp)(*[p.ctypes.data for p in planes])
+    tbl_idx = np.array([scan.dc_tbls[i] for i in range(ncomp)], np.int32)
+
+    htables = jp.scan_htables[0]
+    mincode = np.zeros((4, 17), np.int32)
+    maxcode = np.full((4, 18), -1, np.int64)
+    valptr = np.zeros((4, 17), np.int32)
+    vals = np.zeros((4, 256), np.uint8)
+    for (cls, i), t in htables.items():
+        if cls != 0:
+            continue
+        mn, mx, vp, vl = derive_decode_table(t)
+        mincode[i] = mn
+        maxcode[i] = mx
+        valptr[i] = vp
+        vals[i, :len(vl)] = vl
+    buf = np.frombuffer(data, np.uint8)
+    seg = np.ascontiguousarray(buf[scan.data_start:scan.data_end])
+    r = lib.mj_lossless_decode(
+        seg.ctypes.data_as(u8p), seg.size, ptrs, ncomp, w, h, predictor,
+        jp.precision, pt, tbl_idx.ctypes.data_as(i32p),
+        np.ascontiguousarray(mincode).ctypes.data_as(i32p),
+        np.ascontiguousarray(maxcode).ctypes.data_as(i64p),
+        np.ascontiguousarray(valptr).ctypes.data_as(i32p),
+        np.ascontiguousarray(vals).ctypes.data_as(u8p))
+    if r < 0:
+        raise ValueError("corrupt lossless scan")
+    out = [(p.astype(np.uint32) << pt) for p in planes]
+    dt = np.uint16 if jp.precision > 8 else np.uint8
+    maxv = (1 << jp.precision) - 1
+    out = [np.clip(p, 0, maxv).astype(dt) for p in out]
+    if ncomp == 1:
+        return out[0]
+    return np.stack(out, axis=-1)

@@ -113,6 +113,12 @@ class MarkerWriter:
         payload = b"".join(self._dht_payload(c, i, t) for c, i, t in entries)
         self.segment(DHT, payload)
 
+    def dac(self, entries):
+        """DAC conditioning: entries = [(cls, idx, value)]
+        (value = (U<<4)|L for DC, Kx for AC) — jcmarker.c emit_dac."""
+        payload = b"".join(bytes([(c << 4) | i, v]) for c, i, v in entries)
+        self.segment(DAC, payload)
+
     def dri(self, interval: int):
         self.segment(DRI, struct.pack(">H", interval))
 

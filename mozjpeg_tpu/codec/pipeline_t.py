@@ -65,7 +65,8 @@ def _norm_seq(raw_zz):
         return c + terms[i], None
 
     order = jnp.asarray(_ZZ_OF_NAT[1:], dtype=jnp.int32)
-    acc, _ = jax.lax.scan(step, jnp.zeros((n,), jnp.float32), order)
+    acc, _ = jax.lax.scan(step, jnp.zeros((n,), jnp.float32), order,
+                          )
     return acc
 
 

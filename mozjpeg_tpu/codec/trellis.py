@@ -142,8 +142,7 @@ def trellis_ac(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
         return acc, (bj, val)
 
     acc, (runstart_h, val_h) = jax.lax.scan(step, init_acc,
-                                            jnp.arange(Ss, Se + 1),
-                                            unroll=Se - Ss + 1)
+                                            jnp.arange(Ss, Se + 1))
     steps = Se - Ss + 1
     run_start = jnp.zeros((N, 64), jnp.int32) \
         .at[:, Ss:Se + 1].set(jnp.moveaxis(runstart_h, 0, 1))
@@ -421,7 +420,7 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
         return c, c
 
     _, azd = jax.lax.scan(azd_step, jnp.zeros((N,), jnp.float32),
-                          jnp.arange(64))              # (64, N)
+                          jnp.arange(64))   # (64, N)
     azd_prev = jnp.concatenate(
         [jnp.zeros((1, N), jnp.float32), azd[:-1]], axis=0)
 
@@ -489,8 +488,7 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
         return acc, (bj, val)
 
     acc, (runstart_h, val_h) = jax.lax.scan(step, init_acc,
-                                            jnp.arange(Ss, Se + 1),
-                                            unroll=Se - Ss + 1)
+                                            jnp.arange(Ss, Se + 1))
     steps = Se - Ss + 1
     run_start = jnp.zeros((64, N), jnp.int32).at[Ss:Se + 1].set(runstart_h)
     best_val = jnp.zeros((64, N), jnp.int32).at[Ss:Se + 1].set(val_h)
@@ -512,8 +510,7 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
         nxt = jnp.where(cur >= Ss, nxt, Ss - 1)
         return nxt, cur
 
-    _, curs = jax.lax.scan(walk, last_idx, None, length=steps,
-                           unroll=steps)               # (steps, N)
+    _, curs = jax.lax.scan(walk, last_idx, None, length=steps)  # (steps, N)
     curs_valid = jnp.where(curs >= Ss, curs, 64)       # 64 = out of range
     keep = jnp.any(curs_valid[:, None, :] == j_idx[None, :, None], axis=0)
     keep = keep & j_nonzero
@@ -636,3 +633,49 @@ def pack_trellis_inputs(lams, ac_sis, dc_sis, qtbl_zzs) -> np.ndarray:
     parts += [np.asarray(d, np.int32).ravel() for d in dc_sis]
     parts += [np.asarray(q, np.int32).ravel() for q in qtbl_zzs]
     return np.concatenate(parts)
+
+
+def _trellis_ac_pallas(raw, qcoef, qtbl_zz, rate_luts, ac_si, lam,
+                       Ss: int, Se: int, n_img: int, interpret=False):
+    """AC trellis via the Pallas DP kernel + XLA EOB/walk tail.
+
+    Same exact semantics as _trellis_ac_t. n_img must be a multiple of
+    pallas LANES (caller pads per image with zero blocks — qval 0 rows are
+    inert). ac_si (B, 256) used only for the EOB length here; rates come
+    from rate_luts.
+    """
+    from ..ops import pallas_trellis as pt
+    N = raw.shape[1]
+    B = ac_si.shape[0]
+    acc, run_start, best_val, qval, azd = pt.trellis_ac_dp_pallas(
+        raw, qtbl_zz, rate_luts, lam, Ss, Se, n_img, interpret)
+
+    pos = jnp.arange(64)[:, None]
+    in_band = (pos >= Ss) & (pos <= Se)
+    sign = jnp.where(raw < 0, -1, 1)
+    j_idx = jnp.arange(64)
+    j_nonzero = (qval != 0) & in_band
+    ac_si_f = ac_si.astype(jnp.float32)
+
+    azd_Se = azd[Se]
+    eob_len = jnp.repeat(ac_si_f[:, 0], n_img)[None, :]
+    end_cost = ((acc + azd_Se[None, :]) - azd) \
+        + jnp.where(pos < Se, eob_len, 0.0)
+    end_cost = jnp.where(j_nonzero, end_cost, BIG)
+    end_cost = end_cost.at[Ss - 1].set(azd_Se + eob_len[0])
+    last_idx = jnp.argmin(end_cost, axis=0).astype(jnp.int32)
+
+    def walk(cur, _):
+        nxt = jnp.take_along_axis(run_start,
+                                  jnp.maximum(cur, 0)[None, :], axis=0)[0]
+        nxt = jnp.where(cur >= Ss, nxt, Ss - 1)
+        return nxt, cur
+
+    steps = Se - Ss + 1
+    _, curs = jax.lax.scan(walk, last_idx, None, length=steps)
+    curs_valid = jnp.where(curs >= Ss, curs, 64)
+    keep = jnp.any(curs_valid[:, None, :] == j_idx[None, :, None], axis=0)
+    keep = keep & j_nonzero
+
+    new_band = jnp.where(keep, best_val * sign, 0).astype(jnp.int16)
+    return jnp.where(in_band, new_band, qcoef)

@@ -155,7 +155,7 @@ def dering_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
         return t, t
 
     _, t = jax.lax.scan(pos_step, jnp.zeros((N,), jnp.float32),
-                        jnp.arange(64))                # (64, N)
+                        jnp.arange(64))     # (64, N)
 
     _NOCONTRACT = jnp.float32(3.0e38)
 

@@ -1,0 +1,181 @@
+"""Pallas TPU kernel for the AC trellis DP.
+
+The XLA lax.scan formulation re-streams the (64, N) azd/acc tensors from HBM
+on every one of the 63 DP steps (~6 ms/step profiled). This kernel keeps the
+whole DP state resident in VMEM per lane-chunk: inputs are read once,
+outputs written once, and the fully-unrolled 63-step loop runs on-chip with
+static indexing only (no gathers — Mosaic-friendly).
+
+Exact-semantics notes (must match quantize_trellis, jcdctmgr.c:936-1329):
+  - tie-breaking is first-minimum in (j, k) lexicographic order, implemented
+    as min-of-(flat-index)-where-cost-equals-min;
+  - float products feeding adds are guarded with minimum(x, 3e38) so Mosaic
+    cannot FMA-contract away C's per-product rounding;
+  - the (run, size) rate LUT is data-independent, precomputed per image as
+    (64_j, KMAX*64_i) f32 with BIG marking invalid transitions.
+
+Grid: (B, n_img/LANES). Outputs acc/run_start/best_val/qval/azd stay on
+device; the EOB decision and path walk remain cheap XLA ops outside.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KMAX = 10
+BIGF = 1e38
+LANES = 512
+
+
+def _frnd(x):
+    # literal (not a traced constant) so pallas kernels can close over it
+    return jnp.minimum(x, 3.0e38)
+
+
+def _make_kernel(Ss: int, Se: int):
+    def kernel(qtbl_ref, lut_ref, raw_ref, lam_ref,
+               acc_ref, rs_ref, bv_ref, qval_ref, azd_ref):
+        L = raw_ref.shape[1]
+        lut = lut_ref[0]                               # (64, KMAX*64)
+        raw = raw_ref[:, :]
+        x = jnp.abs(raw)
+        q8 = qtbl_ref[:, :] << 3                       # (64, 1)
+        qval = jnp.minimum((x + (q8 >> 1)) // q8, 1023)
+        qval_ref[:, :] = qval
+
+        qf = qtbl_ref[:, :].astype(jnp.float32)
+        ltbl = 1.0 / (qf * qf)                         # (64, 1)
+        lam = lam_ref[:, :]                            # (1, L)
+
+        pos = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
+        in_band = (pos >= Ss) & (pos <= Se)
+        zdist = _frnd(_frnd((x * x).astype(jnp.float32) * lam) * ltbl)
+        zterm = jnp.where(in_band, zdist, 0.0)
+
+        # sequential f32 prefix (band only), unrolled
+        rows = [zterm[0:1, :]]
+        run = rows[0]
+        for i in range(1, 64):
+            run = run + zterm[i:i + 1, :]
+            rows.append(run)
+        azd = jnp.concatenate(rows, axis=0)            # (64, L)
+        azd_ref[:, :] = azd
+
+        nc = jnp.where(qval > 0, 32 - jax.lax.clz(jnp.maximum(qval, 1)), 0)
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
+        j_nonzero = (qval != 0) & in_band              # (64, L)
+        start_mask = j_iota == (Ss - 1)
+
+        acc = jnp.where(start_mask, 0.0,
+                        jnp.float32(BIGF)) + jnp.zeros((1, L), jnp.float32)
+        rs = jnp.zeros((64, L), jnp.int32)
+        bv = jnp.zeros((64, L), jnp.int32)
+
+        for i in range(Ss, Se + 1):
+            x_i = x[i:i + 1, :]
+            qval_i = qval[i:i + 1, :]
+            nc_i = nc[i:i + 1, :]
+            tail = (azd[i - 1:i, :] - azd) + acc       # (64, L)
+            j_ok = (j_nonzero | start_mask) & (j_iota < i)
+
+            minval = jnp.full((1, L), jnp.float32(BIGF))
+            minidx = jnp.full((1, L), 64 * KMAX, jnp.int32)
+            mincand = jnp.zeros((1, L), jnp.int32)
+            for k in range(KMAX):
+                cand_k = jnp.where(nc_i == k + 1, qval_i, (2 << k) - 1)
+                delta = cand_k * q8[i, 0] - x_i
+                cdist_k = _frnd(_frnd((delta * delta).astype(jnp.float32)
+                                      * lam) * ltbl[i, 0])
+                rate_jk = lut[:, k * 64 + i:k * 64 + i + 1]   # (64, 1)
+                cost_k = (rate_jk + cdist_k) + tail
+                valid = (j_ok & (k < nc_i) & (qval_i != 0)
+                         & (rate_jk < jnp.float32(BIGF)))
+                cost_k = jnp.where(valid, cost_k, jnp.float32(BIGF))
+                mk = jnp.min(cost_k, axis=0, keepdims=True)
+                jk_idx = jnp.where(cost_k == mk, j_iota * KMAX + k,
+                                   64 * KMAX)
+                mi = jnp.min(jk_idx, axis=0, keepdims=True)
+                upd = (mk < minval) | ((mk == minval) & (mi < minidx))
+                minval = jnp.where(upd, mk, minval)
+                minidx = jnp.where(upd, mi, minidx)
+                mincand = jnp.where(upd, cand_k, mincand)
+
+            new_acc_i = jnp.where(qval_i != 0, minval, jnp.float32(BIGF))
+            row_i = j_iota == i                        # static mask
+            acc = jnp.where(row_i, new_acc_i, acc)
+            rs = jnp.where(row_i, minidx // KMAX, rs)
+            bv = jnp.where(row_i, mincand, bv)
+
+        acc_ref[:, :] = acc
+        rs_ref[:, :] = rs
+        bv_ref[:, :] = bv
+
+    return kernel
+
+
+def build_rate_lut(ac_si: np.ndarray, Ss: int, Se: int) -> np.ndarray:
+    """(64_j, KMAX*64_i) f32: [j, k*64+i] = rate of j->i with bit-length
+    k+1, BIG where invalid."""
+    lut = np.full((64, KMAX * 64), BIGF, np.float32)
+    zrl_len = int(ac_si[0xF0])
+    for i in range(Ss, Se + 1):
+        for j in range(Ss - 1, i):
+            r = i - 1 - j
+            if (r >> 4) and zrl_len == 0:
+                continue
+            run_bits = (r >> 4) * zrl_len
+            for k in range(KMAX):
+                cl = int(ac_si[16 * (r & 15) + k + 1])
+                if cl == 0:
+                    continue
+                lut[j, k * 64 + i] = cl + (k + 1) + run_bits
+    return lut
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def trellis_ac_dp_pallas(raw, qtbl_zz, rate_luts, lam,
+                         Ss: int, Se: int, n_img: int,
+                         interpret: bool = False):
+    """raw (64, N) int32 image-major (N = B*n_img, n_img % LANES == 0);
+    rate_luts (B, 64, KMAX*64) f32; lam (N,) f32.
+    -> acc, run_start, best_val, qval, azd — each (64, N)."""
+    N = raw.shape[1]
+    B = rate_luts.shape[0]
+    chunks = n_img // LANES
+    grid = (B, chunks)
+
+    def col(b, c):
+        return (0, b * chunks + c)
+
+    out = pl.pallas_call(
+        _make_kernel(Ss, Se),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((64, 1), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64, KMAX * 64), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((64, N), jnp.float32),
+                   jax.ShapeDtypeStruct((64, N), jnp.int32),
+                   jax.ShapeDtypeStruct((64, N), jnp.int32),
+                   jax.ShapeDtypeStruct((64, N), jnp.int32),
+                   jax.ShapeDtypeStruct((64, N), jnp.float32)],
+        interpret=interpret,
+    )(qtbl_zz.reshape(64, 1).astype(jnp.int32), rate_luts,
+      raw, lam.reshape(1, -1))
+    return out

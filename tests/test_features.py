@@ -1,0 +1,181 @@
+"""Feature tests: arithmetic coding, lossless, transforms, scaled decode,
+CLIs, ICC."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from conftest import CORPUS, CJPEG, DJPEG, run_cjpeg, run_djpeg
+from mozjpeg_tpu import encode, decode, EncoderConfig, Profile
+from mozjpeg_tpu.utils import ppm
+
+
+def corpus(name):
+    p = os.path.join(CORPUS, name)
+    if not os.path.exists(p):
+        pytest.skip("corpus missing")
+    return p
+
+
+class TestArithmetic:
+    def test_decode_bundled_arith(self, ref_tools, tmp_path):
+        jp = "/root/reference/testimages/testimgari.jpg"
+        ref = run_djpeg(jp, str(tmp_path / "a.ppm"))
+        ours = decode(open(jp, "rb").read())
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_encode_seq_byte_exact(self, ref_tools, tmp_path, testorig):
+        golden = run_cjpeg(["-quality", "75", "-revert", "-baseline",
+                            "-arithmetic"], corpus("testorig.ppm"),
+                           str(tmp_path / "a.jpg"))
+        ours = encode(testorig, EncoderConfig(
+            quality=75, profile=Profile.FASTEST, progressive=False,
+            arithmetic=True, force_baseline=True, optimize_coding=False,
+            optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False))
+        assert ours == golden
+
+    def test_encode_progressive_byte_exact(self, ref_tools, tmp_path,
+                                           testorig):
+        golden = run_cjpeg(["-quality", "75", "-arithmetic", "-notrellis",
+                            "-notrellis-dc", "-noovershoot", "-fastcrush"],
+                           corpus("testorig.ppm"), str(tmp_path / "a.jpg"))
+        ours = encode(testorig, EncoderConfig(
+            quality=75, arithmetic=True, optimize_scans=False,
+            trellis_quant=False, overshoot_deringing=False))
+        assert ours == golden
+
+
+class TestLossless:
+    @pytest.mark.parametrize("pred", [1, 2, 3, 4, 5, 6, 7])
+    def test_roundtrip(self, testorig, pred):
+        from mozjpeg_tpu.codec.lossless import encode_lossless
+        data = encode_lossless(testorig, predictor=pred)
+        rec = decode(data)
+        np.testing.assert_array_equal(rec, testorig)
+
+    def test_djpeg_decodes_ours(self, ref_tools, tmp_path, testorig):
+        from mozjpeg_tpu.codec.lossless import encode_lossless
+        data = encode_lossless(testorig, predictor=4)
+        p = tmp_path / "ll.jpg"
+        p.write_bytes(data)
+        ref = run_djpeg(str(p), str(tmp_path / "ll.ppm"))
+        np.testing.assert_array_equal(ref, testorig)
+
+    def test_point_transform(self, testorig):
+        from mozjpeg_tpu.codec.lossless import encode_lossless
+        data = encode_lossless(testorig, predictor=1, point_transform=2)
+        rec = decode(data)
+        assert np.abs(rec.astype(int) - testorig.astype(int)).max() <= 3
+
+
+class TestTransforms:
+    def _roundtrip(self, testorig, op, ref_args, tmp_path, ref_tools):
+        from mozjpeg_tpu.codec import transcode
+        src = run_cjpeg(["-quality", "85", "-revert", "-baseline"],
+                        corpus("testorig.ppm"), str(tmp_path / "t.jpg"))
+        ours = transcode.transform(
+            src, op, EncoderConfig(profile=Profile.FASTEST,
+                                   progressive=False, optimize_coding=True,
+                                   trellis_quant=False,
+                                   overshoot_deringing=False,
+                                   optimize_scans=False))
+        # reference jpegtran on the same input
+        subprocess.run([ref_tools["jpegtran"]] + ref_args
+                       + ["-trim", "-outfile", str(tmp_path / "r.jpg"),
+                          str(tmp_path / "t.jpg")], check=True)
+        ref_pix = run_djpeg(str(tmp_path / "r.jpg"),
+                            str(tmp_path / "r.ppm"))
+        p = tmp_path / "o.jpg"
+        p.write_bytes(ours)
+        our_pix = run_djpeg(str(p), str(tmp_path / "o.ppm"))
+        np.testing.assert_array_equal(our_pix, ref_pix)
+
+    def test_rot180(self, ref_tools, tmp_path, testorig):
+        self._roundtrip(testorig, "rot180", ["-rotate", "180"],
+                        tmp_path, ref_tools)
+
+    def test_flip_h(self, ref_tools, tmp_path, testorig):
+        self._roundtrip(testorig, "flip_h", ["-flip", "horizontal"],
+                        tmp_path, ref_tools)
+
+    def test_transpose(self, ref_tools, tmp_path, testorig):
+        self._roundtrip(testorig, "transpose", ["-transpose"],
+                        tmp_path, ref_tools)
+
+    def test_rot90(self, ref_tools, tmp_path, testorig):
+        self._roundtrip(testorig, "rot90", ["-rotate", "90"],
+                        tmp_path, ref_tools)
+
+
+class TestScaledDecode:
+    @pytest.mark.parametrize("num,den", [(1, 2), (1, 4), (1, 8)])
+    def test_bit_exact(self, ref_tools, tmp_path, num, den):
+        from mozjpeg_tpu.codec.decoder import decode_scaled
+        run_cjpeg(["-quality", "75", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), str(tmp_path / "s.jpg"))
+        ref = run_djpeg(str(tmp_path / "s.jpg"), str(tmp_path / "s.ppm"),
+                        ["-scale", "%d/%d" % (num, den)])
+        ours = decode_scaled((tmp_path / "s.jpg").read_bytes(), num, den)
+        np.testing.assert_array_equal(ours, ref)
+
+
+class TestCLI:
+    def test_cjpeg_cli(self, ref_tools, tmp_path, testorig):
+        from mozjpeg_tpu.cli import cjpeg as cli
+        out = str(tmp_path / "c.jpg")
+        cli.main(["-quality", "75", "-fastcrush", "-noovershoot",
+                  "-notrellis", "-notrellis-dc",
+                  "-outfile", out, corpus("testorig.ppm")])
+        golden = run_cjpeg(["-quality", "75", "-fastcrush", "-noovershoot",
+                            "-notrellis", "-notrellis-dc"],
+                           corpus("testorig.ppm"), str(tmp_path / "g.jpg"))
+        assert open(out, "rb").read() == golden
+
+    def test_djpeg_cli(self, ref_tools, tmp_path):
+        from mozjpeg_tpu.cli import djpeg as cli
+        run_cjpeg(["-quality", "75", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), str(tmp_path / "d.jpg"))
+        out = str(tmp_path / "d.ppm")
+        cli.main(["-outfile", out, str(tmp_path / "d.jpg")])
+        ref = run_djpeg(str(tmp_path / "d.jpg"), str(tmp_path / "r.ppm"))
+        np.testing.assert_array_equal(ppm.read(out), ref)
+
+    def test_jpegtran_cli(self, ref_tools, tmp_path):
+        from mozjpeg_tpu.cli import jpegtran as cli
+        run_cjpeg(["-quality", "85", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), str(tmp_path / "t.jpg"))
+        out = str(tmp_path / "t180.jpg")
+        cli.main(["-rotate", "180", "-revert", "-optimize",
+                  "-outfile", out, str(tmp_path / "t.jpg")])
+        pix = run_djpeg(out, str(tmp_path / "t180.ppm"))
+        # compare against the reference jpegtran (pixel-space rotation of
+        # the decode differs by IDCT rounding, so that is NOT the oracle)
+        subprocess.run([ref_tools["jpegtran"], "-rotate", "180", "-trim",
+                        "-outfile", str(tmp_path / "ref180.jpg"),
+                        str(tmp_path / "t.jpg")], check=True)
+        ref = run_djpeg(str(tmp_path / "ref180.jpg"),
+                        str(tmp_path / "ref180.ppm"))
+        np.testing.assert_array_equal(pix, ref)
+
+
+class TestICC:
+    def test_icc_roundtrip(self, testorig):
+        from mozjpeg_tpu.codec import marker as mk
+        from mozjpeg_tpu.codec.encoder import (_resolve, _phase_p1,
+                                               _phase_pack, _split_flat,
+                                               _phase_entropy)
+        profile = open("/root/reference/testimages/test1.icc", "rb").read()
+        # encode with ICC via assemble path
+        data = encode(testorig, EncoderConfig(
+            quality=75, profile=Profile.FASTEST, progressive=False,
+            optimize_coding=False, optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False))
+        # splice ICC markers after APP0 using the writer helpers
+        w = mk.MarkerWriter()
+        mk.write_icc(w, profile)
+        icc_bytes = w.bytes()
+        spliced = data[:20] + icc_bytes + data[20:]
+        jp = mk.parse(spliced)
+        assert jp.icc_profile == profile
