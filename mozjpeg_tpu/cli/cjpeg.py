@@ -16,6 +16,10 @@ def build_parser():
     p = argparse.ArgumentParser(prog="cjpeg", add_help=True,
                                 description="TPU-native mozjpeg encoder")
     p.add_argument("-quality", type=float, default=75)
+    p.add_argument("-precision", type=int, default=8,
+                   help="data precision: 8, 12 (lossy) or 16 (lossless)")
+    p.add_argument("-lossless", type=str, default=None,
+                   metavar="psv[,Pt]", help="lossless mode (predictor)")
     p.add_argument("-grayscale", "-greyscale", action="store_true",
                    dest="grayscale")
     p.add_argument("-baseline", action="store_true")
@@ -109,12 +113,16 @@ def config_from_args(a) -> EncoderConfig:
         lambda_log_scale2=l2,
         use_lambda_weight_tbl=use_lambda_tbl,
         smoothing_factor=a.smooth,
+        precision=a.precision,
     )
 
 
 def main(argv=None):
     a = build_parser().parse_args(argv)
     from ..codec.encoder import encode
+    if a.precision == 16 and not a.lossless:
+        sys.stderr.write("16-bit requires -lossless\n")
+        return 1
     if a.input:
         img = ppm.read(a.input)
     else:
@@ -126,7 +134,15 @@ def main(argv=None):
             f.write(data)
             f.flush()
             img = ppm.read(f.name)
-    out = encode(img, config_from_args(a))
+    if a.lossless:
+        from ..codec.lossless import encode_lossless
+        parts = a.lossless.split(",")
+        psv = int(parts[0])
+        pt = int(parts[1]) if len(parts) > 1 else 0
+        out = encode_lossless(img, predictor=psv, point_transform=pt,
+                              precision=a.precision)
+    else:
+        out = encode(img, config_from_args(a))
     if a.outfile:
         with open(a.outfile, "wb") as f:
             f.write(out)

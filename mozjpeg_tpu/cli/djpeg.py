@@ -30,6 +30,8 @@ def main(argv=None):
     from ..codec.decoder import decode, decode_scaled
     data = (open(a.input, "rb").read() if a.input
             else sys.stdin.buffer.read())
+    from ..codec import marker as _marker
+    maxval = (1 << _marker.parse(data).precision) - 1
     if a.scale:
         num, den = (int(v) for v in a.scale.split("/"))
         img = decode_scaled(data, num, den)
@@ -46,12 +48,12 @@ def main(argv=None):
         w, h = (int(v) for v in wh.split("x"))
         img = img[int(y):int(y) + h, int(x):int(x) + w]
     if a.outfile:
-        ppm.write(a.outfile, img)
+        ppm.write(a.outfile, img, maxval=maxval)
     else:
         import io
         import tempfile
         with tempfile.NamedTemporaryFile(suffix=".ppm") as f:
-            ppm.write(f.name, img)
+            ppm.write(f.name, img, maxval=maxval)
             sys.stdout.buffer.write(open(f.name, "rb").read())
     return 0
 

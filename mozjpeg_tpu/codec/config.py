@@ -37,6 +37,10 @@ class EncoderConfig:
     quality: float = 75.0
     profile: Profile = Profile.MAX_COMPRESSION
 
+    # data precision (8 or 12 for lossy; jcmaster.c:1093 forces optimized
+    # Huffman coding above 8 bits, and arithmetic falls back to Huffman)
+    precision: int = 8
+
     # colorspace / sampling
     subsampling: Tuple[int, int] = (2, 2)   # (h, v) for luma; chroma 1x1
     grayscale: bool = False
@@ -77,18 +81,25 @@ class EncoderConfig:
     scan_script: Optional[Sequence] = None
 
     def resolved(self) -> "ResolvedConfig":
+        if self.precision not in (8, 12):
+            raise ValueError(
+                "lossy data precision must be 8 or 12 (16 is lossless-only), "
+                "got %r" % (self.precision,))
         maxc = self.profile == Profile.MAX_COMPRESSION
+        deep = self.precision > 8
         return ResolvedConfig(
             quality=self.quality,
+            precision=self.precision,
             subsampling=self.subsampling,
             grayscale=self.grayscale,
             progressive=(self.progressive if self.progressive is not None
                          else maxc),
-            optimize_coding=(self.optimize_coding
-                             if self.optimize_coding is not None else maxc),
+            optimize_coding=(True if deep else
+                             (self.optimize_coding
+                              if self.optimize_coding is not None else maxc)),
             optimize_scans=(self.optimize_scans
                             if self.optimize_scans is not None else maxc),
-            arithmetic=self.arithmetic,
+            arithmetic=self.arithmetic and not deep,
             restart_interval=self.restart_interval,
             restart_in_rows=self.restart_in_rows,
             dc_scan_opt_mode=self.dc_scan_opt_mode,
@@ -119,6 +130,7 @@ class EncoderConfig:
 @dataclasses.dataclass
 class ResolvedConfig:
     quality: float
+    precision: int
     subsampling: Tuple[int, int]
     grayscale: bool
     progressive: bool

@@ -115,17 +115,20 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     return planes
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _render_plane(zz, qtbl, bh: int, bw: int, ch: int, cw: int):
-    """(bh, bw, 64) zigzag int16 + qtbl -> (ch, cw) uint8 samples."""
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _render_plane(zz, qtbl, bh: int, bw: int, ch: int, cw: int,
+                  precision: int = 8):
+    """(bh, bw, 64) zigzag int16 + qtbl -> (ch, cw) samples."""
     blocks = layout.from_zigzag(zz.astype(jnp.int32))
-    pix = dct.idct_islow(blocks, qtbl)
+    pass1_bits = 2 if precision == 8 else 1            # jidctint.c:80-86
+    pix = dct.idct_islow(blocks, qtbl, pass1_bits, precision)
     plane = layout.unblockify(pix)
     return plane[:ch, :cw]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _upsample_color(y, cb, cr, mode: str, height: int, width: int):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _upsample_color(y, cb, cr, mode: str, height: int, width: int,
+                    precision: int = 8):
     if mode == "h2v2":
         cb = sample.upsample_h2v2_fancy(cb)
         cr = sample.upsample_h2v2_fancy(cr)
@@ -135,7 +138,7 @@ def _upsample_color(y, cb, cr, mode: str, height: int, width: int):
     cb = cb[:height, :width]
     cr = cr[:height, :width]
     ycc = jnp.stack([y[:height, :width], cb, cr], axis=-1)
-    return color.ycc_to_rgb(ycc)
+    return color.ycc_to_rgb(ycc, precision)
 
 
 def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
@@ -150,7 +153,7 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
         qt = jp.scan_qtables[0].get(c.quant_tbl, jp.qtables.get(c.quant_tbl))
         zz = jnp.asarray(planes[ci][:bh, :bw])
         sample_planes.append(_render_plane(zz, jnp.asarray(qt), bh, bw,
-                                           ch, cw))
+                                           ch, cw, jp.precision))
 
     if len(jp.components) == 1:
         return np.asarray(sample_planes[0])[:jp.height, :jp.width]
@@ -163,7 +166,8 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
         mode = "h2v1"
     else:
         mode = "none"
-    rgb = _upsample_color(y, cb, cr, mode, jp.height, jp.width)
+    rgb = _upsample_color(y, cb, cr, mode, jp.height, jp.width,
+                          jp.precision)
     return np.asarray(rgb)
 
 

@@ -112,7 +112,7 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
              restart: int, progressive: bool, ncomps: int,
              icc: Optional[bytes] = None,
              com: Optional[bytes] = None,
-             multi_dqt: bool = True) -> bytes:
+             multi_dqt: bool = True, precision: int = 8) -> bytes:
     """Write markers + scans into the final JPEG byte stream."""
     _, _, comps = geom
     w = marker.MarkerWriter()
@@ -128,9 +128,11 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
         w.dqt(0, qtables[0])
         if ncomps > 1:
             w.dqt(1, qtables[1])
-    sof_code = marker.SOF2 if progressive else marker.SOF0
+    # >8-bit sequential uses SOF1 (extended); baseline SOF0 is 8-bit only
+    sof_code = (marker.SOF2 if progressive
+                else (marker.SOF0 if precision == 8 else marker.SOF1))
     comp_ids = [1, 2, 3][:ncomps]
-    w.sof(sof_code, 8, height, width,
+    w.sof(sof_code, precision, height, width,
           [(comp_ids[ci], comps[ci].h, comps[ci].v, 0 if ci == 0 else 1)
            for ci in range(ncomps)])
     sent_dc: Dict[int, HuffTable] = {}
@@ -184,7 +186,8 @@ def _resolve(image, config, overrides):
 def _phase_p1(image, cfg, samp, qtables, grayscale):
     from . import pipeline_t
     geom, comp_res, small = pipeline_t.run_p1(
-        image, samp, qtables, cfg.overshoot_deringing, grayscale)
+        image, samp, qtables, cfg.overshoot_deringing, grayscale,
+        cfg.precision)
     return geom, comp_res, small
 
 
@@ -216,7 +219,8 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables):
     packed = jnp.asarray(trellis.pack_trellis_inputs(
         lams, ac_sis, dc_sis, qtblzz))
     run = trellis.make_trellis_all_t(tuple(comps), None, tuple(bands),
-                                     cfg.trellis_quant_dc, tuple(ncands))
+                                     cfg.trellis_quant_dc, tuple(ncands),
+                                     precision=cfg.precision)
     finals = run(tuple(r[1] for r in comp_res),
                  tuple(r[0] for r in comp_res), packed)
     for _ in range(max(1, cfg.trellis_num_loops) - 1):
@@ -255,7 +259,8 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
         elif cfg.optimize_scans:
             from . import scanopt
             return scanopt.encode_optimize_scans(
-                width, height, geom, planes, qtables, cfg, ncomps, restart)
+                width, height, geom, planes, qtables, cfg, ncomps, restart,
+                cfg.precision)
         elif config.profile == Profile.MAX_COMPRESSION:
             script = scans.simple_progression_max(ncomps,
                                                   cfg.dc_scan_opt_mode)
@@ -276,7 +281,8 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
                                              act_, restart))
     return assemble(width, height, geom, qtables, results, restart,
                     cfg.progressive, ncomps,
-                    multi_dqt=config.profile != Profile.FASTEST)
+                    multi_dqt=config.profile != Profile.FASTEST,
+                    precision=cfg.precision)
 
 
 
@@ -397,7 +403,7 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
     b = len(images)
     stack = _np.stack(images)
     geom, merged, smalls = pipeline_t.run_p1_batch(
-        stack, samp, qtables, cfg.overshoot_deringing)
+        stack, samp, qtables, cfg.overshoot_deringing, cfg.precision)
     try:
         smalls.copy_to_host_async()
     except Exception:
@@ -434,7 +440,8 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
             lams, ac_sis, dc_sis, qtblzz))
         run = trellis.make_trellis_all_t(tuple(comps), None, tuple(bands),
                                          cfg.trellis_quant_dc,
-                                         tuple(ncands), batch=b)
+                                         tuple(ncands), batch=b,
+                                         precision=cfg.precision)
         finals = run(tuple(m[1] for m in merged),
                      tuple(m[0] for m in merged), packed)
         for _ in range(max(1, cfg.trellis_num_loops) - 1):

@@ -70,9 +70,9 @@ def _norm_seq(raw_zz):
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
-        qluma81=None, qchroma81=None):
+        precision: int = 8, qluma81=None, qchroma81=None):
     """Per comp (q_zz, raw_zz) device arrays + ONE packed small array
     [norms as f32-bits | hists as int32] for a single host transfer."""
     gl = geom[0]
@@ -81,7 +81,7 @@ def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
     ph, pw = mcus_y * 8 * max_v, mcus_x * 8 * max_h
     h2 = -(-h // max_v) * max_v
     if rgb.ndim == 3:
-        ycc = color.rgb_to_ycc(rgb)
+        ycc = color.rgb_to_ycc(rgb, precision)
         planes = [layout.pad_plane(ycc[..., i], ph, pw)
                   for i in range(len(geom))]
     else:
@@ -91,14 +91,22 @@ def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
         p = _comp_plane(planes[ci], g, max_h, max_v, h2)
         # real blocks only, raster order, coefficient-major
         blocks = layout.blockify_t(
-            p[: g.bh * 8, : g.bw * 8].astype(jnp.int32) - 128)
+            p[: g.bh * 8, : g.bw * 8].astype(jnp.int32)
+            - (1 << (precision - 1)))
         q81 = qluma81 if ci == 0 else qchroma81
         if dering_on:
+            # the reference's dering threshold is 255-CENTERJSAMPLE (literal
+            # 8-bit constant) at EVERY data precision (jcdctmgr.c:419)
             szz = layout.to_zigzag_t(blocks)
             szz = dering.dering_t(szz, q81[0, 0, 0])
             blocks = layout.from_zigzag_t(szz)
-        coeffs = dct.fdct_islow_t(blocks)              # (8, 8, N) raw
+        pass1_bits = 2 if precision == 8 else 1        # jfdctint.c:80-86
+        coeffs = dct.fdct_islow_t(blocks, pass1_bits)  # (8, 8, N) raw
         qz = quant.quantize_islow_t(coeffs, q81)
+        if dering_on:
+            # post-dering clamp to +-(2^(precision+2)-1) (jcdctmgr.c:706,764)
+            maxc = (1 << (precision + 2)) - 1
+            qz = jnp.clip(qz, -maxc, maxc)
         q_zz = layout.to_zigzag_t(qz)                  # (64, N) int16
         raw_zz = layout.to_zigzag_t(coeffs)            # (64, N) int32
         norm = _norm_seq(raw_zz)
@@ -122,7 +130,7 @@ def _pad_for_entropy(q_zz, g: CompGeom, transpose: bool = True):
 
 
 def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
-           dering_on: bool, grayscale: bool = False):
+           dering_on: bool, grayscale: bool = False, precision: int = 8):
     """-> (geom, [(q_zz, raw_zz)] device arrays, small_dev packed array).
 
     Unpack small_dev with unpack_small() when the host needs norms/hists."""
@@ -130,7 +138,7 @@ def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
     mcus_x, mcus_y, geom = geometry(w, h, samp)
     q81 = [_dev_qtbl(np.asarray(t)) for t in qtables]
     res, small = _p1(jnp.asarray(image), mcus_x, mcus_y, tuple(geom),
-                     dering_on, qluma81=q81[0],
+                     dering_on, precision, qluma81=q81[0],
                      qchroma81=q81[1] if len(q81) > 1 else q81[0])
     return (mcus_x, mcus_y, geom), res, small
 
@@ -191,12 +199,12 @@ def batchable(geom) -> bool:
                and g.bw == g.bw_pad and g.bh == g.bh_pad for g in comps)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
-              qluma81=None, qchroma81=None):
+              precision: int = 8, qluma81=None, qchroma81=None):
     def one(rgb):
         return _p1.__wrapped__(rgb, mcus_x, mcus_y, geom, dering_on,
-                               qluma81, qchroma81)
+                               precision, qluma81, qchroma81)
 
     res, smalls = jax.vmap(one)(rgbs)
     b = rgbs.shape[0]
@@ -208,13 +216,14 @@ def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
     return merged, smalls.reshape(-1)           # one small buffer for all B
 
 
-def run_p1_batch(images: np.ndarray, samp, qtables, dering_on: bool):
+def run_p1_batch(images: np.ndarray, samp, qtables, dering_on: bool,
+                 precision: int = 8):
     """images (B, H, W, 3) -> (geom, [(q,raw) with N'=B*N], smalls (B,...))."""
     b, h, w = images.shape[:3]
     mcus_x, mcus_y, geom = geometry(w, h, samp)
     q81 = [_dev_qtbl(np.asarray(t)) for t in qtables]
     res, small = _p1_batch(jnp.asarray(images), mcus_x, mcus_y, tuple(geom),
-                           dering_on, qluma81=q81[0],
+                           dering_on, precision, qluma81=q81[0],
                            qchroma81=q81[1] if len(q81) > 1 else q81[0])
     return (mcus_x, mcus_y, geom), res, small
 

@@ -70,7 +70,8 @@ def _scan_buffer(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
 
 
 def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
-                          cfg, ncomps: int, restart: int) -> bytes:
+                          cfg, ncomps: int, restart: int,
+                          precision: int = 8) -> bytes:
     script = scans.search_progression(ncomps, cfg.dc_scan_opt_mode)
     num_scans = len(script)
     _, _, comps = geom
@@ -89,7 +90,7 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
     fh = marker.MarkerWriter()
     fh.dqt_multi([(i, qtables[i]) for i in range(min(ncomps, 2))])
     comp_ids = [1, 2, 3][:ncomps]
-    fh.sof(marker.SOF2, 8, height, width,
+    fh.sof(marker.SOF2, precision, height, width,
            [(comp_ids[ci], comps[ci].h, comps[ci].v, 0 if ci == 0 else 1)
             for ci in range(ncomps)])
     frame_header = fh.bytes()

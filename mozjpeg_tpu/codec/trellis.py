@@ -176,8 +176,9 @@ def trellis_ac(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
     return jnp.where(in_band[None, :], new_band, qcoef)
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
-def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int):
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
+                    maxq: int = 1023):
     """DC trellis over a batch of independent block rows.
 
     raw_dc: (R, L) int32 unquantized DC (x8); last_dc0: (R,) int32 initial
@@ -191,7 +192,7 @@ def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int):
     x = jnp.abs(raw_dc)
     qval = (x + q8 // 2) // q8
     ks = jnp.arange(nc)
-    cand_mag = jnp.clip(qval[..., None] - nc // 2 + ks, -1023, 1023)
+    cand_mag = jnp.clip(qval[..., None] - nc // 2 + ks, -maxq, maxq)
     delta = cand_mag * q8 - x[..., None]
     dist = (delta * delta).astype(jnp.float32) * lam_dc[..., None]
     cand = cand_mag * sign[..., None]                   # (R, L, nc) signed
@@ -389,7 +390,8 @@ def _gather_ac_table(plane: np.ndarray, g) -> HuffTable:
 # pipeline_t.P1 — nothing large crosses the host boundary).
 # ---------------------------------------------------------------------------
 
-def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
+def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int,
+                  kmax: int = KMAX, maxq: int = 1023):
     """Transposed trellis_ac: raw/qcoef (64, N); same exact semantics.
 
     ac_si: (B, 256) per-image AC code lengths, N = B * n_img (image-major).
@@ -407,7 +409,7 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
     sign = jnp.where(raw < 0, -1, 1)
     q8_v = qtbl_zz.astype(jnp.int32) << 3              # (64,)
     q8 = q8_v[:, None]
-    qval = jnp.minimum((x + (q8 >> 1)) // q8, 1023)    # (64, N)
+    qval = jnp.minimum((x + (q8 >> 1)) // q8, maxq)    # (64, N)
 
     ltbl = (1.0 / (qtbl_zz.astype(jnp.float32)
                    * qtbl_zz.astype(jnp.float32)))     # (64,)
@@ -425,7 +427,7 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
         [jnp.zeros((1, N), jnp.float32), azd[:-1]], axis=0)
 
     nc = _nbits(qval)                                  # (64, N)
-    kv = jnp.arange(KMAX)                              # (K,)
+    kv = jnp.arange(kmax)                              # (K,)
     cand_bits_f = (kv + 1).astype(jnp.float32)
 
     ac_si_f = ac_si.astype(jnp.float32)                # (B, 256)
@@ -476,11 +478,11 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
                  & (qval_i != 0)[None, None, :])
         cost = jnp.where(valid, cost, BIG)
 
-        flat = cost.reshape(64 * KMAX, N)
+        flat = cost.reshape(64 * kmax, N)
         arg = jnp.argmin(flat, axis=0)
         best = jnp.take_along_axis(flat, arg[None, :], axis=0)[0]
-        bj = (arg // KMAX).astype(jnp.int32)
-        bk = arg % KMAX
+        bj = (arg // kmax).astype(jnp.int32)
+        bk = arg % kmax
         val = jnp.take_along_axis(cand_i, bk[None, :], axis=0)[0]
 
         new_acc_i = jnp.where(qval_i != 0, best, BIG)
@@ -519,16 +521,17 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
     return jnp.where(in_band, new_band, qcoef)
 
 
-def _trellis_dc_t(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int):
+def _trellis_dc_t(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
+                  maxq: int = 1023):
     """Same DP as trellis_dc_rows (already verified) for use inside the
     combined jit; raw_dc (R, L)."""
     return trellis_dc_rows.__wrapped__(raw_dc, last_dc0, q0, dc_si,
-                                       lam_dc, nc)
+                                       lam_dc, nc, maxq)
 
 
 @functools.lru_cache(maxsize=64)
 def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
-                       batch: int = 1):
+                       batch: int = 1, precision: int = 8):
     """Build a single jitted program running trellis for every component
     (cached per configuration — a fresh closure per call would recompile).
 
@@ -536,6 +539,8 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
     per-comp DC candidate counts (static).
     """
     geoms = tuple(geoms)
+    kmax = precision + 2           # NBITS((1 << max_coef_bits) - 1)
+    maxq = (1 << (precision + 2)) - 1
 
     nlam = [batch * g.bh * g.bw for g in geoms]
 
@@ -563,7 +568,8 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
             lam = lams[ci]
             for (ss, se) in bands:
                 new_q = _trellis_ac_t(raw, new_q, qtbl_zzs[ci],
-                                      ac_sis[ci], lam, ss, se)
+                                      ac_sis[ci], lam, ss, se,
+                                      kmax=kmax, maxq=maxq)
             if dc_on:
                 q0 = qtbl_zzs[ci][0]
                 ltbl0 = (1.0 / (qtbl_zzs[ci][0].astype(jnp.float32)
@@ -581,7 +587,7 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
                     init = (jnp.zeros(nph, jnp.int32) if p == 0
                             else prev[:nph])
                     dc, fin = _trellis_dc_t(rr, init, q0, dc_sis[ci], ll,
-                                            ncands[ci])
+                                            ncands[ci], maxq=maxq)
                     dc_rows.append(dc)
                     prev = fin
                 # interleave phases back into row order

@@ -32,22 +32,24 @@ FIX_0_41869 = _fix(0.41869)
 FIX_0_08131 = _fix(0.08131)
 
 
-def rgb_to_ycc(rgb: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3) uint8 RGB -> (..., 3) uint8 YCbCr, bit-exact vs the reference.
+def rgb_to_ycc(rgb: jnp.ndarray, precision: int = 8) -> jnp.ndarray:
+    """(..., 3) RGB -> (..., 3) YCbCr, bit-exact vs the reference.
 
-    The Cb/Cr rounding fudge is ONE_HALF-1 (+CBCR_OFFSET), matching
-    rgb_ycc_start's 0.5-epsilon trick so max inputs round to 255 not 256.
+    The Cb/Cr rounding fudge is ONE_HALF-1 (+center offset), matching
+    rgb_ycc_start's 0.5-epsilon trick so max inputs round to max not max+1.
     """
+    ctr_off = (1 << (precision - 1)) << SCALEBITS
     r = rgb[..., 0].astype(jnp.int32)
     g = rgb[..., 1].astype(jnp.int32)
     b = rgb[..., 2].astype(jnp.int32)
 
     y = (FIX_0_29900 * r + FIX_0_58700 * g + FIX_0_11400 * b + ONE_HALF) >> SCALEBITS
     cb = ((-FIX_0_16874) * r + (-FIX_0_33126) * g + FIX_0_50000 * b
-          + CBCR_OFFSET + ONE_HALF - 1) >> SCALEBITS
+          + ctr_off + ONE_HALF - 1) >> SCALEBITS
     cr = (FIX_0_50000 * r + (-FIX_0_41869) * g + (-FIX_0_08131) * b
-          + CBCR_OFFSET + ONE_HALF - 1) >> SCALEBITS
-    return jnp.stack([y, cb, cr], axis=-1).astype(jnp.uint8)
+          + ctr_off + ONE_HALF - 1) >> SCALEBITS
+    dt = jnp.uint8 if precision <= 8 else jnp.uint16
+    return jnp.stack([y, cb, cr], axis=-1).astype(dt)
 
 
 def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
@@ -69,19 +71,22 @@ FIX_0_71414 = _fix(0.71414)
 FIX_0_34414 = _fix(0.34414)
 
 
-def ycc_to_rgb(ycc: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3) uint8 YCbCr -> (..., 3) uint8 RGB, bit-exact vs jdcolor.c.
+def ycc_to_rgb(ycc: jnp.ndarray, precision: int = 8) -> jnp.ndarray:
+    """(..., 3) YCbCr -> (..., 3) RGB, bit-exact vs jdcolor.c.
 
-    The reference clamps with the simple range_limit table (plain clamp to
-    [0,255], not the wraparound post-IDCT table) — jdcolor.c ycc_rgb_convert.
+    The reference clamps with the simple range_limit table (plain clamp,
+    not the wraparound post-IDCT table) — jdcolor.c ycc_rgb_convert.
     """
+    ctr = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
     y = ycc[..., 0].astype(jnp.int32)
-    cb = ycc[..., 1].astype(jnp.int32) - CENTER
-    cr = ycc[..., 2].astype(jnp.int32) - CENTER
+    cb = ycc[..., 1].astype(jnp.int32) - ctr
+    cr = ycc[..., 2].astype(jnp.int32) - ctr
 
     r = y + ((FIX_1_40200 * cr + ONE_HALF) >> SCALEBITS)
     b = y + ((FIX_1_77200 * cb + ONE_HALF) >> SCALEBITS)
     g = y + (((-FIX_0_34414) * cb + (-FIX_0_71414) * cr + ONE_HALF) >> SCALEBITS)
 
     rgb = jnp.stack([r, g, b], axis=-1)
-    return jnp.clip(rgb, 0, 255).astype(jnp.uint8)
+    dt = jnp.uint8 if precision <= 8 else jnp.uint16
+    return jnp.clip(rgb, 0, maxv).astype(dt)

@@ -165,29 +165,35 @@ def _idct_butterfly(d, descale_n: int):
     return o0, o1, o2, o3, o4, o5, o6, o7
 
 
-# range_limit contents as a closed form over idx = value & 1023
+# range_limit contents as a closed form over idx = value & RANGE_MASK
 # (post-IDCT wraparound table, /root/reference/jdmaster.c prepare_range_limit_table)
-def _range_limit(v: jnp.ndarray) -> jnp.ndarray:
-    idx = v & 1023
-    out = jnp.where(idx < 128, idx + 128,
-                    jnp.where(idx < 512, 255,
-                              jnp.where(idx < 896, 0, idx - 896)))
-    return out.astype(jnp.uint8)
+def _range_limit(v: jnp.ndarray, precision: int = 8) -> jnp.ndarray:
+    m = (1 << precision) - 1          # MAXJSAMPLE
+    ctr = 1 << (precision - 1)
+    mask = 4 * (m + 1) - 1
+    idx = v & mask
+    out = jnp.where(idx < ctr, idx + ctr,
+                    jnp.where(idx < 2 * (m + 1), m,
+                              jnp.where(idx < 4 * (m + 1) - ctr, 0,
+                                        idx - (4 * (m + 1) - ctr))))
+    return out.astype(jnp.uint8 if precision <= 8 else jnp.uint16)
 
 
-def idct_islow(coeffs: jnp.ndarray, qtbl: jnp.ndarray) -> jnp.ndarray:
+def idct_islow(coeffs: jnp.ndarray, qtbl: jnp.ndarray,
+               pass1_bits: int = PASS1_BITS,
+               precision: int = 8) -> jnp.ndarray:
     """Exact islow dequantize+IDCT: (..., 8, 8) int coeffs × (8, 8) or
-    broadcastable quant table → (..., 8, 8) uint8 samples (centered +128,
-    wraparound range-limited exactly like the reference)."""
+    broadcastable quant table → (..., 8, 8) samples (centered, wraparound
+    range-limited exactly like the reference)."""
     x = coeffs.astype(jnp.int32) * qtbl.astype(jnp.int32)
     # Pass 1: columns (lanes = row index along dim -2)
     d = [x[..., i, :] for i in range(8)]
-    o = _idct_butterfly(d, CONST_BITS - PASS1_BITS)
+    o = _idct_butterfly(d, CONST_BITS - pass1_bits)
     y = jnp.stack(o, axis=-2)
     # Pass 2: rows, final descale + range limit
     d = [y[..., :, i] for i in range(8)]
-    o = _idct_butterfly(d, CONST_BITS + PASS1_BITS + 3)
-    return _range_limit(jnp.stack(o, axis=-1))
+    o = _idct_butterfly(d, CONST_BITS + pass1_bits + 3)
+    return _range_limit(jnp.stack(o, axis=-1), precision)
 
 
 # ---------------------------------------------------------------------------
@@ -209,22 +215,27 @@ def idct_islow_np(coeffs: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
 # 128 lanes idle; with N in lanes every butterfly line runs at full VPU width.
 # ---------------------------------------------------------------------------
 
-def fdct_islow_t(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact islow forward DCT on (8, 8, N) int32 centered samples."""
+def fdct_islow_t(x: jnp.ndarray, pass1_bits: int = PASS1_BITS
+                 ) -> jnp.ndarray:
+    """Exact islow forward DCT on (8, 8, N) int32 centered samples.
+
+    pass1_bits is 2 for 8-bit samples, 1 for 12-bit (jfdctint.c:81-85)."""
     d = [x[:, c, :] for c in range(8)]                 # pass 1 over rows
-    o = _fdct_butterfly(d, PASS1_BITS, CONST_BITS - PASS1_BITS)
+    o = _fdct_butterfly(d, pass1_bits, CONST_BITS - pass1_bits)
     y = jnp.stack(o, axis=1)                           # (8, 8, N)
     d = [y[r, :, :] for r in range(8)]                 # pass 2 over columns
-    o = _fdct_butterfly(d, -PASS1_BITS, CONST_BITS + PASS1_BITS)
+    o = _fdct_butterfly(d, -pass1_bits, CONST_BITS + pass1_bits)
     return jnp.stack(o, axis=0)
 
 
-def idct_islow_t(coeffs: jnp.ndarray, qtbl81: jnp.ndarray) -> jnp.ndarray:
+def idct_islow_t(coeffs: jnp.ndarray, qtbl81: jnp.ndarray,
+                 pass1_bits: int = PASS1_BITS,
+                 precision: int = 8) -> jnp.ndarray:
     """Exact islow dequant+IDCT on (8, 8, N) int coeffs; qtbl81 (8, 8, 1)."""
     x = coeffs.astype(jnp.int32) * qtbl81.astype(jnp.int32)
     d = [x[r, :, :] for r in range(8)]                 # pass 1: columns
-    o = _idct_butterfly(d, CONST_BITS - PASS1_BITS)
+    o = _idct_butterfly(d, CONST_BITS - pass1_bits)
     y = jnp.stack(o, axis=0)
     d = [y[:, c, :] for c in range(8)]                 # pass 2: rows
-    o = _idct_butterfly(d, CONST_BITS + PASS1_BITS + 3)
-    return _range_limit(jnp.stack(o, axis=1))
+    o = _idct_butterfly(d, CONST_BITS + pass1_bits + 3)
+    return _range_limit(jnp.stack(o, axis=1), precision)

@@ -30,8 +30,11 @@ def dering(zz: jnp.ndarray, q0: jnp.ndarray, one=None) -> jnp.ndarray:
     cnt = jnp.sum(m.astype(jnp.int32), axis=1)
     active = (cnt > 0) & (cnt < 64)
 
-    # headroom cap: maxsample + min(31, 2*q0, (127*64 - sum)/cnt)
-    headroom = (MAXS * 64 - total) // jnp.maximum(cnt, 1)
+    # headroom cap: maxsample + min(31, 2*q0, (127*64 - sum)/cnt).
+    # C's int division truncates toward zero; at >8-bit precision the
+    # numerator goes negative (maxsample stays the 8-bit literal 127,
+    # jcdctmgr.c:419) so floor-division would differ.
+    headroom = jax.lax.div(MAXS * 64 - total, jnp.maximum(cnt, 1))
     maxovershoot = MAXS + jnp.minimum(
         jnp.minimum(31, 2 * q0.astype(jnp.int32)), headroom)  # (N,)
 
@@ -123,7 +126,7 @@ def dering_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
     total = jnp.sum(zz, axis=0)
     cnt = jnp.sum(m.astype(jnp.int32), axis=0)
     active = (cnt > 0) & (cnt < 64)
-    headroom = (MAXS * 64 - total) // jnp.maximum(cnt, 1)
+    headroom = jax.lax.div(MAXS * 64 - total, jnp.maximum(cnt, 1))
     maxovershoot = MAXS + jnp.minimum(
         jnp.minimum(31, 2 * q0.astype(jnp.int32)), headroom)  # (N,)
 

@@ -19,7 +19,7 @@ def downsample_h2v2(plane: jnp.ndarray) -> jnp.ndarray:
          x[..., 1::2, 0::2] + x[..., 1::2, 1::2])
     w = s.shape[-1]
     bias = jnp.where(jnp.arange(w) % 2 == 0, 1, 2).astype(jnp.int32)
-    return ((s + bias) >> 2).astype(jnp.uint8)
+    return ((s + bias) >> 2).astype(plane.dtype)
 
 
 def downsample_h2v1(plane: jnp.ndarray) -> jnp.ndarray:
@@ -28,7 +28,7 @@ def downsample_h2v1(plane: jnp.ndarray) -> jnp.ndarray:
     s = x[..., :, 0::2] + x[..., :, 1::2]
     w = s.shape[-1]
     bias = jnp.where(jnp.arange(w) % 2 == 0, 0, 1).astype(jnp.int32)
-    return ((s + bias) >> 1).astype(jnp.uint8)
+    return ((s + bias) >> 1).astype(plane.dtype)
 
 
 def downsample_h1v2(plane: jnp.ndarray) -> jnp.ndarray:
@@ -37,7 +37,7 @@ def downsample_h1v2(plane: jnp.ndarray) -> jnp.ndarray:
     s = x[..., 0::2, :] + x[..., 1::2, :]
     h = s.shape[-2]
     bias = jnp.where(jnp.arange(h) % 2 == 0, 0, 1).astype(jnp.int32)[:, None]
-    return ((s + bias) >> 1).astype(jnp.uint8)
+    return ((s + bias) >> 1).astype(plane.dtype)
 
 
 def upsample_h2v1_fancy(plane: jnp.ndarray) -> jnp.ndarray:
@@ -56,7 +56,7 @@ def upsample_h2v1_fancy(plane: jnp.ndarray) -> jnp.ndarray:
     out = jnp.stack([even, odd], axis=-1).reshape(*x.shape[:-1], x.shape[-1] * 2)
     out = out.at[..., :, 0].set(x[..., :, 0])
     out = out.at[..., :, -1].set(x[..., :, -1])
-    return out.astype(jnp.uint8)
+    return out.astype(plane.dtype)
 
 
 def _h2v2_colsums(x: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
@@ -88,7 +88,7 @@ def upsample_h2v2_fancy(plane: jnp.ndarray) -> jnp.ndarray:
         *cs.shape[:-1], w * 2)
     out = out.at[..., :, 0].set((cs[..., :, 0] * 4 + 8) >> 4)
     out = out.at[..., :, -1].set((cs[..., :, -1] * 4 + 7) >> 4)
-    return out.astype(jnp.uint8)
+    return out.astype(plane.dtype)
 
 
 def upsample_replicate(plane: jnp.ndarray, h: int, v: int) -> jnp.ndarray:

@@ -35,12 +35,13 @@ def read(path: str) -> np.ndarray:
     return img
 
 
-def write(path: str, img: np.ndarray):
+def write(path: str, img: np.ndarray, maxval: int = None):
     if img.ndim == 2:
         magic, ch = b"P5", 1
     else:
         magic, ch = b"P6", 3
-    maxval = 65535 if img.dtype == np.uint16 else 255
+    if maxval is None:
+        maxval = 65535 if img.dtype == np.uint16 else 255
     with open(path, "wb") as f:
         f.write(magic + b"\n%d %d\n%d\n" % (img.shape[1], img.shape[0],
                                             maxval))

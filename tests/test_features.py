@@ -70,6 +70,95 @@ class TestLossless:
         assert np.abs(rec.astype(int) - testorig.astype(int)).max() <= 3
 
 
+def _img12():
+    rng = np.random.default_rng(7)
+    h, w = 67, 101
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (np.stack([yy * 40 + xx * 13, xx * 31, (yy + xx) * 17], -1) % 4096)
+    return (img * 0.7
+            + rng.integers(0, 1200, (h, w, 3))).astype(np.uint16) % 4096
+
+
+class TestPrecision12:
+    """12-bit lossy: byte-exact vs cjpeg -precision 12 on every path the
+    reference supports (it errors with trellis/optimize_scans at 12-bit)."""
+
+    def _golden(self, ref_tools, tmp_path, args):
+        src = tmp_path / "t12.ppm"
+        ppm.write(str(src), _img12(), maxval=4095)
+        out = tmp_path / "r12.jpg"
+        subprocess.run([ref_tools["cjpeg"], "-precision", "12"] + args
+                       + ["-outfile", str(out), str(src)], check=True)
+        return out.read_bytes()
+
+    def test_sequential_byte_exact(self, ref_tools, tmp_path):
+        golden = self._golden(ref_tools, tmp_path,
+                              ["-quality", "75", "-revert", "-baseline",
+                               "-sample", "2x2"])
+        ours = encode(_img12(), EncoderConfig(
+            quality=75, precision=12, profile=Profile.FASTEST,
+            progressive=False, force_baseline=True, subsampling=(2, 2),
+            optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False))
+        assert ours == golden
+
+    def test_progressive_byte_exact(self, ref_tools, tmp_path):
+        golden = self._golden(ref_tools, tmp_path,
+                              ["-quality", "75", "-fastcrush", "-notrellis",
+                               "-notrellis-dc", "-noovershoot"])
+        ours = encode(_img12(), EncoderConfig(
+            quality=75, precision=12, optimize_scans=False,
+            trellis_quant=False, overshoot_deringing=False))
+        assert ours == golden
+
+    def test_deringing_byte_exact(self, ref_tools, tmp_path):
+        golden = self._golden(ref_tools, tmp_path,
+                              ["-quality", "75", "-fastcrush", "-notrellis",
+                               "-notrellis-dc"])
+        ours = encode(_img12(), EncoderConfig(
+            quality=75, precision=12, optimize_scans=False,
+            trellis_quant=False))
+        assert ours == golden
+
+    def test_decode_bit_exact(self, ref_tools, tmp_path):
+        data = self._golden(ref_tools, tmp_path,
+                            ["-quality", "75", "-revert", "-baseline",
+                             "-sample", "2x2"])
+        p = tmp_path / "d12.jpg"
+        p.write_bytes(data)
+        ref = run_djpeg(str(p), str(tmp_path / "d12.ppm"))
+        ours = decode(data)
+        assert ours.dtype == np.uint16
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_full_default_roundtrip(self, ref_tools, tmp_path):
+        """Trellis + dering + optimize_scans at 12-bit: the reference
+        cannot encode this (Bogus buffer control mode); ours can, and
+        djpeg decodes it identically to our decoder."""
+        img = _img12()
+        data = encode(img, EncoderConfig(quality=75, precision=12))
+        p = tmp_path / "f12.jpg"
+        p.write_bytes(data)
+        ref = run_djpeg(str(p), str(tmp_path / "f12.ppm"))
+        np.testing.assert_array_equal(decode(data), ref)
+
+
+class TestLossless16:
+    def test_roundtrip_16(self):
+        from mozjpeg_tpu.codec.lossless import encode_lossless
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 65536, (45, 61, 3)).astype(np.uint16)
+        data = encode_lossless(img, predictor=4, precision=16)
+        np.testing.assert_array_equal(decode(data), img)
+
+    def test_roundtrip_12(self):
+        from mozjpeg_tpu.codec.lossless import encode_lossless
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 4096, (33, 47)).astype(np.uint16)
+        data = encode_lossless(img, predictor=2, precision=12)
+        np.testing.assert_array_equal(decode(data), img)
+
+
 class TestTransforms:
     def _roundtrip(self, testorig, op, ref_args, tmp_path, ref_tools):
         from mozjpeg_tpu.codec import transcode
