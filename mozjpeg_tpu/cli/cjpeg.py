@@ -22,6 +22,8 @@ def build_parser():
                    metavar="psv[,Pt]", help="lossless mode (predictor)")
     p.add_argument("-grayscale", "-greyscale", action="store_true",
                    dest="grayscale")
+    p.add_argument("-rgb", action="store_true",
+                   help="create RGB JPEG (no color conversion)")
     p.add_argument("-baseline", action="store_true")
     p.add_argument("-optimize", "-optimise", action="store_true",
                    dest="optimize", default=None)
@@ -114,6 +116,7 @@ def config_from_args(a) -> EncoderConfig:
         use_lambda_weight_tbl=use_lambda_tbl,
         smoothing_factor=a.smooth,
         precision=a.precision,
+        colorspace="rgb" if a.rgb else None,
     )
 
 

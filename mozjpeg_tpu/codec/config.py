@@ -44,6 +44,10 @@ class EncoderConfig:
     # colorspace / sampling
     subsampling: Tuple[int, int] = (2, 2)   # (h, v) for luma; chroma 1x1
     grayscale: bool = False
+    # None = auto (gray input -> grayscale, 3ch -> ycbcr, 4ch -> cmyk);
+    # explicit: "ycbcr" | "grayscale" | "rgb" | "cmyk" | "ycck"
+    # (jcparam.c:548-566 jpeg_default_colorspace)
+    colorspace: Optional[str] = None
 
     # entropy
     progressive: Optional[bool] = None      # None = profile default
@@ -92,6 +96,7 @@ class EncoderConfig:
             precision=self.precision,
             subsampling=self.subsampling,
             grayscale=self.grayscale,
+            colorspace=self.colorspace,
             progressive=(self.progressive if self.progressive is not None
                          else maxc),
             optimize_coding=(True if deep else
@@ -133,6 +138,7 @@ class ResolvedConfig:
     precision: int
     subsampling: Tuple[int, int]
     grayscale: bool
+    colorspace: Optional[str]
     progressive: bool
     optimize_coding: bool
     optimize_scans: bool

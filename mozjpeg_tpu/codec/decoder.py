@@ -141,9 +141,36 @@ def _upsample_color(y, cb, cr, mode: str, height: int, width: int,
     return color.ycc_to_rgb(ycc, precision)
 
 
+def _jpeg_colorspace(jp: marker.ParsedJpeg) -> str:
+    """Infer the JPEG colorspace (jdmaster.c default_decompress_parms):
+    JFIF implies YCbCr; Adobe transform 0 -> RGB/CMYK, 1 -> YCbCr,
+    2 -> YCCK; otherwise guess from component IDs."""
+    n = len(jp.components)
+    if n == 1:
+        return "grayscale"
+    if n == 4:
+        return "ycck" if jp.adobe_transform == 2 else "cmyk"
+    if jp.adobe_transform is not None:
+        return "rgb" if jp.adobe_transform == 0 else "ycbcr"
+    ids = [c.cid for c in jp.components]
+    if ids == [0x52, 0x47, 0x42]:
+        return "rgb"
+    return "ycbcr"
+
+
+def _upsample_mode(jp):
+    c1 = jp.components[1]
+    if c1.h * 2 == jp.max_h and c1.v * 2 == jp.max_v:
+        return "h2v2"
+    if c1.h * 2 == jp.max_h:
+        return "h2v1"
+    return "none"
+
+
 def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
            colorspace: Optional[str] = None) -> np.ndarray:
-    """Coefficient planes -> pixels (RGB uint8 (H, W, 3) or gray (H, W))."""
+    """Coefficient planes -> pixels: RGB (H, W, 3), gray (H, W), or
+    CMYK (H, W, 4) for Adobe 4-component files."""
     max_h, max_v = jp.max_h, jp.max_v
     sample_planes = []
     for ci, c in enumerate(jp.components):
@@ -155,20 +182,37 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
         sample_planes.append(_render_plane(zz, jnp.asarray(qt), bh, bw,
                                            ch, cw, jp.precision))
 
-    if len(jp.components) == 1:
+    cs = colorspace or _jpeg_colorspace(jp)
+    if cs == "grayscale":
         return np.asarray(sample_planes[0])[:jp.height, :jp.width]
-
+    if cs in ("rgb", "cmyk"):
+        # null conversion: stored components are the output channels
+        out = [np.asarray(p)[:jp.height, :jp.width] for p in sample_planes]
+        return np.stack(out, axis=-1)
+    if cs == "ycck":
+        y, cb, cr, k = sample_planes
+        cmyk = _upsample_ycck(y, cb, cr, k, _upsample_mode(jp),
+                              jp.height, jp.width, jp.precision)
+        return np.asarray(cmyk)
     y, cb, cr = sample_planes[:3]
-    c1 = jp.components[1]
-    if c1.h * 2 == max_h and c1.v * 2 == max_v:
-        mode = "h2v2"
-    elif c1.h * 2 == max_h:
-        mode = "h2v1"
-    else:
-        mode = "none"
-    rgb = _upsample_color(y, cb, cr, mode, jp.height, jp.width,
-                          jp.precision)
+    rgb = _upsample_color(y, cb, cr, _upsample_mode(jp), jp.height,
+                          jp.width, jp.precision)
     return np.asarray(rgb)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _upsample_ycck(y, cb, cr, k, mode: str, height: int, width: int,
+                   precision: int = 8):
+    from ..ops import color as _color
+    if mode == "h2v2":
+        cb = sample.upsample_h2v2_fancy(cb)
+        cr = sample.upsample_h2v2_fancy(cr)
+    elif mode == "h2v1":
+        cb = sample.upsample_h2v1_fancy(cb)
+        cr = sample.upsample_h2v1_fancy(cr)
+    ycck = jnp.stack([y[:height, :width], cb[:height, :width],
+                      cr[:height, :width], k[:height, :width]], axis=-1)
+    return _color.ycck_to_cmyk(ycck, precision)
 
 
 def decode(data: bytes) -> np.ndarray:

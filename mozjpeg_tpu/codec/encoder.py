@@ -37,18 +37,29 @@ def make_qtables(cfg) -> List[np.ndarray]:
     return [ql, qc]
 
 
-def _std_dc_ac(ncomps):
-    dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomps)}
+# per-colorspace component layout: (quant slots, huff table slots, comp IDs)
+# (jcparam.c:600-646 jpeg_set_colorspace SET_COMP calls)
+_CS_INFO = {
+    "grayscale": ((0,), (0,), (1,)),
+    "ycbcr": ((0, 1, 1), (0, 1, 1), (1, 2, 3)),
+    "rgb": ((0, 0, 0), (0, 0, 0), (0x52, 0x47, 0x42)),
+    "cmyk": ((0, 0, 0, 0), (0, 0, 0, 0), (0x43, 0x4D, 0x59, 0x4B)),
+    "ycck": ((0, 1, 1, 0), (0, 1, 1, 0), (1, 2, 3, 4)),
+}
+
+
+def _std_dc_ac(ncomps, cs="ycbcr"):
+    slots = _CS_INFO[cs][1]
+    dc_tbls = {ci: slots[ci] for ci in range(ncomps)}
     ac_tbls = dict(dc_tbls)
     return dc_tbls, ac_tbls
 
 
-def _scan_tables_std(ncomps):
-    dc = {0: STD_TABLES[(0, 0)]}
-    ac = {0: STD_TABLES[(1, 0)]}
-    if ncomps > 1:
-        dc[1] = STD_TABLES[(0, 1)]
-        ac[1] = STD_TABLES[(1, 1)]
+def _scan_tables_std(ncomps, cs="ycbcr"):
+    dc, ac = {}, {}
+    for slot in set(_CS_INFO[cs][1][:ncomps]):
+        dc[slot] = STD_TABLES[(0, slot)]
+        ac[slot] = STD_TABLES[(1, slot)]
     return dc, ac
 
 
@@ -112,28 +123,34 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
              restart: int, progressive: bool, ncomps: int,
              icc: Optional[bytes] = None,
              com: Optional[bytes] = None,
-             multi_dqt: bool = True, precision: int = 8) -> bytes:
+             multi_dqt: bool = True, precision: int = 8,
+             cs: str = "ycbcr") -> bytes:
     """Write markers + scans into the final JPEG byte stream."""
     _, _, comps = geom
+    qt_slots, _, comp_ids = _CS_INFO[cs]
     w = marker.MarkerWriter()
     w.soi()
-    w.jfif_app0()
+    # JFIF only for YCbCr/grayscale; Adobe APP14 flags RGB/CMYK/YCCK
+    # (jcmarker.c:649-663, jcparam.c:600-638)
+    if cs in ("ycbcr", "grayscale"):
+        w.jfif_app0()
+    else:
+        w.adobe_app14(2 if cs == "ycck" else 0)
     if icc:
         marker.write_icc(w, icc)
     if com:
         w.com(com)
+    used_qt = sorted(set(qt_slots[:ncomps]))
     if multi_dqt:  # single DQT with all tables (mozjpeg non-FASTEST profile)
-        w.dqt_multi([(i, qtables[i]) for i in range(min(ncomps, 2))])
+        w.dqt_multi([(i, qtables[i]) for i in used_qt])
     else:
-        w.dqt(0, qtables[0])
-        if ncomps > 1:
-            w.dqt(1, qtables[1])
+        for i in used_qt:
+            w.dqt(i, qtables[i])
     # >8-bit sequential uses SOF1 (extended); baseline SOF0 is 8-bit only
     sof_code = (marker.SOF2 if progressive
                 else (marker.SOF0 if precision == 8 else marker.SOF1))
-    comp_ids = [1, 2, 3][:ncomps]
     w.sof(sof_code, precision, height, width,
-          [(comp_ids[ci], comps[ci].h, comps[ci].v, 0 if ci == 0 else 1)
+          [(comp_ids[ci], comps[ci].h, comps[ci].v, qt_slots[ci])
            for ci in range(ncomps)])
     sent_dc: Dict[int, HuffTable] = {}
     sent_ac: Dict[int, HuffTable] = {}
@@ -176,22 +193,41 @@ def _resolve(image, config, overrides):
     if config is None:
         config = EncoderConfig(**overrides)
     cfg = config.resolved()
-    grayscale = config.grayscale or image.ndim == 2
-    ncomps = 1 if grayscale else 3
-    samp = [(1, 1)] if grayscale else [cfg.subsampling, (1, 1), (1, 1)]
+    channels = 1 if image.ndim == 2 else image.shape[2]
+    cs = (cfg.colorspace or "").lower() or None
+    if cs is None:
+        if config.grayscale or channels == 1:
+            cs = "grayscale"
+        elif channels == 4:
+            cs = "cmyk"           # jpeg_default_colorspace: no translation
+        else:
+            cs = "ycbcr"
+    if cs not in _CS_INFO:
+        raise ValueError("unknown colorspace %r" % (cs,))
+    ncomps = len(_CS_INFO[cs][0])
+    if cs in ("cmyk", "ycck") and channels != 4:
+        raise ValueError("%s needs (H, W, 4) input" % cs)
+    sub = cfg.subsampling
+    if cs == "ycbcr":
+        samp = [sub, (1, 1), (1, 1)]
+    elif cs == "ycck":
+        # Y and K at full rate, chroma 1x1 (jcparam.c:632-638)
+        samp = [sub, (1, 1), (1, 1), sub]
+    else:
+        samp = [(1, 1)] * ncomps
     qtables = make_qtables(cfg)
-    return config, cfg, grayscale, ncomps, samp, qtables
+    return config, cfg, cs, ncomps, samp, qtables
 
 
-def _phase_p1(image, cfg, samp, qtables, grayscale):
+def _phase_p1(image, cfg, samp, qtables, cs):
     from . import pipeline_t
     geom, comp_res, small = pipeline_t.run_p1(
-        image, samp, qtables, cfg.overshoot_deringing, grayscale,
-        cfg.precision)
+        image, samp, qtables, cfg.overshoot_deringing, cs == "grayscale",
+        cfg.precision, cs, _CS_INFO[cs][0])
     return geom, comp_res, small
 
 
-def _phase_trellis(geom, comp_res, small, cfg, qtables):
+def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
     """Sync the small array, build tables/lambdas, dispatch trellis (async).
     Returns the device array tuple of final planes."""
     from . import pipeline_t, trellis
@@ -203,13 +239,14 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables):
     if cfg.use_scans_in_trellis:
         fs = cfg.trellis_freq_split
         bands = [(1, fs), (fs + 1, 63)]
+    qt_slots, tbl_slots, _ = _CS_INFO[cs]
     for ci, (q_zz, raw_zz) in enumerate(comp_res):
-        slot = 0 if ci == 0 else 1
+        slot = tbl_slots[ci]
         lam = trellis.lambda_from_norm(norms[ci], cfg.lambda_log_scale1,
                                        cfg.lambda_log_scale2)
         ac_si, dc_si = trellis.trellis_tables_from_hist(
             hists[ci], slot, cfg.optimize_coding and not cfg.arithmetic)
-        qz = np.asarray(qtables[0] if ci == 0 else qtables[1]) \
+        qz = np.asarray(qtables[qt_slots[ci]]) \
             .reshape(64)[consts.JPEG_ZIGZAG].astype(np.int32)
         lams.append(lam)
         ac_sis.append(ac_si)
@@ -247,25 +284,30 @@ def _split_flat(geom, flat):
 
 
 def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
-                   ncomps, restart):
-    dc_tbls, ac_tbls = _std_dc_ac(ncomps)
+                   ncomps, restart, cs="ycbcr"):
+    dc_tbls, ac_tbls = _std_dc_ac(ncomps, cs)
+    ycbcr = cs == "ycbcr"
     if cfg.arithmetic:
         return _entropy_arith(width, height, geom, planes, qtables, config,
-                              cfg, ncomps, restart, dc_tbls, ac_tbls)
+                              cfg, ncomps, restart, dc_tbls, ac_tbls, cs)
     if cfg.progressive:
         if cfg.scan_script is not None:
             script = [scans.ScanInfo(tuple(s[0]), *s[1:])
                       for s in cfg.scan_script]
-        elif cfg.optimize_scans:
+        elif cfg.optimize_scans and (ncomps == 1 or (ncomps == 3 and ycbcr)):
             from . import scanopt
             return scanopt.encode_optimize_scans(
                 width, height, geom, planes, qtables, cfg, ncomps, restart,
                 cfg.precision)
-        elif config.profile == Profile.MAX_COMPRESSION:
+        elif (config.profile == Profile.MAX_COMPRESSION
+              or cfg.optimize_scans):
+            # scan search bails for non-YCbCr multi-component images
+            # (jcparam.c:753-756) and falls back to the simple script
             script = scans.simple_progression_max(ncomps,
-                                                  cfg.dc_scan_opt_mode)
+                                                  cfg.dc_scan_opt_mode,
+                                                  ycbcr)
         else:
-            script = scans.simple_progression_legacy(ncomps)
+            script = scans.simple_progression_legacy(ncomps, ycbcr)
     else:
         script = scans.baseline_script(ncomps)
 
@@ -276,47 +318,52 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
             results.append(encode_scan_optimal(sg, dc_tbls, ac_tbls,
                                                restart))
         else:
-            dct_, act_ = _scan_tables_std(ncomps)
+            dct_, act_ = _scan_tables_std(ncomps, cs)
             results.append(encode_scan_fixed(sg, dc_tbls, ac_tbls, dct_,
                                              act_, restart))
     return assemble(width, height, geom, qtables, results, restart,
                     cfg.progressive, ncomps,
                     multi_dqt=config.profile != Profile.FASTEST,
-                    precision=cfg.precision)
+                    precision=cfg.precision, cs=cs)
 
 
 
 
 def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
-                   ncomps, restart, dc_tbls, ac_tbls):
+                   ncomps, restart, dc_tbls, ac_tbls, cs="ycbcr"):
     """Arithmetic-coded output scans (SOF9/SOF10 + DAC markers)."""
     from . import arith
     _, _, comps = geom
+    qt_slots, _, comp_ids = _CS_INFO[cs]
+    ycbcr = cs == "ycbcr"
     if cfg.progressive:
         if cfg.scan_script is not None:
             script = [scans.ScanInfo(tuple(s[0]), *s[1:])
                       for s in cfg.scan_script]
         elif config.profile == Profile.MAX_COMPRESSION:
             script = scans.simple_progression_max(ncomps,
-                                                  cfg.dc_scan_opt_mode)
+                                                  cfg.dc_scan_opt_mode,
+                                                  ycbcr)
         else:
-            script = scans.simple_progression_legacy(ncomps)
+            script = scans.simple_progression_legacy(ncomps, ycbcr)
     else:
         script = scans.baseline_script(ncomps)
 
     w = marker.MarkerWriter()
     w.soi()
-    w.jfif_app0()
-    if config.profile != Profile.FASTEST:
-        w.dqt_multi([(i, qtables[i]) for i in range(min(ncomps, 2))])
+    if cs in ("ycbcr", "grayscale"):
+        w.jfif_app0()
     else:
-        w.dqt(0, qtables[0])
-        if ncomps > 1:
-            w.dqt(1, qtables[1])
+        w.adobe_app14(2 if cs == "ycck" else 0)
+    used_qt = sorted(set(qt_slots[:ncomps]))
+    if config.profile != Profile.FASTEST:
+        w.dqt_multi([(i, qtables[i]) for i in used_qt])
+    else:
+        for i in used_qt:
+            w.dqt(i, qtables[i])
     sof_code = marker.SOF10 if cfg.progressive else marker.SOF9
-    comp_ids = [1, 2, 3][:ncomps]
     w.sof(sof_code, 8, height, width,
-          [(comp_ids[ci], comps[ci].h, comps[ci].v, 0 if ci == 0 else 1)
+          [(comp_ids[ci], comps[ci].h, comps[ci].v, qt_slots[ci])
            for ci in range(ncomps)])
     if restart:
         w.dri(restart)
@@ -362,36 +409,36 @@ def encode_many(images, config: Optional[EncoderConfig] = None,
     if len(images) > 1:
         shapes = {img.shape for img in images}
         if len(shapes) == 1:
-            cfg_o, cfg, gray, ncomps, samp, qt = _resolve(
+            cfg_o, cfg, cs, ncomps, samp, qt = _resolve(
                 images[0], config, overrides)
             from .pipeline import geometry
             h, w = images[0].shape[:2]
             geom = geometry(w, h, samp)
-            if pipeline_t.batchable(geom) and not gray:
+            if pipeline_t.batchable(geom) and cs == "ycbcr":
                 return _encode_batch(images, cfg_o, cfg, ncomps, samp, qt)
     out = [None] * len(images)
     states = []
     resolved = [_resolve(img, config, overrides) for img in images]
     # stage 1: dispatch all device pipelines
-    for img, (cfg_o, cfg, gray, ncomps, samp, qt) in zip(images, resolved):
-        geom, comp_res, small = _phase_p1(img, cfg, samp, qt, gray)
+    for img, (cfg_o, cfg, cs, ncomps, samp, qt) in zip(images, resolved):
+        geom, comp_res, small = _phase_p1(img, cfg, samp, qt, cs)
         states.append({"geom": geom, "comp_res": comp_res, "small": small})
     # stage 2: trellis dispatch (one host sync per image for norms/hists)
-    for st, (cfg_o, cfg, gray, ncomps, samp, qt) in zip(states, resolved):
+    for st, (cfg_o, cfg, cs, ncomps, samp, qt) in zip(states, resolved):
         if cfg.trellis_quant:
             finals = _phase_trellis(st["geom"], st["comp_res"], st["small"],
-                                    cfg, qt)
+                                    cfg, qt, cs)
         else:
             finals = tuple(r[0] for r in st["comp_res"])
         st["flat"] = _phase_pack(st["geom"], finals)
     # stage 3: download + host entropy
-    for i, (st, img, (cfg_o, cfg, gray, ncomps, samp, qt)) in \
+    for i, (st, img, (cfg_o, cfg, cs, ncomps, samp, qt)) in \
             enumerate(zip(states, images, resolved)):
         planes = _split_flat(st["geom"], _np.asarray(st["flat"]))
         mcus_x = st["geom"][0]
         restart = _restart_interval(cfg, mcus_x)
         out[i] = _phase_entropy(img.shape[1], img.shape[0], st["geom"],
-                                planes, qt, cfg_o, cfg, ncomps, restart)
+                                planes, qt, cfg_o, cfg, ncomps, restart, cs)
     return out
 
 

@@ -70,9 +70,10 @@ def _norm_seq(raw_zz):
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
 def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
-        precision: int = 8, qluma81=None, qchroma81=None):
+        precision: int = 8, colorspace: str = "ycbcr",
+        qt_slots: tuple = None, qluma81=None, qchroma81=None):
     """Per comp (q_zz, raw_zz) device arrays + ONE packed small array
     [norms as f32-bits | hists as int32] for a single host transfer."""
     gl = geom[0]
@@ -80,12 +81,22 @@ def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
     h = rgb.shape[0]
     ph, pw = mcus_y * 8 * max_v, mcus_x * 8 * max_h
     h2 = -(-h // max_v) * max_v
-    if rgb.ndim == 3:
+    if colorspace == "ycck":
+        ycck = color.cmyk_to_ycck(rgb, precision)
+        planes = [layout.pad_plane(ycck[..., i], ph, pw)
+                  for i in range(len(geom))]
+    elif colorspace in ("rgb", "cmyk"):
+        # null conversion: components stored directly (jccolor.c:723)
+        planes = [layout.pad_plane(rgb[..., i], ph, pw)
+                  for i in range(len(geom))]
+    elif rgb.ndim == 3:
         ycc = color.rgb_to_ycc(rgb, precision)
         planes = [layout.pad_plane(ycc[..., i], ph, pw)
                   for i in range(len(geom))]
     else:
         planes = [layout.pad_plane(rgb, ph, pw)]
+    if qt_slots is None:
+        qt_slots = (0,) + (1,) * (len(geom) - 1)
     out = []
     for ci, g in enumerate(geom):
         p = _comp_plane(planes[ci], g, max_h, max_v, h2)
@@ -93,7 +104,7 @@ def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
         blocks = layout.blockify_t(
             p[: g.bh * 8, : g.bw * 8].astype(jnp.int32)
             - (1 << (precision - 1)))
-        q81 = qluma81 if ci == 0 else qchroma81
+        q81 = qluma81 if qt_slots[ci] == 0 else qchroma81
         if dering_on:
             # the reference's dering threshold is 255-CENTERJSAMPLE (literal
             # 8-bit constant) at EVERY data precision (jcdctmgr.c:419)
@@ -130,7 +141,8 @@ def _pad_for_entropy(q_zz, g: CompGeom, transpose: bool = True):
 
 
 def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
-           dering_on: bool, grayscale: bool = False, precision: int = 8):
+           dering_on: bool, grayscale: bool = False, precision: int = 8,
+           colorspace: str = "ycbcr", qt_slots: tuple = None):
     """-> (geom, [(q_zz, raw_zz)] device arrays, small_dev packed array).
 
     Unpack small_dev with unpack_small() when the host needs norms/hists."""
@@ -138,7 +150,8 @@ def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
     mcus_x, mcus_y, geom = geometry(w, h, samp)
     q81 = [_dev_qtbl(np.asarray(t)) for t in qtables]
     res, small = _p1(jnp.asarray(image), mcus_x, mcus_y, tuple(geom),
-                     dering_on, precision, qluma81=q81[0],
+                     dering_on, precision, colorspace, qt_slots,
+                     qluma81=q81[0],
                      qchroma81=q81[1] if len(q81) > 1 else q81[0])
     return (mcus_x, mcus_y, geom), res, small
 
@@ -204,7 +217,7 @@ def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
               precision: int = 8, qluma81=None, qchroma81=None):
     def one(rgb):
         return _p1.__wrapped__(rgb, mcus_x, mcus_y, geom, dering_on,
-                               precision, qluma81, qchroma81)
+                               precision, "ycbcr", None, qluma81, qchroma81)
 
     res, smalls = jax.vmap(one)(rgbs)
     b = rgbs.shape[0]

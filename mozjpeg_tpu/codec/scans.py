@@ -27,11 +27,14 @@ def _scan(ci, Ss, Se, Ah, Al):
     return ScanInfo((ci,), Ss, Se, Ah, Al)
 
 
-def simple_progression_max(ncomps: int, dc_scan_opt_mode: int = 0
-                           ) -> List[ScanInfo]:
-    """mozjpeg JCP_MAX_COMPRESSION default script (jcparam.c:917-958)."""
+def simple_progression_max(ncomps: int, dc_scan_opt_mode: int = 0,
+                           ycbcr: bool = True) -> List[ScanInfo]:
+    """mozjpeg JCP_MAX_COMPRESSION default script (jcparam.c:917-958).
+
+    Non-YCbCr colorspaces (RGB/CMYK/YCCK) take the all-purpose branch
+    even at 3 components (jcparam.c:884,929)."""
     s: List[ScanInfo] = []
-    if ncomps == 3:
+    if ncomps == 3 and ycbcr:
         if dc_scan_opt_mode == 0:
             s.append(ScanInfo((0, 1, 2), 0, 0, 0, 0))
         elif dc_scan_opt_mode == 1:
@@ -62,10 +65,11 @@ def simple_progression_max(ncomps: int, dc_scan_opt_mode: int = 0
     return s
 
 
-def simple_progression_legacy(ncomps: int) -> List[ScanInfo]:
+def simple_progression_legacy(ncomps: int,
+                              ycbcr: bool = True) -> List[ScanInfo]:
     """libjpeg-turbo's classic 10-scan script (jcparam.c:959-978)."""
     s: List[ScanInfo] = []
-    if ncomps == 3:
+    if ncomps == 3 and ycbcr:
         s += [
             ScanInfo((0, 1, 2), 0, 0, 0, 1),
             _scan(0, 1, 5, 0, 2),

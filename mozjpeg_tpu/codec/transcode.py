@@ -249,8 +249,10 @@ def write_coefficients(ci_img: CoefImage,
                jp.qtables.get(1, jp.qtables.get(0,
                                                 np.ones((8, 8), np.uint16)))]
     restart = cfg.restart_interval
+    from .decoder import _jpeg_colorspace
     return _phase_entropy(jp.width, jp.height, geom, planes, qtables,
-                          config, cfg, ncomps, restart)
+                          config, cfg, ncomps, restart,
+                          _jpeg_colorspace(jp))
 
 
 def transform(data: bytes, op: str = "none",

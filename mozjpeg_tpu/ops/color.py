@@ -90,3 +90,33 @@ def ycc_to_rgb(ycc: jnp.ndarray, precision: int = 8) -> jnp.ndarray:
     rgb = jnp.stack([r, g, b], axis=-1)
     dt = jnp.uint8 if precision <= 8 else jnp.uint16
     return jnp.clip(rgb, 0, maxv).astype(dt)
+
+
+def cmyk_to_ycck(cmyk: jnp.ndarray, precision: int = 8) -> jnp.ndarray:
+    """(..., 4) CMYK -> (..., 4) YCCK (jccolor.c:396-437 cmyk_ycck_convert):
+    CMY inverts to RGB, runs the standard YCC transform; K passes through."""
+    maxv = (1 << precision) - 1
+    ctr_off = (1 << (precision - 1)) << SCALEBITS
+    r = maxv - cmyk[..., 0].astype(jnp.int32)
+    g = maxv - cmyk[..., 1].astype(jnp.int32)
+    b = maxv - cmyk[..., 2].astype(jnp.int32)
+    y = (FIX_0_29900 * r + FIX_0_58700 * g + FIX_0_11400 * b
+         + ONE_HALF) >> SCALEBITS
+    cb = ((-FIX_0_16874) * r + (-FIX_0_33126) * g + FIX_0_50000 * b
+          + ctr_off + ONE_HALF - 1) >> SCALEBITS
+    cr = (FIX_0_50000 * r + (-FIX_0_41869) * g + (-FIX_0_08131) * b
+          + ctr_off + ONE_HALF - 1) >> SCALEBITS
+    k = cmyk[..., 3].astype(jnp.int32)
+    dt = jnp.uint8 if precision <= 8 else jnp.uint16
+    return jnp.stack([y, cb, cr, k], axis=-1).astype(dt)
+
+
+def ycck_to_cmyk(ycck: jnp.ndarray, precision: int = 8) -> jnp.ndarray:
+    """(..., 4) YCCK -> (..., 4) CMYK (jdcolor.c ycck_cmyk_convert):
+    YCC -> RGB (clamped), inverted back to CMY; K passes through."""
+    maxv = (1 << precision) - 1
+    rgb = ycc_to_rgb(ycck[..., :3], precision).astype(jnp.int32)
+    cmy = maxv - rgb
+    k = ycck[..., 3].astype(jnp.int32)
+    dt = jnp.uint8 if precision <= 8 else jnp.uint16
+    return jnp.concatenate([cmy, k[..., None]], axis=-1).astype(dt)

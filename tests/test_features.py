@@ -143,6 +143,74 @@ class TestPrecision12:
         np.testing.assert_array_equal(decode(data), ref)
 
 
+def _cmyk_img():
+    rng = np.random.default_rng(11)
+    h, w = 59, 83
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([(yy * 3 + xx * 2) % 256, (xx * 5) % 256,
+                     ((yy + xx) * 4) % 256, (yy * 2) % 256], -1).astype(float)
+    return np.clip(base * 0.8 + rng.integers(0, 90, (h, w, 4)),
+                   0, 255).astype(np.uint8)
+
+
+HARNESS = "/root/repo/.bench/colorspace_harness"
+DEC_HARNESS = "/root/repo/.bench/decode_harness"
+
+
+class TestColorspaces:
+    """CMYK / YCCK / RGB: byte-exact vs the reference library API
+    (cjpeg can't read CMYK input, so the oracle is a libjpeg harness)."""
+
+    def _golden(self, cs, flags):
+        if not os.path.exists(HARNESS):
+            pytest.skip("colorspace harness not built")
+        img = _cmyk_img()
+        n = 3 if cs == "rgb" else 4
+        p = subprocess.run([HARNESS, "83", "59", cs, "75"] + flags,
+                           input=img[..., :n].tobytes(),
+                           capture_output=True)
+        assert p.returncode == 0, p.stderr
+        return img[..., :n], p.stdout
+
+    @pytest.mark.parametrize("cs", ["cmyk", "ycck"])
+    def test_seq_byte_exact(self, cs):
+        img, golden = self._golden(cs, ["baseline"])
+        ours = encode(img, EncoderConfig(
+            quality=75, colorspace=cs, profile=Profile.FASTEST,
+            progressive=False, force_baseline=True, optimize_coding=False,
+            optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False))
+        assert ours == golden
+
+    @pytest.mark.parametrize("cs,extra", [
+        ("cmyk", []), ("ycck", []), ("rgb", ["reprogress"])])
+    def test_full_trellis_byte_exact(self, cs, extra):
+        img, golden = self._golden(cs, ["fastcrush"] + extra)
+        ours = encode(img, EncoderConfig(
+            quality=75, colorspace=cs, optimize_scans=False))
+        assert ours == golden
+
+    def test_rgb_progressive_byte_exact(self):
+        img, golden = self._golden(
+            "rgb", ["fastcrush", "notrellis", "notrellis-dc",
+                    "noovershoot", "reprogress"])
+        ours = encode(img, EncoderConfig(
+            quality=75, colorspace="rgb", optimize_scans=False,
+            trellis_quant=False, overshoot_deringing=False))
+        assert ours == golden
+
+    @pytest.mark.parametrize("cs", ["cmyk", "ycck", "rgb"])
+    def test_decode_bit_exact(self, cs):
+        if not os.path.exists(DEC_HARNESS):
+            pytest.skip("decode harness not built")
+        img, data = self._golden(cs, ["fastcrush"]
+                                 + (["reprogress"] if cs == "rgb" else []))
+        p = subprocess.run([DEC_HARNESS], input=data, capture_output=True)
+        w, h, c = map(int, p.stderr.split())
+        ref = np.frombuffer(p.stdout, np.uint8).reshape(h, w, c)
+        np.testing.assert_array_equal(decode(data), ref)
+
+
 class TestLossless16:
     def test_roundtrip_16(self):
         from mozjpeg_tpu.codec.lossless import encode_lossless
