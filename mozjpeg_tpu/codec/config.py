@@ -112,6 +112,7 @@ class EncoderConfig:
                            if self.quant_tbl_idx is not None
                            else (3 if maxc else 0)),
             force_baseline=self.force_baseline,
+            smoothing_factor=self.smoothing_factor,
             trellis_quant=(self.trellis_quant
                            if self.trellis_quant is not None else maxc),
             trellis_quant_dc=self.trellis_quant_dc,
@@ -148,6 +149,7 @@ class ResolvedConfig:
     dc_scan_opt_mode: int
     quant_tbl_idx: int
     force_baseline: bool
+    smoothing_factor: int
     trellis_quant: bool
     trellis_quant_dc: bool
     trellis_eob_opt: bool

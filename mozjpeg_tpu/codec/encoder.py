@@ -223,7 +223,7 @@ def _phase_p1(image, cfg, samp, qtables, cs):
     from . import pipeline_t
     geom, comp_res, small = pipeline_t.run_p1(
         image, samp, qtables, cfg.overshoot_deringing, cs == "grayscale",
-        cfg.precision, cs, _CS_INFO[cs][0])
+        cfg.precision, cs, _CS_INFO[cs][0], cfg.smoothing_factor)
     return geom, comp_res, small
 
 

@@ -26,7 +26,21 @@ from ..utils.xfer import to_host
 from .pipeline import CompGeom, geometry
 
 
-def _comp_plane(p, g: CompGeom, max_h: int, max_v: int, h2: int):
+def _comp_plane(p, g: CompGeom, max_h: int, max_v: int, h2: int,
+                smoothing: int = 0):
+    if smoothing:
+        # context mode (jcprepct.c pre_process_context): input rows are
+        # duplicated through the FULL iMCU height before downsampling, so
+        # the two-stage (downsample-then-replicate) padding does not apply
+        if g.h == max_h and g.v == max_v:
+            p = sample.smooth_fullsize(p, smoothing)
+        elif g.h * 2 == max_h and g.v * 2 == max_v:
+            p = sample.downsample_h2v2_smooth(p, smoothing)
+        elif g.h < max_h:
+            p = sample.downsample_h2v1(p)
+        elif g.v < max_v:
+            p = sample.downsample_h1v2(p)
+        return p[: g.bh_pad * 8, : g.bw_pad * 8]
     if g.v < max_v:
         p = p[:h2]
     if g.h < max_h and g.v < max_v:
@@ -70,10 +84,11 @@ def _norm_seq(raw_zz):
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
         precision: int = 8, colorspace: str = "ycbcr",
-        qt_slots: tuple = None, qluma81=None, qchroma81=None):
+        qt_slots: tuple = None, smoothing: int = 0,
+        qluma81=None, qchroma81=None):
     """Per comp (q_zz, raw_zz) device arrays + ONE packed small array
     [norms as f32-bits | hists as int32] for a single host transfer."""
     gl = geom[0]
@@ -99,7 +114,7 @@ def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
         qt_slots = (0,) + (1,) * (len(geom) - 1)
     out = []
     for ci, g in enumerate(geom):
-        p = _comp_plane(planes[ci], g, max_h, max_v, h2)
+        p = _comp_plane(planes[ci], g, max_h, max_v, h2, smoothing)
         # real blocks only, raster order, coefficient-major
         blocks = layout.blockify_t(
             p[: g.bh * 8, : g.bw * 8].astype(jnp.int32)
@@ -142,7 +157,8 @@ def _pad_for_entropy(q_zz, g: CompGeom, transpose: bool = True):
 
 def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
            dering_on: bool, grayscale: bool = False, precision: int = 8,
-           colorspace: str = "ycbcr", qt_slots: tuple = None):
+           colorspace: str = "ycbcr", qt_slots: tuple = None,
+           smoothing: int = 0):
     """-> (geom, [(q_zz, raw_zz)] device arrays, small_dev packed array).
 
     Unpack small_dev with unpack_small() when the host needs norms/hists."""
@@ -150,7 +166,7 @@ def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
     mcus_x, mcus_y, geom = geometry(w, h, samp)
     q81 = [_dev_qtbl(np.asarray(t)) for t in qtables]
     res, small = _p1(jnp.asarray(image), mcus_x, mcus_y, tuple(geom),
-                     dering_on, precision, colorspace, qt_slots,
+                     dering_on, precision, colorspace, qt_slots, smoothing,
                      qluma81=q81[0],
                      qchroma81=q81[1] if len(q81) > 1 else q81[0])
     return (mcus_x, mcus_y, geom), res, small
@@ -217,7 +233,8 @@ def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
               precision: int = 8, qluma81=None, qchroma81=None):
     def one(rgb):
         return _p1.__wrapped__(rgb, mcus_x, mcus_y, geom, dering_on,
-                               precision, "ycbcr", None, qluma81, qchroma81)
+                               precision, "ycbcr", None, 0,
+                               qluma81, qchroma81)
 
     res, smalls = jax.vmap(one)(rgbs)
     b = rgbs.shape[0]

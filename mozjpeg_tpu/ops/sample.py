@@ -95,3 +95,34 @@ def upsample_replicate(plane: jnp.ndarray, h: int, v: int) -> jnp.ndarray:
     """Plain pixel replication (jdsample.c h2v2_upsample / int_upsample)."""
     out = jnp.repeat(plane, v, axis=-2)
     return jnp.repeat(out, h, axis=-1)
+
+
+def smooth_fullsize(plane: jnp.ndarray, sf: int) -> jnp.ndarray:
+    """Input smoothing for full-rate components (jcsample.c:395-455
+    fullsize_smooth_downsample): out = (p*(1-8*SF) + neigh*SF) with
+    SF = sf/1024, scaled by 2^16; edges replicate."""
+    x = jnp.pad(plane.astype(jnp.int32), 1, mode="edge")
+    member = x[1:-1, 1:-1]
+    neigh = (x[:-2, :-2] + x[:-2, 1:-1] + x[:-2, 2:]
+             + x[1:-1, :-2] + x[1:-1, 2:]
+             + x[2:, :-2] + x[2:, 1:-1] + x[2:, 2:])
+    out = (member * (65536 - sf * 512) + neigh * (sf * 64) + 32768) >> 16
+    return out.astype(plane.dtype)
+
+
+def downsample_h2v2_smooth(plane: jnp.ndarray, sf: int) -> jnp.ndarray:
+    """Smoothing 2x2 downsample (jcsample.c:307-392 h2v2_smooth_downsample):
+    member*(16384-80*sf) + (2*edge_adjacent + corner)*(16*sf), +32768 >> 16."""
+    h, w = plane.shape[-2], plane.shape[-1]
+    x = jnp.pad(plane.astype(jnp.int32), 1, mode="edge")
+
+    def s(dr, dc):
+        return x[1 + dr:1 + dr + h, 1 + dc:1 + dc + w][0::2, 0::2]
+
+    member = s(0, 0) + s(0, 1) + s(1, 0) + s(1, 1)
+    edge = (s(-1, 0) + s(-1, 1) + s(2, 0) + s(2, 1)
+            + s(0, -1) + s(1, -1) + s(0, 2) + s(1, 2))
+    corner = s(-1, -1) + s(-1, 2) + s(2, -1) + s(2, 2)
+    out = (member * (16384 - sf * 80) + (2 * edge + corner) * (sf * 16)
+           + 32768) >> 16
+    return out.astype(plane.dtype)

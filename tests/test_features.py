@@ -211,6 +211,40 @@ class TestColorspaces:
         np.testing.assert_array_equal(decode(data), ref)
 
 
+class TestSmoothing:
+    """cjpeg -smooth N: fullsize + h2v2 smooth downsampling in context
+    mode (input rows duplicated through the iMCU, jcprepct.c)."""
+
+    @pytest.mark.parametrize("sm", [10, 100])
+    def test_smooth_byte_exact(self, ref_tools, tmp_path, testorig, sm):
+        golden = run_cjpeg(["-quality", "75", "-smooth", str(sm),
+                            "-fastcrush", "-notrellis", "-notrellis-dc",
+                            "-noovershoot"], corpus("testorig.ppm"),
+                           str(tmp_path / "s.jpg"))
+        ours = encode(testorig, EncoderConfig(
+            quality=75, smoothing_factor=sm, optimize_scans=False,
+            trellis_quant=False, overshoot_deringing=False))
+        assert ours == golden
+
+    def test_smooth_full_default(self, ref_tools, tmp_path, testorig):
+        golden = run_cjpeg(["-quality", "75", "-smooth", "30"],
+                           corpus("testorig.ppm"), str(tmp_path / "s.jpg"))
+        ours = encode(testorig, EncoderConfig(quality=75,
+                                              smoothing_factor=30))
+        assert ours == golden
+
+    def test_smooth_422(self, ref_tools, tmp_path, testorig):
+        golden = run_cjpeg(["-quality", "85", "-smooth", "40", "-sample",
+                            "2x1", "-fastcrush", "-notrellis",
+                            "-notrellis-dc", "-noovershoot"],
+                           corpus("testorig.ppm"), str(tmp_path / "s.jpg"))
+        ours = encode(testorig, EncoderConfig(
+            quality=85, smoothing_factor=40, subsampling=(2, 1),
+            optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False))
+        assert ours == golden
+
+
 class TestLossless16:
     def test_roundtrip_16(self):
         from mozjpeg_tpu.codec.lossless import encode_lossless
