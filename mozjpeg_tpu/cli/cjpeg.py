@@ -15,7 +15,7 @@ from ..utils import ppm
 def build_parser():
     p = argparse.ArgumentParser(prog="cjpeg", add_help=True,
                                 description="TPU-native mozjpeg encoder")
-    p.add_argument("-quality", type=float, default=75)
+    p.add_argument("-quality", type=str, default="75")
     p.add_argument("-precision", type=int, default=8,
                    help="data precision: 8, 12 (lossy) or 16 (lossless)")
     p.add_argument("-lossless", type=str, default=None,
@@ -44,6 +44,12 @@ def build_parser():
                    dest="tune_hvs_psnr")
     p.add_argument("-quant-table", type=int, default=None,
                    dest="quant_table")
+    p.add_argument("-qtables", type=str, default=None,
+                   help="file with 1..4 quant tables of 64 values")
+    p.add_argument("-qslots", type=str, default=None,
+                   help="N[,N,...] quant table slot per component")
+    p.add_argument("-scans", type=str, default=None,
+                   help="scan script file")
     p.add_argument("-sample", type=str, default=None)
     p.add_argument("-smooth", type=int, default=0)
     p.add_argument("-restart", type=str, default=None)
@@ -57,12 +63,14 @@ def build_parser():
 
 
 def config_from_args(a) -> EncoderConfig:
+    from . import rdswitch
     profile = Profile.FASTEST if a.revert else Profile.MAX_COMPRESSION
-    subsampling = quality_default_subsampling(a.quality)
+    quality = rdswitch.parse_quality(a.quality)
+    # the heuristic keys off the LAST rating parsed (rdswitch.c:562-570)
+    q_last = quality[-1] if isinstance(quality, list) else quality
+    subsampling = quality_default_subsampling(q_last)
     if a.sample:
-        hv = a.sample.split(",")[0]
-        h, v = hv.split("x")
-        subsampling = (int(h), int(v))
+        subsampling = rdswitch.parse_sample(a.sample)[0]
     restart_interval = 0
     restart_in_rows = 0
     if a.restart:
@@ -92,8 +100,13 @@ def config_from_args(a) -> EncoderConfig:
         l1, l2 = 14.75, 16.5
         use_lambda_tbl = True
 
+    base_qt = (rdswitch.read_quant_tables(open(a.qtables).read())
+               if a.qtables else None)
+    qslots = rdswitch.parse_int_list(a.qslots) if a.qslots else None
+    scan_script = (rdswitch.read_scan_script(open(a.scans).read())
+                   if a.scans else None)
     return EncoderConfig(
-        quality=a.quality,
+        quality=quality,
         profile=profile,
         subsampling=subsampling,
         grayscale=a.grayscale,
@@ -117,6 +130,9 @@ def config_from_args(a) -> EncoderConfig:
         smoothing_factor=a.smooth,
         precision=a.precision,
         colorspace="rgb" if a.rgb else None,
+        base_quant_tables=base_qt,
+        qslots=qslots,
+        scan_script=scan_script,
     )
 
 

@@ -34,7 +34,9 @@ class DCTMethod(enum.Enum):
 
 @dataclasses.dataclass
 class EncoderConfig:
-    quality: float = 75.0
+    # single rating, or a per-quant-table sequence "N,M" like cjpeg
+    # (rdswitch.c:526-560 set_quality_ratings)
+    quality: object = 75.0
     profile: Profile = Profile.MAX_COMPRESSION
 
     # data precision (8 or 12 for lossy; jcmaster.c:1093 forces optimized
@@ -62,6 +64,11 @@ class EncoderConfig:
     quant_tbl_idx: Optional[int] = None     # None = profile default (3 or 0)
     force_baseline: bool = False            # cjpeg default (-baseline sets True)
     smoothing_factor: int = 0
+    # raw basic tables (-qtables file): replace slots 0..n-1 before quality
+    # scaling (rdswitch.c:84-137 read_quant_tables)
+    base_quant_tables: Optional[Sequence] = None
+    # per-component quant slot override (-qslots, rdswitch.c:576-610)
+    qslots: Optional[Sequence[int]] = None
 
     # trellis (mozjpeg extension params, jcext.c / jpeglib.h:321-355)
     trellis_quant: Optional[bool] = None
@@ -113,6 +120,8 @@ class EncoderConfig:
                            else (3 if maxc else 0)),
             force_baseline=self.force_baseline,
             smoothing_factor=self.smoothing_factor,
+            base_quant_tables=self.base_quant_tables,
+            qslots=tuple(self.qslots) if self.qslots else None,
             trellis_quant=(self.trellis_quant
                            if self.trellis_quant is not None else maxc),
             trellis_quant_dc=self.trellis_quant_dc,
@@ -150,6 +159,8 @@ class ResolvedConfig:
     quant_tbl_idx: int
     force_baseline: bool
     smoothing_factor: int
+    base_quant_tables: Optional[Sequence]
+    qslots: Optional[Tuple[int, ...]]
     trellis_quant: bool
     trellis_quant_dc: bool
     trellis_eob_opt: bool

@@ -27,14 +27,42 @@ STD_TABLES = {
 
 
 def make_qtables(cfg) -> List[np.ndarray]:
-    sf = consts.quality_scaling(cfg.quality)
-    ql = consts.scale_quant_table(
-        consts.STD_LUMINANCE_QUANT_TBL[cfg.quant_tbl_idx], sf,
-        cfg.force_baseline).reshape(8, 8)
-    qc = consts.scale_quant_table(
-        consts.STD_CHROMINANCE_QUANT_TBL[cfg.quant_tbl_idx], sf,
-        cfg.force_baseline).reshape(8, 8)
-    return [ql, qc]
+    """Up to 4 tables: per-table quality ratings replicate the last value
+    (rdswitch.c set_quality_ratings); -qtables base tables replace slots
+    0..n-1 and are scaled by the same per-slot factors (jpeg_add_quant_table
+    semantics, jcparam.c:31-68)."""
+    quals = (list(cfg.quality) if isinstance(cfg.quality, (list, tuple))
+             else [cfg.quality])
+    sfs = [consts.quality_scaling(q) for q in quals[:4]]
+    while len(sfs) < 4:
+        sfs.append(sfs[-1])
+    bases = [consts.STD_LUMINANCE_QUANT_TBL[cfg.quant_tbl_idx],
+             consts.STD_CHROMINANCE_QUANT_TBL[cfg.quant_tbl_idx],
+             None, None]
+    if cfg.base_quant_tables is not None:
+        for i, t in enumerate(cfg.base_quant_tables[:4]):
+            bases[i] = np.asarray(t, dtype=np.uint32).reshape(-1)
+    out = []
+    for i in range(4):
+        if bases[i] is None:
+            out.append(None)
+        else:
+            out.append(consts.scale_quant_table(
+                bases[i], sfs[i], cfg.force_baseline).reshape(8, 8))
+    while out and out[-1] is None:
+        out.pop()
+    return out
+
+
+def _qt_slots(cfg, cs, ncomps):
+    """Per-component quant slot mapping, with -qslots override
+    (rdswitch.c set_quant_slots: last value replicates)."""
+    if cfg.qslots:
+        sl = list(cfg.qslots)[:ncomps]
+        while len(sl) < ncomps:
+            sl.append(sl[-1])
+        return tuple(sl)
+    return _CS_INFO[cs][0][:ncomps]
 
 
 # per-colorspace component layout: (quant slots, huff table slots, comp IDs)
@@ -124,10 +152,12 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
              icc: Optional[bytes] = None,
              com: Optional[bytes] = None,
              multi_dqt: bool = True, precision: int = 8,
-             cs: str = "ycbcr") -> bytes:
+             cs: str = "ycbcr", qt_slots=None) -> bytes:
     """Write markers + scans into the final JPEG byte stream."""
     _, _, comps = geom
-    qt_slots, _, comp_ids = _CS_INFO[cs]
+    comp_ids = _CS_INFO[cs][2]
+    if qt_slots is None:
+        qt_slots = _CS_INFO[cs][0]
     w = marker.MarkerWriter()
     w.soi()
     # JFIF only for YCbCr/grayscale; Adobe APP14 flags RGB/CMYK/YCCK
@@ -140,7 +170,9 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
         marker.write_icc(w, icc)
     if com:
         w.com(com)
-    used_qt = sorted(set(qt_slots[:ncomps]))
+    # tables are emitted in component order, deduplicated on first use
+    # (jcmarker.c write_frame_header walks comp_info)
+    used_qt = list(dict.fromkeys(qt_slots[:ncomps]))
     if multi_dqt:  # single DQT with all tables (mozjpeg non-FASTEST profile)
         w.dqt_multi([(i, qtables[i]) for i in used_qt])
     else:
@@ -221,9 +253,11 @@ def _resolve(image, config, overrides):
 
 def _phase_p1(image, cfg, samp, qtables, cs):
     from . import pipeline_t
+    ncomps = len(samp)
     geom, comp_res, small = pipeline_t.run_p1(
         image, samp, qtables, cfg.overshoot_deringing, cs == "grayscale",
-        cfg.precision, cs, _CS_INFO[cs][0], cfg.smoothing_factor)
+        cfg.precision, cs, _qt_slots(cfg, cs, ncomps),
+        cfg.smoothing_factor)
     return geom, comp_res, small
 
 
@@ -239,7 +273,8 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
     if cfg.use_scans_in_trellis:
         fs = cfg.trellis_freq_split
         bands = [(1, fs), (fs + 1, 63)]
-    qt_slots, tbl_slots, _ = _CS_INFO[cs]
+    tbl_slots = _CS_INFO[cs][1]
+    qt_slots = _qt_slots(cfg, cs, len(comp_res))
     for ci, (q_zz, raw_zz) in enumerate(comp_res):
         slot = tbl_slots[ci]
         lam = trellis.lambda_from_norm(norms[ci], cfg.lambda_log_scale1,
@@ -290,11 +325,15 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
     if cfg.arithmetic:
         return _entropy_arith(width, height, geom, planes, qtables, config,
                               cfg, ncomps, restart, dc_tbls, ac_tbls, cs)
-    if cfg.progressive:
-        if cfg.scan_script is not None:
-            script = [scans.ScanInfo(tuple(s[0]), *s[1:])
-                      for s in cfg.scan_script]
-        elif cfg.optimize_scans and (ncomps == 1 or (ncomps == 3 and ycbcr)):
+    progressive = cfg.progressive
+    if cfg.scan_script is not None:
+        # a custom script may be sequential: progressive iff the first
+        # scan isn't full-spectrum (jcmaster.c validate_script)
+        script = [scans.ScanInfo(tuple(s[0]), *s[1:])
+                  for s in cfg.scan_script]
+        progressive = script[0].Ss != 0 or script[0].Se != 63
+    elif cfg.progressive:
+        if cfg.optimize_scans and (ncomps == 1 or (ncomps == 3 and ycbcr)):
             from . import scanopt
             return scanopt.encode_optimize_scans(
                 width, height, geom, planes, qtables, cfg, ncomps, restart,
@@ -314,7 +353,7 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
     results = []
     for scan in script:
         sg = entenc.ScanGeometry(scan, geom, planes)
-        if cfg.optimize_coding or cfg.progressive:
+        if cfg.optimize_coding or progressive:
             results.append(encode_scan_optimal(sg, dc_tbls, ac_tbls,
                                                restart))
         else:
@@ -322,9 +361,10 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
             results.append(encode_scan_fixed(sg, dc_tbls, ac_tbls, dct_,
                                              act_, restart))
     return assemble(width, height, geom, qtables, results, restart,
-                    cfg.progressive, ncomps,
+                    progressive, ncomps,
                     multi_dqt=config.profile != Profile.FASTEST,
-                    precision=cfg.precision, cs=cs)
+                    precision=cfg.precision, cs=cs,
+                    qt_slots=_qt_slots(cfg, cs, ncomps))
 
 
 
@@ -334,7 +374,8 @@ def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
     """Arithmetic-coded output scans (SOF9/SOF10 + DAC markers)."""
     from . import arith
     _, _, comps = geom
-    qt_slots, _, comp_ids = _CS_INFO[cs]
+    _, _tbl, comp_ids = _CS_INFO[cs]
+    qt_slots = _qt_slots(cfg, cs, ncomps)
     ycbcr = cs == "ycbcr"
     if cfg.progressive:
         if cfg.scan_script is not None:
@@ -355,7 +396,7 @@ def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
         w.jfif_app0()
     else:
         w.adobe_app14(2 if cs == "ycck" else 0)
-    used_qt = sorted(set(qt_slots[:ncomps]))
+    used_qt = list(dict.fromkeys(qt_slots[:ncomps]))
     if config.profile != Profile.FASTEST:
         w.dqt_multi([(i, qtables[i]) for i in used_qt])
     else:

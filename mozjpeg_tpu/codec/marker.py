@@ -107,9 +107,10 @@ class MarkerWriter:
 
     def dht_multi(self, entries):
         """One DHT marker holding several tables: entries = [(cls, idx, tbl)]
-        (mozjpeg non-FASTEST profile, jcmarker.c emit_multi_dht)."""
-        if not entries:
-            return
+        (mozjpeg non-FASTEST profile, jcmarker.c emit_multi_dht).
+
+        A scan that uses no tables (progressive DC refinement) still gets
+        a bare FFC4 0002 marker — emit_multi_dht always writes the header."""
         payload = b"".join(self._dht_payload(c, i, t) for c, i, t in entries)
         self.segment(DHT, payload)
 

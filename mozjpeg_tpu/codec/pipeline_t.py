@@ -88,7 +88,8 @@ def _norm_seq(raw_zz):
 def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
         precision: int = 8, colorspace: str = "ycbcr",
         qt_slots: tuple = None, smoothing: int = 0,
-        qluma81=None, qchroma81=None):
+        qts81=None):
+    """qts81: per-component (8, 8, 1) device quant tables."""
     """Per comp (q_zz, raw_zz) device arrays + ONE packed small array
     [norms as f32-bits | hists as int32] for a single host transfer."""
     gl = geom[0]
@@ -119,7 +120,7 @@ def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
         blocks = layout.blockify_t(
             p[: g.bh * 8, : g.bw * 8].astype(jnp.int32)
             - (1 << (precision - 1)))
-        q81 = qluma81 if qt_slots[ci] == 0 else qchroma81
+        q81 = qts81[ci]
         if dering_on:
             # the reference's dering threshold is 255-CENTERJSAMPLE (literal
             # 8-bit constant) at EVERY data precision (jcdctmgr.c:419)
@@ -164,11 +165,14 @@ def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
     Unpack small_dev with unpack_small() when the host needs norms/hists."""
     h, w = image.shape[:2]
     mcus_x, mcus_y, geom = geometry(w, h, samp)
-    q81 = [_dev_qtbl(np.asarray(t)) for t in qtables]
+    if qt_slots is None:
+        qt_slots = (0,) + (1,) * (len(geom) - 1)
+        if len(qtables) < 2:
+            qt_slots = (0,) * len(geom)
+    qts81 = tuple(_dev_qtbl(np.asarray(qtables[s])) for s in qt_slots)
     res, small = _p1(jnp.asarray(image), mcus_x, mcus_y, tuple(geom),
                      dering_on, precision, colorspace, qt_slots, smoothing,
-                     qluma81=q81[0],
-                     qchroma81=q81[1] if len(q81) > 1 else q81[0])
+                     qts81=qts81)
     return (mcus_x, mcus_y, geom), res, small
 
 
@@ -230,11 +234,11 @@ def batchable(geom) -> bool:
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
-              precision: int = 8, qluma81=None, qchroma81=None):
+              precision: int = 8, qts81=None):
     def one(rgb):
         return _p1.__wrapped__(rgb, mcus_x, mcus_y, geom, dering_on,
-                               precision, "ycbcr", None, 0,
-                               qluma81, qchroma81)
+                               precision, "ycbcr",
+                               (0,) + (1,) * (len(geom) - 1), 0, qts81)
 
     res, smalls = jax.vmap(one)(rgbs)
     b = rgbs.shape[0]
@@ -251,10 +255,11 @@ def run_p1_batch(images: np.ndarray, samp, qtables, dering_on: bool,
     """images (B, H, W, 3) -> (geom, [(q,raw) with N'=B*N], smalls (B,...))."""
     b, h, w = images.shape[:3]
     mcus_x, mcus_y, geom = geometry(w, h, samp)
-    q81 = [_dev_qtbl(np.asarray(t)) for t in qtables]
+    q81 = [_dev_qtbl(np.asarray(t)) for t in qtables[:2]]
+    qts81 = tuple(q81[0 if i == 0 else min(1, len(q81) - 1)]
+                  for i in range(len(geom)))
     res, small = _p1_batch(jnp.asarray(images), mcus_x, mcus_y, tuple(geom),
-                           dering_on, precision, qluma81=q81[0],
-                           qchroma81=q81[1] if len(q81) > 1 else q81[0])
+                           dering_on, precision, qts81=qts81)
     return (mcus_x, mcus_y, geom), res, small
 
 

@@ -245,6 +245,76 @@ class TestSmoothing:
         assert ours == golden
 
 
+class TestRdswitch:
+    """-quality lists, -qtables, -qslots, -scans (rdswitch.c)."""
+    BASE = ["-fastcrush", "-notrellis", "-notrellis-dc", "-noovershoot"]
+    QT = (" ".join(str(v) for v in range(16, 80)) + "\n"
+          + " ".join(str((v % 50) + 17) for v in range(64)))
+
+    def test_quality_list(self, ref_tools, tmp_path, testorig):
+        golden = run_cjpeg(["-quality", "60,85"] + self.BASE,
+                           corpus("testorig.ppm"), str(tmp_path / "q.jpg"))
+        # cjpeg picks subsampling from the LAST rating (85 -> 2x1)
+        ours = encode(testorig, EncoderConfig(
+            quality=[60, 85], subsampling=(2, 1), optimize_scans=False,
+            trellis_quant=False, overshoot_deringing=False))
+        assert ours == golden
+
+    def test_qtables_file(self, ref_tools, tmp_path, testorig):
+        from mozjpeg_tpu.cli import rdswitch
+        p = tmp_path / "qt.txt"
+        p.write_text(self.QT)
+        golden = run_cjpeg(["-quality", "75", "-qtables", str(p)]
+                           + self.BASE, corpus("testorig.ppm"),
+                           str(tmp_path / "q.jpg"))
+        ours = encode(testorig, EncoderConfig(
+            quality=75, optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False,
+            base_quant_tables=rdswitch.read_quant_tables(self.QT)))
+        assert ours == golden
+
+    def test_qslots(self, ref_tools, tmp_path, testorig):
+        from mozjpeg_tpu.cli import rdswitch
+        p = tmp_path / "qt.txt"
+        p.write_text(self.QT)
+        golden = run_cjpeg(["-quality", "75", "-qtables", str(p),
+                            "-qslots", "1,0,1"] + self.BASE,
+                           corpus("testorig.ppm"), str(tmp_path / "q.jpg"))
+        ours = encode(testorig, EncoderConfig(
+            quality=75, optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False, qslots=[1, 0, 1],
+            base_quant_tables=rdswitch.read_quant_tables(self.QT)))
+        assert ours == golden
+
+    def test_scans_file_progressive(self, ref_tools, tmp_path, testorig):
+        from mozjpeg_tpu.cli import rdswitch
+        sc = ("0: 0 0 0 1;\n1 2: 0 0 0 1;\n0: 1 63 0 1;\n1: 1 63 0 1;\n"
+              "2: 1 63 0 1;\n0 : 0 0 1 0;\n1 2: 0 0 1 0;\n0: 1 63 1 0;\n"
+              "1: 1 63 1 0;\n2: 1 63 1 0;")
+        p = tmp_path / "sc.txt"
+        p.write_text(sc)
+        golden = run_cjpeg(["-quality", "75", "-scans", str(p)] + self.BASE,
+                           corpus("testorig.ppm"), str(tmp_path / "s.jpg"))
+        ours = encode(testorig, EncoderConfig(
+            quality=75, optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False,
+            scan_script=rdswitch.read_scan_script(sc)))
+        assert ours == golden
+
+    def test_scans_file_sequential(self, ref_tools, tmp_path, testorig):
+        from mozjpeg_tpu.cli import rdswitch
+        sc = "0;\n1;\n2;"
+        p = tmp_path / "sc.txt"
+        p.write_text(sc)
+        golden = run_cjpeg(["-quality", "75", "-scans", str(p)] + self.BASE,
+                           corpus("testorig.ppm"), str(tmp_path / "s.jpg"))
+        ours = encode(testorig, EncoderConfig(
+            quality=75, optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False,
+            scan_script=rdswitch.read_scan_script(sc)))
+        assert ours == golden
+
+
 class TestLossless16:
     def test_roundtrip_16(self):
         from mozjpeg_tpu.codec.lossless import encode_lossless
