@@ -268,36 +268,93 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
     import jax.numpy as jnp
     mcus_x, mcus_y, comps = geom
     norms, hists = pipeline_t.unpack_small(geom, small)
-    lams, ac_sis, dc_sis, qtblzz, ncands = [], [], [], [], []
-    bands = [(1, 63)]
-    if cfg.use_scans_in_trellis:
-        fs = cfg.trellis_freq_split
-        bands = [(1, fs), (fs + 1, 63)]
     tbl_slots = _CS_INFO[cs][1]
     qt_slots = _qt_slots(cfg, cs, len(comp_res))
-    for ci, (q_zz, raw_zz) in enumerate(comp_res):
-        slot = tbl_slots[ci]
-        lam = trellis.lambda_from_norm(norms[ci], cfg.lambda_log_scale1,
-                                       cfg.lambda_log_scale2)
-        ac_si, dc_si = trellis.trellis_tables_from_hist(
-            hists[ci], slot, cfg.optimize_coding and not cfg.arithmetic)
+    opt = cfg.optimize_coding and not cfg.arithmetic
+    lams, dc_sis, qtblzz, ncands = [], [], [], []
+    for ci in range(len(comp_res)):
+        lams.append(trellis.lambda_from_norm(
+            norms[ci], cfg.lambda_log_scale1, cfg.lambda_log_scale2))
+        _, dc_si = trellis.trellis_tables_from_hist(
+            hists[ci], tbl_slots[ci], False)
+        dc_sis.append(dc_si)
         qz = np.asarray(qtables[qt_slots[ci]]) \
             .reshape(64)[consts.JPEG_ZIGZAG].astype(np.int32)
-        lams.append(lam)
-        ac_sis.append(ac_si)
-        dc_sis.append(dc_si)
         qtblzz.append(qz)
         ncands.append(trellis.get_num_dc_candidates(int(qz[0])))
-    packed = jnp.asarray(trellis.pack_trellis_inputs(
-        lams, ac_sis, dc_sis, qtblzz))
-    run = trellis.make_trellis_all_t(tuple(comps), None, tuple(bands),
-                                     cfg.trellis_quant_dc, tuple(ncands),
-                                     precision=cfg.precision)
-    finals = run(tuple(r[1] for r in comp_res),
-                 tuple(r[0] for r in comp_res), packed)
-    for _ in range(max(1, cfg.trellis_num_loops) - 1):
-        finals = run(tuple(r[1] for r in comp_res), finals, packed)
+    raws = tuple(r[1] for r in comp_res)
+
+    if cfg.use_scans_in_trellis:
+        # per-band stats are regathered from the CURRENT coefficients
+        # after the previous band's trellis (jcmaster pass structure)
+        fs = cfg.trellis_freq_split
+        cur = tuple(r[0] for r in comp_res)
+        for _loop in range(max(1, cfg.trellis_num_loops)):
+            for bi_, (ss, se) in enumerate([(1, fs), (fs + 1, 63)]):
+                if opt:
+                    hist_fn = trellis.make_band_hist_t(ss, se)
+                    bh = hist_fn(cur)
+                    ac_sis = [trellis.trellis_tables_from_hist(
+                        np.asarray(bh[ci])[0], tbl_slots[ci], True)[0]
+                        for ci in range(len(comp_res))]
+                else:
+                    ac_sis = [trellis.trellis_tables_from_hist(
+                        None, tbl_slots[ci], False)[0]
+                        for ci in range(len(comp_res))]
+                packed = jnp.asarray(trellis.pack_trellis_inputs(
+                    lams, ac_sis, dc_sis, qtblzz))
+                run = trellis.make_trellis_all_t(
+                    tuple(comps), None, ((ss, se),),
+                    cfg.trellis_quant_dc and bi_ == 0, tuple(ncands),
+                    precision=cfg.precision, eob_opt=cfg.trellis_eob_opt)
+                cur = run(raws, cur, packed)
+        finals = cur
+    else:
+        ac_sis = [trellis.trellis_tables_from_hist(
+            hists[ci], tbl_slots[ci], opt)[0]
+            for ci in range(len(comp_res))]
+        packed = jnp.asarray(trellis.pack_trellis_inputs(
+            lams, ac_sis, dc_sis, qtblzz))
+        run = trellis.make_trellis_all_t(tuple(comps), None, ((1, 63),),
+                                         cfg.trellis_quant_dc,
+                                         tuple(ncands),
+                                         precision=cfg.precision,
+                                         eob_opt=cfg.trellis_eob_opt)
+        finals = run(raws, tuple(r[0] for r in comp_res), packed)
+        for _ in range(max(1, cfg.trellis_num_loops) - 1):
+            finals = run(raws, finals, packed)
+    if cfg.trellis_q_opt:
+        _apply_q_opt(comp_res, finals, qtables, qt_slots)
     return finals
+
+
+def _apply_q_opt(comp_res, finals, qtables, qt_slots):
+    """trellis_q_opt (jcdctmgr.c:1299-1305, jcmaster.c:1014-1027): after
+    the trellis passes, re-fit each AC quantizer value to the chosen
+    levels: q[j] = round(sum(src*coef) / sum(8*coef^2)), clamped 1..254.
+
+    The C sums accumulate in double; int64 sums are exact (products fit
+    well under 2^53), so the double division below matches bit-for-bit."""
+    import numpy as _np
+    nslots = max(qt_slots) + 1
+    ns = _np.zeros((nslots, 64), _np.int64)
+    nc = _np.zeros((nslots, 64), _np.int64)
+    for ci, (q_zz, raw_zz) in enumerate(comp_res):
+        src = _np.asarray(raw_zz).astype(_np.int64)       # (64, N)
+        coef = _np.asarray(finals[ci]).astype(_np.int64)
+        slot = qt_slots[ci]
+        ns[slot] += (src * coef).sum(axis=1)
+        nc[slot] += 8 * (coef * coef).sum(axis=1)
+    for slot in set(qt_slots):
+        q = _np.asarray(qtables[slot]).copy()
+        for p in range(1, 64):                            # AC positions only
+            if nc[slot, p]:
+                v = int(_np.float64(ns[slot, p]) / _np.float64(nc[slot, p])
+                        + 0.5)
+                v = min(max(v, 1), 254)
+                j = consts.JPEG_ZIGZAG[p]
+                q[j // 8, j % 8] = v
+        qtables[slot] = q
 
 
 def _phase_pack(geom, planes_t):
@@ -455,7 +512,9 @@ def encode_many(images, config: Optional[EncoderConfig] = None,
             from .pipeline import geometry
             h, w = images[0].shape[:2]
             geom = geometry(w, h, samp)
-            if pipeline_t.batchable(geom) and cs == "ycbcr":
+            if (pipeline_t.batchable(geom) and cs == "ycbcr"
+                    and not cfg.trellis_q_opt
+                    and not cfg.use_scans_in_trellis):
                 return _encode_batch(images, cfg_o, cfg, ncomps, samp, qt)
     out = [None] * len(images)
     states = []
@@ -529,7 +588,8 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
         run = trellis.make_trellis_all_t(tuple(comps), None, tuple(bands),
                                          cfg.trellis_quant_dc,
                                          tuple(ncands), batch=b,
-                                         precision=cfg.precision)
+                                         precision=cfg.precision,
+                                         eob_opt=cfg.trellis_eob_opt)
         finals = run(tuple(m[1] for m in merged),
                      tuple(m[0] for m in merged), packed)
         for _ in range(max(1, cfg.trellis_num_loops) - 1):

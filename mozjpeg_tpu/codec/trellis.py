@@ -31,6 +31,7 @@ import numpy as np
 from .. import consts
 from ..entropy import encode as entenc
 from ..entropy.huffman import HuffTable, derive_codes
+from ..ops import symbols as _symbols
 
 KMAX = 10          # max AC candidates: NBITS(1023) = 10
 DC_CAND_MAX = 9    # DC_TRELLIS_MAX_CANDIDATES
@@ -391,7 +392,8 @@ def _gather_ac_table(plane: np.ndarray, g) -> HuffTable:
 # ---------------------------------------------------------------------------
 
 def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int,
-                  kmax: int = KMAX, maxq: int = 1023):
+                  kmax: int = KMAX, maxq: int = 1023, bw: int = 0,
+                  eob_opt: bool = False):
     """Transposed trellis_ac: raw/qcoef (64, N); same exact semantics.
 
     ac_si: (B, 256) per-image AC code lengths, N = B * n_img (image-major).
@@ -497,8 +499,8 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int,
 
     azd_Se = azd[Se]
     eob_len = jnp.repeat(ac_si_f[:, 0], n_img)[None, :]  # (1, N)
-    end_cost = ((acc + azd_Se[None, :]) - azd) \
-        + jnp.where(pos < Se, eob_len, 0.0)
+    end_wo_eob = (acc + azd_Se[None, :]) - azd           # cost without EOB
+    end_cost = end_wo_eob + jnp.where(pos < Se, eob_len, 0.0)
     end_cost = jnp.where(j_nonzero, end_cost, BIG)
     end_cost = end_cost.at[Ss - 1].set(azd_Se + eob_len[0])
     last_idx = jnp.argmin(end_cost, axis=0).astype(jnp.int32)
@@ -518,7 +520,81 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int,
     keep = keep & j_nonzero
 
     new_band = jnp.where(keep, best_val * sign, 0).astype(jnp.int16)
-    return jnp.where(in_band, new_band, qcoef)
+    out = jnp.where(in_band, new_band, qcoef)
+    if not eob_opt:
+        return out
+    # --- trellis_eob_opt (jcdctmgr.c:981-996,1224-1297): a second DP over
+    # whole blocks per block row, replacing trailing/isolated nonzero
+    # blocks by progressive EOB runs when cheaper ---
+    czero = azd_Se                                       # (N,) all-zero cost
+    skip = jnp.take_along_axis(
+        end_wo_eob.at[Ss - 1].set(azd_Se), last_idx[None, :], axis=0)[0]
+    skip = jnp.where(last_idx == Ss - 1, czero, skip)    # best_cost_skip
+    has_eob = ((last_idx < Se).astype(jnp.int32)
+               + (last_idx == Ss - 1).astype(jnp.int32))  # 0/1/2
+    keep_blk = _eob_block_dp(
+        czero.reshape(-1, bw), skip.reshape(-1, bw),
+        has_eob.reshape(-1, bw),
+        jnp.repeat(ac_si_f, (N // bw) // B, axis=0))      # (R, bw) bool
+    keep_blk = keep_blk.reshape(-1)                       # (N,)
+    return jnp.where(in_band & ~keep_blk[None, :],
+                     jnp.int16(0), out)
+
+
+def _eob_block_dp(czero, skip, has_eob, ac_si_f):
+    """Block-level EOB-run DP over each block row (R rows, L blocks).
+
+    Mirrors jcdctmgr.c:1224-1297 exactly: float adds in C's order, first
+    minimum wins, EOBn cost = ehufsi[16*nbits] + nbits."""
+    R, L = czero.shape
+    iidx = jnp.arange(L + 1)
+
+    def eobrun_cost(run):
+        nb = jnp.where(run > 0,
+                       32 - jax.lax.clz(jnp.maximum(run, 1)), 0)
+        return jnp.take_along_axis(ac_si_f, 16 * nb, axis=1) \
+            + nb.astype(jnp.float32)
+
+    def step(carry, b):
+        azbc, abc, req, brs = carry
+        azbc_b = azbc[:, b]                              # azbc[bi]
+        azbc = azbc.at[:, b + 1].set(azbc_b + czero[:, b])
+        req_i = req                                      # (R, L+1)
+        run = (b - iidx)[None, :] + req_i                # zero_block_run
+        # C order: cost = skip; += azbc[bi]; -= azbc[i]; += abc[i]; += rate
+        cost = (((skip[:, b][:, None] + azbc_b[:, None])
+                 - azbc[:, : L + 1]) + abc) + eobrun_cost(run)
+        valid = ((iidx <= b)[None, :] & (req_i != 2)
+                 & (has_eob[:, b] != 2)[:, None])
+        cost = jnp.where(valid, cost, BIG)
+        arg = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        best = jnp.take_along_axis(cost, arg[:, None], axis=1)[:, 0]
+        nz = has_eob[:, b] != 2
+        abc = abc.at[:, b + 1].set(jnp.where(nz, best, BIG))
+        brs = brs.at[:, b].set(jnp.where(nz, arg, 0))
+        req = req.at[:, b + 1].set(has_eob[:, b])
+        return (azbc, abc, req, brs), None
+
+    azbc0 = jnp.zeros((R, L + 1), jnp.float32)
+    abc0 = jnp.zeros((R, L + 1), jnp.float32)
+    req0 = jnp.zeros((R, L + 1), jnp.int32)
+    brs0 = jnp.zeros((R, L), jnp.int32)
+    (azbc, abc, req, brs), _ = jax.lax.scan(
+        step, (azbc0, abc0, req0, brs0), jnp.arange(L))
+
+    # final EOB-run to the end of the row (jcdctmgr.c:1258-1276)
+    run = (L - iidx)[None, :] + req
+    fcost = (azbc[:, L][:, None] - azbc) + eobrun_cost(run)
+    fcost = jnp.where(req != 2, fcost, BIG)
+    last = jnp.argmin(fcost, axis=1).astype(jnp.int32) - 1  # last_block
+
+    def walk(lb, b):
+        kept = b == lb
+        lb = jnp.where(kept, brs[:, b] - 1, lb)
+        return lb, kept
+
+    _, kept_rev = jax.lax.scan(walk, last, jnp.arange(L - 1, -1, -1))
+    return jnp.flip(jnp.moveaxis(kept_rev, 0, 1), axis=1)  # (R, L)
 
 
 def _trellis_dc_t(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
@@ -531,7 +607,8 @@ def _trellis_dc_t(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
 
 @functools.lru_cache(maxsize=64)
 def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
-                       batch: int = 1, precision: int = 8):
+                       batch: int = 1, precision: int = 8,
+                       eob_opt: bool = False):
     """Build a single jitted program running trellis for every component
     (cached per configuration — a fresh closure per call would recompile).
 
@@ -569,7 +646,8 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
             for (ss, se) in bands:
                 new_q = _trellis_ac_t(raw, new_q, qtbl_zzs[ci],
                                       ac_sis[ci], lam, ss, se,
-                                      kmax=kmax, maxq=maxq)
+                                      kmax=kmax, maxq=maxq, bw=g.bw,
+                                      eob_opt=eob_opt)
             if dc_on:
                 q0 = qtbl_zzs[ci][0]
                 ltbl0 = (1.0 / (qtbl_zzs[ci][0].astype(jnp.float32)
@@ -597,6 +675,29 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
                 new_q = new_q.at[0].set(
                     dc_all.reshape(-1).astype(jnp.int16))
             outs.append(new_q)
+        return tuple(outs)
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def make_band_hist_t(ss: int, se: int, batch: int = 1):
+    """Jitted per-band AC-first histograms from the CURRENT coefficient
+    state — the reference's trellis stats passes regather per scan band
+    after the previous band's requantization (jcmaster.c:444-460
+    select_scan_parameters + huff_opt_pass)."""
+
+    @jax.jit
+    def run(qs):
+        outs = []
+        for q in qs:                                   # (64, B*n)
+            if batch == 1:
+                outs.append(_symbols.ac_first_histogram_t(q, ss, se)[None])
+            else:
+                qb = q.reshape(64, batch, -1)
+                outs.append(jax.vmap(
+                    lambda a: _symbols.ac_first_histogram_t(a, ss, se),
+                    in_axes=1)(qb))
         return tuple(outs)
 
     return run
@@ -684,4 +785,78 @@ def _trellis_ac_pallas(raw, qcoef, qtbl_zz, rate_luts, ac_si, lam,
     keep = keep & j_nonzero
 
     new_band = jnp.where(keep, best_val * sign, 0).astype(jnp.int16)
-    return jnp.where(in_band, new_band, qcoef)
+    out = jnp.where(in_band, new_band, qcoef)
+    if not eob_opt:
+        return out
+    # --- trellis_eob_opt (jcdctmgr.c:981-996,1224-1297): a second DP over
+    # whole blocks per block row, replacing trailing/isolated nonzero
+    # blocks by progressive EOB runs when cheaper ---
+    czero = azd_Se                                       # (N,) all-zero cost
+    skip = jnp.take_along_axis(
+        end_wo_eob.at[Ss - 1].set(azd_Se), last_idx[None, :], axis=0)[0]
+    skip = jnp.where(last_idx == Ss - 1, czero, skip)    # best_cost_skip
+    has_eob = ((last_idx < Se).astype(jnp.int32)
+               + (last_idx == Ss - 1).astype(jnp.int32))  # 0/1/2
+    keep_blk = _eob_block_dp(
+        czero.reshape(-1, bw), skip.reshape(-1, bw),
+        has_eob.reshape(-1, bw),
+        jnp.repeat(ac_si_f, (N // bw) // B, axis=0))      # (R, bw) bool
+    keep_blk = keep_blk.reshape(-1)                       # (N,)
+    return jnp.where(in_band & ~keep_blk[None, :],
+                     jnp.int16(0), out)
+
+
+def _eob_block_dp(czero, skip, has_eob, ac_si_f):
+    """Block-level EOB-run DP over each block row (R rows, L blocks).
+
+    Mirrors jcdctmgr.c:1224-1297 exactly: float adds in C's order, first
+    minimum wins, EOBn cost = ehufsi[16*nbits] + nbits."""
+    R, L = czero.shape
+    iidx = jnp.arange(L + 1)
+
+    def eobrun_cost(run):
+        nb = jnp.where(run > 0,
+                       32 - jax.lax.clz(jnp.maximum(run, 1)), 0)
+        return jnp.take_along_axis(ac_si_f, 16 * nb, axis=1) \
+            + nb.astype(jnp.float32)
+
+    def step(carry, b):
+        azbc, abc, req, brs = carry
+        azbc_b = azbc[:, b]                              # azbc[bi]
+        azbc = azbc.at[:, b + 1].set(azbc_b + czero[:, b])
+        req_i = req                                      # (R, L+1)
+        run = (b - iidx)[None, :] + req_i                # zero_block_run
+        # C order: cost = skip; += azbc[bi]; -= azbc[i]; += abc[i]; += rate
+        cost = (((skip[:, b][:, None] + azbc_b[:, None])
+                 - azbc[:, : L + 1]) + abc) + eobrun_cost(run)
+        valid = ((iidx <= b)[None, :] & (req_i != 2)
+                 & (has_eob[:, b] != 2)[:, None])
+        cost = jnp.where(valid, cost, BIG)
+        arg = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        best = jnp.take_along_axis(cost, arg[:, None], axis=1)[:, 0]
+        nz = has_eob[:, b] != 2
+        abc = abc.at[:, b + 1].set(jnp.where(nz, best, BIG))
+        brs = brs.at[:, b].set(jnp.where(nz, arg, 0))
+        req = req.at[:, b + 1].set(has_eob[:, b])
+        return (azbc, abc, req, brs), None
+
+    azbc0 = jnp.zeros((R, L + 1), jnp.float32)
+    abc0 = jnp.zeros((R, L + 1), jnp.float32)
+    req0 = jnp.zeros((R, L + 1), jnp.int32)
+    brs0 = jnp.zeros((R, L), jnp.int32)
+    (azbc, abc, req, brs), _ = jax.lax.scan(
+        step, (azbc0, abc0, req0, brs0), jnp.arange(L))
+
+    # final EOB-run to the end of the row (jcdctmgr.c:1258-1276)
+    run = (L - iidx)[None, :] + req
+    fcost = (azbc[:, L][:, None] - azbc) + eobrun_cost(run)
+    fcost = jnp.where(req != 2, fcost, BIG)
+    last = jnp.argmin(fcost, axis=1).astype(jnp.int32) - 1  # last_block
+
+    def walk(lb, b):
+        kept = b == lb
+        lb = jnp.where(kept, brs[:, b] - 1, lb)
+        return lb, kept
+
+    _, kept_rev = jax.lax.scan(walk, last, jnp.arange(L - 1, -1, -1))
+    return jnp.flip(jnp.moveaxis(kept_rev, 0, 1), axis=1)  # (R, L)

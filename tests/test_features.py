@@ -315,6 +315,48 @@ class TestRdswitch:
         assert ours == golden
 
 
+class TestTrellisFlags:
+    """trellis_eob_opt / trellis_q_opt / use_scans_in_trellis: API-only
+    flags (no cjpeg switch), oracle is the reference-library harness."""
+
+    def _golden(self, flags):
+        if not os.path.exists(HARNESS):
+            pytest.skip("colorspace harness not built")
+        from mozjpeg_tpu.utils import ppm as _ppm
+        img = _ppm.read(corpus("testorig.ppm"))
+        h, w = img.shape[:2]
+        p = subprocess.run([HARNESS, str(w), str(h), "ycbcr", "75",
+                            "fastcrush"] + flags + ["reprogress"],
+                           input=img.tobytes(), capture_output=True)
+        assert p.returncode == 0, p.stderr
+        return img, p.stdout
+
+    def test_eob_opt(self, testorig):
+        img, golden = self._golden(["eobopt"])
+        ours = encode(img, EncoderConfig(quality=75, optimize_scans=False,
+                                         trellis_eob_opt=True))
+        assert ours == golden
+
+    def test_q_opt(self, testorig):
+        img, golden = self._golden(["qopt"])
+        ours = encode(img, EncoderConfig(quality=75, optimize_scans=False,
+                                         trellis_q_opt=True))
+        assert ours == golden
+
+    def test_scans_in_trellis(self, testorig):
+        img, golden = self._golden(["bands"])
+        ours = encode(img, EncoderConfig(quality=75, optimize_scans=False,
+                                         use_scans_in_trellis=True))
+        assert ours == golden
+
+    def test_eob_opt_with_bands(self, testorig):
+        img, golden = self._golden(["eobopt", "bands"])
+        ours = encode(img, EncoderConfig(quality=75, optimize_scans=False,
+                                         trellis_eob_opt=True,
+                                         use_scans_in_trellis=True))
+        assert ours == golden
+
+
 class TestLossless16:
     def test_roundtrip_16(self):
         from mozjpeg_tpu.codec.lossless import encode_lossless
