@@ -1,4 +1,17 @@
 """mozjpeg_tpu — a TPU-native JPEG engine with mozjpeg's capability set."""
+import os as _os
+
+# Some platform plugins (axon) register their backend regardless of the
+# JAX_PLATFORMS environment variable; applying it through the config API
+# before first backend use makes `JAX_PLATFORMS=cpu python ...` behave as
+# documented.
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from . import _jaxcache  # noqa: F401  (enable persistent XLA cache)
 
 from .codec.config import EncoderConfig, Profile, DCTMethod  # noqa: F401

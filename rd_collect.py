@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Rate-distortion harness — the mozjpeg rd_collect workflow
+(reference: /root/reference/contrib/rd_collect.sh): sweep qualities over a
+corpus, record bytes/bpp/PSNR(+SSIM) per image per setting, write TSV/JSON.
+
+Usage: python rd_collect.py corpus/*.ppm [-q 50,60,...,95] [-o out.tsv]
+       [-profile max|fast] [-subsamp 420|422|444] [-json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+
+
+def psnr(a, b, maxval=255.0):
+    import numpy as np
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * math.log10(maxval * maxval / mse)
+
+
+def ssim(a, b):
+    """Global SSIM on the luma plane (8x8 windows, standard constants)."""
+    import numpy as np
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    if a.ndim == 3:
+        a = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        b = 0.299 * b[..., 0] + 0.587 * b[..., 1] + 0.114 * b[..., 2]
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    h, w = a.shape
+    h8, w8 = h - h % 8, w - w % 8
+    aw = a[:h8, :w8].reshape(h8 // 8, 8, w8 // 8, 8).transpose(0, 2, 1, 3)
+    bw = b[:h8, :w8].reshape(h8 // 8, 8, w8 // 8, 8).transpose(0, 2, 1, 3)
+    mu_a = aw.mean(axis=(2, 3))
+    mu_b = bw.mean(axis=(2, 3))
+    va = aw.var(axis=(2, 3))
+    vb = bw.var(axis=(2, 3))
+    cov = (aw * bw).mean(axis=(2, 3)) - mu_a * mu_b
+    s = (((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+         / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)))
+    return float(s.mean())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rd_collect")
+    p.add_argument("images", nargs="+")
+    p.add_argument("-q", default="50,60,70,75,80,85,90,95")
+    p.add_argument("-o", default=None)
+    p.add_argument("-profile", default="max", choices=["max", "fast"])
+    p.add_argument("-subsamp", default=None,
+                   choices=[None, "420", "422", "444"])
+    p.add_argument("-json", action="store_true", dest="as_json")
+    a = p.parse_args(argv)
+
+    from mozjpeg_tpu import encode, decode, EncoderConfig, Profile
+    from mozjpeg_tpu.utils import ppm
+
+    quals = [int(v) for v in a.q.split(",")]
+    rows = []
+    for path in a.images:
+        img = ppm.read(path)
+        h, w = img.shape[:2]
+        pixels = w * h
+        for q in quals:
+            kw = {}
+            if a.profile == "fast":
+                kw = dict(profile=Profile.FASTEST, progressive=False,
+                          optimize_scans=False, trellis_quant=False,
+                          overshoot_deringing=False)
+            if a.subsamp:
+                kw["subsampling"] = {"420": (2, 2), "422": (2, 1),
+                                     "444": (1, 1)}[a.subsamp]
+            data = encode(img, EncoderConfig(quality=q, **kw))
+            rec = decode(data)
+            rows.append({
+                "image": path, "quality": q, "bytes": len(data),
+                "bpp": 8.0 * len(data) / pixels,
+                "psnr": round(psnr(img, rec), 4),
+                "ssim": round(ssim(img, rec), 6),
+            })
+            print("%s q%d: %d bytes  %.4f bpp  %.2f dB  ssim %.4f"
+                  % (path, q, len(data), rows[-1]["bpp"], rows[-1]["psnr"],
+                     rows[-1]["ssim"]), file=sys.stderr)
+
+    out = sys.stdout if a.o is None else open(a.o, "w")
+    if a.as_json:
+        json.dump(rows, out, indent=1)
+        out.write("\n")
+    else:
+        out.write("image\tquality\tbytes\tbpp\tpsnr\tssim\n")
+        for r in rows:
+            out.write("%s\t%d\t%d\t%.4f\t%.4f\t%.6f\n"
+                      % (r["image"], r["quality"], r["bytes"], r["bpp"],
+                         r["psnr"], r["ssim"]))
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
