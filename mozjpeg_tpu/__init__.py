@@ -8,7 +8,12 @@ import os as _os
 if _os.environ.get("JAX_PLATFORMS"):
     import jax as _jax
     try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        # only re-assert the env value if the config still carries it as
+        # its default — a script that already called
+        # jax.config.update("jax_platforms", ...) wins
+        if _jax.config.jax_platforms == _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms",
+                               _os.environ["JAX_PLATFORMS"])
     except Exception:
         pass
 

@@ -17,6 +17,14 @@ def build_parser():
                    dest="grayscale")
     p.add_argument("-scale", type=str, default=None,
                    help="M/N scaling (1/8..2/1 in 1/8 steps)")
+    p.add_argument("-colors", "-quantize", type=int, default=None,
+                   dest="colors", help="quantize to N colors")
+    p.add_argument("-onepass", action="store_true",
+                   help="one-pass (fixed palette) quantization")
+    p.add_argument("-dither", default="fs",
+                   choices=["fs", "ordered", "none"])
+    p.add_argument("-nosmooth", action="store_true",
+                   help="box-filter upsampling (merged upsample path)")
     p.add_argument("-outfile", type=str, default=None)
     p.add_argument("-pnm", "-ppm", action="store_true", default=True)
     p.add_argument("-crop", type=str, default=None,
@@ -36,7 +44,7 @@ def main(argv=None):
         num, den = (int(v) for v in a.scale.split("/"))
         img = decode_scaled(data, num, den)
     else:
-        img = decode(data)
+        img = decode(data, fancy_upsample=not a.nosmooth)
     if a.grayscale and img.ndim == 3:
         import numpy as np
         from ..ops import color
@@ -47,6 +55,11 @@ def main(argv=None):
         wh, x, y = a.crop.split("+")
         w, h = (int(v) for v in wh.split("x"))
         img = img[int(y):int(y) + h, int(x):int(x) + w]
+    if a.colors:
+        from ..codec.decoder import quantize_colors
+        idx, cmap = quantize_colors(img, a.colors, a.dither,
+                                    two_pass=not a.onepass)
+        img = cmap[idx]          # PPM output maps through the colormap
     if a.outfile:
         ppm.write(a.outfile, img, maxval=maxval)
     else:

@@ -135,6 +135,14 @@ def _upsample_color(y, cb, cr, mode: str, height: int, width: int,
     elif mode == "h2v1":
         cb = sample.upsample_h2v1_fancy(cb)
         cr = sample.upsample_h2v1_fancy(cr)
+    elif mode == "h2v2_rep":
+        # -nosmooth box filter; merged upsampling (jdmerge.c) computes
+        # the identical samples fused with the color conversion
+        cb = sample.upsample_replicate(cb, 2, 2)
+        cr = sample.upsample_replicate(cr, 2, 2)
+    elif mode == "h2v1_rep":
+        cb = sample.upsample_replicate(cb, 2, 1)
+        cr = sample.upsample_replicate(cr, 2, 1)
     cb = cb[:height, :width]
     cr = cr[:height, :width]
     ycc = jnp.stack([y[:height, :width], cb, cr], axis=-1)
@@ -158,17 +166,18 @@ def _jpeg_colorspace(jp: marker.ParsedJpeg) -> str:
     return "ycbcr"
 
 
-def _upsample_mode(jp):
+def _upsample_mode(jp, fancy=True):
     c1 = jp.components[1]
     if c1.h * 2 == jp.max_h and c1.v * 2 == jp.max_v:
-        return "h2v2"
+        return "h2v2" if fancy else "h2v2_rep"
     if c1.h * 2 == jp.max_h:
-        return "h2v1"
+        return "h2v1" if fancy else "h2v1_rep"
     return "none"
 
 
 def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
-           colorspace: Optional[str] = None) -> np.ndarray:
+           colorspace: Optional[str] = None,
+           fancy_upsample: bool = True) -> np.ndarray:
     """Coefficient planes -> pixels: RGB (H, W, 3), gray (H, W), or
     CMYK (H, W, 4) for Adobe 4-component files."""
     max_h, max_v = jp.max_h, jp.max_v
@@ -191,12 +200,13 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
         return np.stack(out, axis=-1)
     if cs == "ycck":
         y, cb, cr, k = sample_planes
-        cmyk = _upsample_ycck(y, cb, cr, k, _upsample_mode(jp),
+        cmyk = _upsample_ycck(y, cb, cr, k,
+                              _upsample_mode(jp, fancy_upsample),
                               jp.height, jp.width, jp.precision)
         return np.asarray(cmyk)
     y, cb, cr = sample_planes[:3]
-    rgb = _upsample_color(y, cb, cr, _upsample_mode(jp), jp.height,
-                          jp.width, jp.precision)
+    rgb = _upsample_color(y, cb, cr, _upsample_mode(jp, fancy_upsample),
+                          jp.height, jp.width, jp.precision)
     return np.asarray(rgb)
 
 
@@ -215,8 +225,10 @@ def _upsample_ycck(y, cb, cr, k, mode: str, height: int, width: int,
     return _color.ycck_to_cmyk(ycck, precision)
 
 
-def decode(data: bytes) -> np.ndarray:
-    """Decode a JPEG byte stream to RGB (H, W, 3) or grayscale (H, W)."""
+def decode(data: bytes, fancy_upsample: bool = True) -> np.ndarray:
+    """Decode a JPEG byte stream to RGB (H, W, 3) or grayscale (H, W).
+
+    fancy_upsample=False is djpeg -nosmooth (box-filter upsampling)."""
     jp = marker.parse(data)
     if jp.lossless:
         from . import lossless
@@ -226,7 +238,7 @@ def decode(data: bytes) -> np.ndarray:
         planes = arith.decode_coefficients_arith(jp, data)
     else:
         planes = decode_coefficients(jp, data)
-    return render(jp, planes)
+    return render(jp, planes, fancy_upsample=fancy_upsample)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
@@ -294,3 +306,49 @@ def decode_scaled(data: bytes, num: int, den: int) -> np.ndarray:
         mode = "h2v1"
     rgb = _upsample_color(y, cb, cr, mode, out_h, out_w)
     return np.asarray(rgb)
+
+
+def quantize_colors(rgb: np.ndarray, ncolors: int,
+                    dither: str = "fs", two_pass: bool = True):
+    """Color quantization (djpeg -colors N semantics): returns
+    (indices (H, W) uint8, colormap (n, 3) uint8).
+
+    two_pass=True is jquant2 (median cut + optional FS dither; ordered
+    falls back to FS like the reference); two_pass=False is jquant1's
+    fixed orthogonal palette with none/ordered/FS dithering."""
+    from ..native import lib, u8p
+    if two_pass and ncolors < 8:
+        # jinit_2pass_quantizer lower bound (jquant2.c)
+        raise ValueError("cannot quantize to fewer than 8 colors")
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    gray = rgb.ndim == 2
+    if gray and two_pass:
+        rgb = np.ascontiguousarray(np.stack([rgb] * 3, axis=-1))
+        gray = False
+    h, w = rgb.shape[:2]
+    idx = np.empty((h, w), np.uint8)
+    cmap = np.empty(3 * 256, np.uint8)
+    if two_pass:
+        lib.mj_quantize_colors.restype = ctypes.c_int
+        lib.mj_quantize_colors.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_int, ctypes.c_int,
+                                           u8p, u8p]
+        n = lib.mj_quantize_colors(
+            rgb.ctypes.data_as(u8p), w, h, ncolors,
+            0 if dither in ("none", None) else 1,
+            idx.ctypes.data_as(u8p), cmap.ctypes.data_as(u8p))
+    else:
+        lib.mj_quantize_onepass.restype = ctypes.c_int
+        lib.mj_quantize_onepass.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                            ctypes.c_int, ctypes.c_int,
+                                            ctypes.c_int, u8p, u8p]
+        dmode = {"none": 0, None: 0, "ordered": 1, "fs": 2}[dither]
+        n = lib.mj_quantize_onepass(
+            rgb.ctypes.data_as(u8p), w, h, ncolors, dmode,
+            1 if gray else 0,
+            idx.ctypes.data_as(u8p), cmap.ctypes.data_as(u8p))
+    if n < 0:
+        raise ValueError("quantize_colors failed (need 1..256 colors)")
+    cm = np.stack([cmap[:256], cmap[256:512], cmap[512:768]],
+                  axis=-1)[:n]
+    return idx, cm

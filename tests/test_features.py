@@ -357,6 +357,59 @@ class TestTrellisFlags:
         assert ours == golden
 
 
+class TestColorQuantization:
+    """djpeg -colors N: two-pass median-cut (jquant2) and one-pass fixed
+    palette (jquant1), all dither modes pixel-exact vs djpeg."""
+
+    def _src(self, ref_tools, tmp_path):
+        run_cjpeg(["-quality", "85", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), str(tmp_path / "q.jpg"))
+        return str(tmp_path / "q.jpg")
+
+    @pytest.mark.parametrize("dither,args", [
+        ("fs", []), ("none", ["-dither", "none"])])
+    def test_two_pass(self, ref_tools, tmp_path, dither, args):
+        from mozjpeg_tpu.codec.decoder import decode, quantize_colors
+        jp = self._src(ref_tools, tmp_path)
+        ref = run_djpeg(jp, str(tmp_path / "q.ppm"), ["-colors", "64"] + args)
+        rgb = decode(open(jp, "rb").read())
+        idx, cmap = quantize_colors(rgb, 64, dither)
+        np.testing.assert_array_equal(cmap[idx], ref)
+
+    @pytest.mark.parametrize("dither,args", [
+        ("fs", []), ("ordered", ["-dither", "ordered"]),
+        ("none", ["-dither", "none"])])
+    def test_one_pass(self, ref_tools, tmp_path, dither, args):
+        from mozjpeg_tpu.codec.decoder import decode, quantize_colors
+        jp = self._src(ref_tools, tmp_path)
+        ref = run_djpeg(jp, str(tmp_path / "q.ppm"),
+                        ["-colors", "100", "-onepass"] + args)
+        rgb = decode(open(jp, "rb").read())
+        idx, cmap = quantize_colors(rgb, 100, dither, two_pass=False)
+        np.testing.assert_array_equal(cmap[idx], ref)
+
+    def test_cli(self, ref_tools, tmp_path):
+        from mozjpeg_tpu.cli import djpeg as cli
+        jp = self._src(ref_tools, tmp_path)
+        ref = run_djpeg(jp, str(tmp_path / "r.ppm"), ["-colors", "32"])
+        out = str(tmp_path / "o.ppm")
+        cli.main(["-colors", "32", "-outfile", out, jp])
+        np.testing.assert_array_equal(ppm.read(out), ref)
+
+
+class TestNosmooth:
+    @pytest.mark.parametrize("samp", ["2x2", "2x1"])
+    def test_bit_exact(self, ref_tools, tmp_path, samp):
+        run_cjpeg(["-quality", "85", "-sample", samp, "-revert",
+                   "-baseline"], corpus("testorig.ppm"),
+                  str(tmp_path / "n.jpg"))
+        ref = run_djpeg(str(tmp_path / "n.jpg"), str(tmp_path / "n.ppm"),
+                        ["-nosmooth"])
+        ours = decode((tmp_path / "n.jpg").read_bytes(),
+                      fancy_upsample=False)
+        np.testing.assert_array_equal(ours, ref)
+
+
 class TestLossless16:
     def test_roundtrip_16(self):
         from mozjpeg_tpu.codec.lossless import encode_lossless
