@@ -244,67 +244,118 @@ def decode(data: bytes, fancy_upsample: bool = True) -> np.ndarray:
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _render_plane_scaled(zz, qtbl, bh: int, bw: int, ch: int, cw: int,
                          size: int):
+    """(bh, bw, 64) zigzag -> (ch, cw) samples at any scaled IDCT size
+    1..16 (jidctred.c / jidctint.c kernels)."""
     from ..ops import idct_scaled
     blocks = layout.from_zigzag(zz.astype(jnp.int32))
-    if size == 4:
+    if size == 8:
+        pix = dct.idct_islow(blocks, qtbl)
+    elif size == 4:
         pix = idct_scaled.idct_4x4(blocks, qtbl)
     elif size == 2:
         pix = idct_scaled.idct_2x2(blocks, qtbl)
     elif size == 1:
         pix = idct_scaled.idct_1x1(blocks, qtbl)
+    elif size in idct_scaled._REDUCED:
+        pix = idct_scaled.idct_reduced(blocks, qtbl, size)
     else:
-        pix = dct.idct_islow(blocks, qtbl)
+        pix = idct_scaled.idct_expanded(blocks, qtbl, size)
     x = jnp.moveaxis(pix, -2, -3)
     plane = x.reshape(bh * size, bw * size)
     return plane[:ch, :cw]
 
 
-def decode_scaled(data: bytes, num: int, den: int) -> np.ndarray:
-    """Scaled decode (djpeg -scale num/den), sizes 1/8, 2/8, 4/8, 8/8.
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _upsample_plane_scaled(pl, mode: str, hexp: int, vexp: int,
+                           precision: int = 8):
+    if mode == "fancy_h2v2":
+        return sample.upsample_h2v2_fancy(pl)
+    if mode == "fancy_h2v1":
+        return sample.upsample_h2v1_fancy(pl)
+    if mode == "fancy_h1v2":
+        return sample.upsample_h1v2_fancy(pl)
+    if mode == "int":
+        return sample.upsample_replicate(pl, hexp, vexp)
+    return pl
 
-    Mirrors jdmaster.c's scaled-size selection: every component uses the
-    same reduced IDCT size here (the common path for equal sampling)."""
+
+def decode_scaled(data: bytes, num: int, den: int,
+                  fancy_upsample: bool = True) -> np.ndarray:
+    """Scaled decode (djpeg -scale num/den): output M/8 for M = 1..16.
+
+    Follows jdmaster.c jpeg_core_output_dimensions, the per-component
+    scaled-size doubling rule (jdmaster.c:289-296), and jdsample.c's
+    upsampler selection (fancy / replicate / integral factors)."""
     jp = marker.parse(data)
-    g = num * 8 // den
-    if g not in (1, 2, 4, 8) or num * 8 != g * den:
-        raise NotImplementedError("scale %d/%d not supported" % (num, den))
-    size = g
-    planes = decode_coefficients(jp, data)
+    min_size = None
+    for sz in range(1, 17):
+        if num * 8 <= den * sz:
+            min_size = sz
+            break
+    if min_size is None:
+        raise ValueError("scale %d/%d > 2 not supported" % (num, den))
+    out_w = -(-jp.width * min_size // 8)
+    out_h = -(-jp.height * min_size // 8)
+
+    if jp.arithmetic:
+        from . import arith
+        planes = arith.decode_coefficients_arith(jp, data)
+    else:
+        planes = decode_coefficients(jp, data)
     max_h, max_v = jp.max_h, jp.max_v
-    out_w = -(-jp.width * size // 8)
-    out_h = -(-jp.height * size // 8)
+
+    # fancy upsampling is disabled at 1/8 scale (jdsample.c:444)
+    fancy = fancy_upsample and min_size > 1
     sample_planes = []
-    upsample_needed = False
     for ci, c in enumerate(jp.components):
-        if c.h != c.v or max_h // c.h != max_v // c.v:
-            raise NotImplementedError("scaled decode needs square sampling")
-        # per-comp scaled IDCT size compensates subsampling (jdmaster.c):
-        # chroma at scale 1/2 renders with 8x8 directly — no upsampling.
-        csize = min(8, size * (max_h // c.h))
+        ssize = min_size
+        while (ssize < 8
+               and (max_h * min_size) % (c.h * ssize * 2) == 0
+               and (max_v * min_size) % (c.v * ssize * 2) == 0):
+            ssize *= 2
+        down_w = -(-jp.width * c.h * ssize // (max_h * 8))
+        down_h = -(-jp.height * c.v * ssize // (max_v * 8))
         cw_full = -(-jp.width * c.h // max_h)
         ch_full = -(-jp.height * c.v // max_v)
         bw, bh = -(-cw_full // 8), -(-ch_full // 8)
-        if csize == size * (max_h // c.h):
-            cw, ch = out_w, out_h
-        else:
-            cw = -(-cw_full * csize // 8)
-            ch = -(-ch_full * csize // 8)
-            upsample_needed = True
         qt = jp.scan_qtables[0].get(c.quant_tbl, jp.qtables.get(c.quant_tbl))
         zz = jnp.asarray(np.ascontiguousarray(planes[ci][:bh, :bw]))
-        sample_planes.append(_render_plane_scaled(
-            zz, jnp.asarray(qt), bh, bw, ch, cw, csize))
-    if len(jp.components) == 1:
+        pl = _render_plane_scaled(zz, jnp.asarray(qt), bh, bw,
+                                  down_h, down_w, ssize)
+        # upsampler selection (jdsample.c:448-530)
+        h_in = c.h * ssize // min_size
+        v_in = c.v * ssize // min_size
+        mode, hexp, vexp = "none", 1, 1
+        if h_in == max_h and v_in == max_v:
+            pass
+        elif h_in * 2 == max_h and v_in == max_v:
+            mode = "fancy_h2v1" if fancy and down_w > 2 else "int"
+            hexp, vexp = 2, 1
+        elif h_in == max_h and v_in * 2 == max_v and fancy:
+            mode = "fancy_h1v2"
+        elif h_in * 2 == max_h and v_in * 2 == max_v:
+            mode = "fancy_h2v2" if fancy and down_w > 2 else "int"
+            hexp, vexp = 2, 2
+        elif max_h % h_in == 0 and max_v % v_in == 0:
+            mode = "int"
+            hexp, vexp = max_h // h_in, max_v // v_in
+        else:
+            raise NotImplementedError("fractional upsampling")
+        pl = _upsample_plane_scaled(pl, mode, hexp, vexp, jp.precision)
+        sample_planes.append(pl)
+
+    cs = _jpeg_colorspace(jp)
+    if cs == "grayscale":
         return np.asarray(sample_planes[0])[:out_h, :out_w]
+    if cs in ("rgb", "cmyk"):
+        out = [np.asarray(p)[:out_h, :out_w] for p in sample_planes]
+        return np.stack(out, axis=-1)
+    if cs == "ycck":
+        y, cb, cr, k = sample_planes
+        return np.asarray(_upsample_ycck(y, cb, cr, k, "none",
+                                         out_h, out_w, jp.precision))
     y, cb, cr = sample_planes[:3]
-    c1 = jp.components[1]
-    if not upsample_needed or c1.h == max_h:
-        mode = "none"
-    elif c1.h * 2 == max_h and c1.v * 2 == max_v:
-        mode = "h2v2"
-    else:
-        mode = "h2v1"
-    rgb = _upsample_color(y, cb, cr, mode, out_h, out_w)
+    rgb = _upsample_color(y, cb, cr, "none", out_h, out_w, jp.precision)
     return np.asarray(rgb)
 
 

@@ -91,6 +91,20 @@ def upsample_h2v2_fancy(plane: jnp.ndarray) -> jnp.ndarray:
     return out.astype(plane.dtype)
 
 
+def upsample_h1v2_fancy(plane: jnp.ndarray) -> jnp.ndarray:
+    """Vertical 1:2 triangle-filter upsample (jdsample.c:316-348
+    h1v2_fancy_upsample): out[2r] = (3*in[r] + in[r-1] + 1) >> 2,
+    out[2r+1] = (3*in[r] + in[r+1] + 2) >> 2; edges replicate."""
+    x = plane.astype(jnp.int32)
+    up = jnp.concatenate([x[:1], x[:-1]], axis=-2)
+    dn = jnp.concatenate([x[1:], x[-1:]], axis=-2)
+    e = (x * 3 + up + 1) >> 2
+    o = (x * 3 + dn + 2) >> 2
+    h, w = x.shape[-2], x.shape[-1]
+    out = jnp.stack([e, o], axis=-2).reshape(x.shape[:-2] + (2 * h, w))
+    return out.astype(plane.dtype)
+
+
 def upsample_replicate(plane: jnp.ndarray, h: int, v: int) -> jnp.ndarray:
     """Plain pixel replication (jdsample.c h2v2_upsample / int_upsample)."""
     out = jnp.repeat(plane, v, axis=-2)

@@ -119,8 +119,9 @@ def yuv_buf_size(width: int, align: int, height: int, subsamp: int) -> int:
 
 
 def scaling_factors() -> List[Tuple[int, int]]:
-    """tj3GetScalingFactors — the subset this codec implements."""
-    return [(1, 8), (1, 4), (1, 2), (1, 1)]
+    """tj3GetScalingFactors: all M/8 factors, M = 1..16 (like the
+    reference's 16-entry list)."""
+    return [(m, 8) for m in range(1, 17)]
 
 
 class TJ:
@@ -284,7 +285,9 @@ class TJ:
 
     # -- tj3SetScalingFactor / tj3SetCroppingRegion --------------------------
     def set_scaling_factor(self, num: int, den: int):
-        if (num, den) not in scaling_factors():
+        # normalize to M/8 and validate like tj3SetScalingFactor
+        if den <= 0 or num <= 0 or (num * 8) % den != 0 \
+                or not 1 <= num * 8 // den <= 16:
             raise TJError("unsupported scaling factor %d/%d" % (num, den))
         self._scaling = (num, den)
 

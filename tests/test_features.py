@@ -476,6 +476,31 @@ class TestScaledDecode:
         ours = decode_scaled((tmp_path / "s.jpg").read_bytes(), num, den)
         np.testing.assert_array_equal(ours, ref)
 
+    @pytest.mark.parametrize("m", [3, 5, 6, 7, 9, 10, 11, 12, 13, 14,
+                                   15, 16])
+    def test_all_factors(self, ref_tools, tmp_path, m):
+        """Every jidctint.c scaled kernel (3x3..16x16), 4:2:0 input."""
+        from mozjpeg_tpu.codec.decoder import decode_scaled
+        run_cjpeg(["-quality", "85", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), str(tmp_path / "s.jpg"))
+        ref = run_djpeg(str(tmp_path / "s.jpg"), str(tmp_path / "s.ppm"),
+                        ["-scale", "%d/8" % m])
+        ours = decode_scaled((tmp_path / "s.jpg").read_bytes(), m, 8)
+        np.testing.assert_array_equal(ours, ref)
+
+    @pytest.mark.parametrize("samp,m", [("2x1", 1), ("2x1", 4),
+                                        ("1x2", 2), ("1x2", 12)])
+    def test_nonsquare_sampling(self, ref_tools, tmp_path, samp, m):
+        """Per-component scaled sizes + h1v2/int upsampler selection."""
+        from mozjpeg_tpu.codec.decoder import decode_scaled
+        run_cjpeg(["-quality", "85", "-sample", samp, "-revert",
+                   "-baseline"], corpus("testorig.ppm"),
+                  str(tmp_path / "s.jpg"))
+        ref = run_djpeg(str(tmp_path / "s.jpg"), str(tmp_path / "s.ppm"),
+                        ["-scale", "%d/8" % m])
+        ours = decode_scaled((tmp_path / "s.jpg").read_bytes(), m, 8)
+        np.testing.assert_array_equal(ours, ref)
+
 
 class TestCLI:
     def test_cjpeg_cli(self, ref_tools, tmp_path, testorig):
