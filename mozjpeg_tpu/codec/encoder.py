@@ -284,6 +284,77 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
         ncands.append(trellis.get_num_dc_candidates(int(qz[0])))
     raws = tuple(r[1] for r in comp_res)
 
+    if cfg.arithmetic:
+        # Arithmetic trellis (quantize_trellis_arith): the adaptive coder
+        # is run over each quantized iMCU row with emission suppressed and
+        # -log2 probability tables are snapshotted before each row
+        # (jccoefct.c:384, jcarith.c:127).  The pass/comp mapping quirk of
+        # optimize_coding=FALSE is reproduced (comp 2 is never visited).
+        import ctypes as _ct
+        from ..native import lib as _lib
+        f32p = _ct.POINTER(_ct.c_float)
+        _lib.mj_arith_ctx_new.restype = _ct.c_void_p
+        _lib.mj_arith_ctx_free.argtypes = [_ct.c_void_p]
+        _lib.mj_arith_get_rates.argtypes = [_ct.c_void_p, f32p, f32p]
+        _lib.mj_arith_train_rows.argtypes = [
+            _ct.c_void_p, _ct.POINTER(_ct.c_int16), _ct.c_int, _ct.c_int,
+            _ct.c_int, _ct.c_int]
+        fs = cfg.trellis_freq_split
+        band_defs = ([(1, fs), (fs + 1, 63)]
+                     if cfg.use_scans_in_trellis else [(1, 63)])
+        visits = trellis.arith_trellis_comps(
+            len(comp_res), max(1, cfg.trellis_num_loops),
+            cfg.use_scans_in_trellis)
+        cur = [np.array(np.asarray(r[0]), copy=True)
+               for r in comp_res]                     # host (64, N) int16
+        raws_h = [np.asarray(r[1]) for r in comp_res]
+        rate_dc = np.empty(128, np.float32)
+        rate_ac = np.empty(512, np.float32)
+        for comp, band in visits:
+            g = comps[comp]
+            bw, bh, v = g.bw, g.bh, g.v
+            ss, se = band_defs[band]
+            acfn = trellis._arith_ac_row(ss, se, 5)
+            qz_dev = jnp.asarray(qtblzz[comp])
+            q0 = int(qtblzz[comp][0])
+            ltbl0 = np.float32(1.0 / (q0 * q0))
+            lam_np = np.asarray(lams[comp])
+            q_host = cur[comp]
+            raw_host = raws_h[comp]
+            ctx = _lib.mj_arith_ctx_new()
+            for ri in range(-(-bh // v)):
+                _lib.mj_arith_get_rates(
+                    ctx, rate_dc.ctypes.data_as(f32p),
+                    rate_ac.ctypes.data_as(f32p))
+                ac_dev = jnp.asarray(rate_ac.reshape(256, 2))
+                dc_dev = jnp.asarray(rate_dc.reshape(64, 2))
+                last_dc = 0
+                for br in range(ri * v, min((ri + 1) * v, bh)):
+                    sl = slice(br * bw, (br + 1) * bw)
+                    raw_row = jnp.asarray(
+                        np.ascontiguousarray(raw_host[:, sl]))
+                    q_row = jnp.asarray(np.ascontiguousarray(q_host[:, sl]))
+                    lam_row = jnp.asarray(lam_np[sl])
+                    new_q = acfn(raw_row, q_row, qz_dev, lam_row, ac_dev)
+                    if cfg.trellis_quant_dc and band == 0:
+                        lam_dc = lam_row * ltbl0
+                        dc, fin = trellis._arith_dc_row(
+                            raw_row[0], jnp.int32(last_dc),
+                            jnp.int32(q0), dc_dev, ncands[comp], lam_dc)
+                        last_dc = int(fin)
+                        new_q = new_q.at[0].set(dc.astype(jnp.int16))
+                    q_host[:, sl] = np.asarray(new_q)
+                    blkrow = np.ascontiguousarray(
+                        q_host[:, sl].T.astype(np.int16))
+                    _lib.mj_arith_train_rows(
+                        ctx, blkrow.ctypes.data_as(
+                            _ct.POINTER(_ct.c_int16)), bw, 0, 1, 5)
+            _lib.mj_arith_ctx_free(ctx)
+        finals = tuple(jnp.asarray(c) for c in cur)
+        if cfg.trellis_q_opt:
+            _apply_q_opt(comp_res, finals, qtables, qt_slots)
+        return finals
+
     if cfg.use_scans_in_trellis:
         # per-band stats are regathered from the CURRENT coefficients
         # after the previous band's trellis (jcmaster pass structure)

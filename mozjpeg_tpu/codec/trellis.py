@@ -860,3 +860,259 @@ def _eob_block_dp(czero, skip, has_eob, ac_si_f):
 
     _, kept_rev = jax.lax.scan(walk, last, jnp.arange(L - 1, -1, -1))
     return jnp.flip(jnp.moveaxis(kept_rev, 0, 1), axis=1)  # (R, L)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coding trellis (quantize_trellis_arith, jcdctmgr.c:1333-1667).
+#
+# The master control starts the arithmetic entropy coder fresh for every
+# trellis pass (jcmaster.c:698 start_pass resets the statistics bins), so
+# jget_arith_rates always snapshots the state-0 probabilities: every rate
+# bin carries the same two values r0/r1 derived from Qe(state 0) = 0x5A1D.
+# Candidates are {qval, qval-1}; the AC rate is truncated to an INTEGER
+# (`int rate;` jcdctmgr.c) before the distortion add.
+# ---------------------------------------------------------------------------
+
+def arith_state0_rates():
+    """(r0, r1) float32 = -log2 P(decision) at coder state 0, with C's
+    float/double mixing (jcarith.c:953-971)."""
+    import math
+    p_lps = np.float32((0x5A1D) / 46340.95)
+    prob0 = np.float32(1.0 - np.float64(p_lps))
+    r0 = np.float32(-math.log(np.float64(prob0)) / math.log(2.0))
+    r1 = np.float32(-math.log(np.float64(p_lps)) / math.log(2.0))
+    return float(r0), float(r1)
+
+
+def _arith_ac_row_maker(Ss: int, Se: int, ac_K: int = 5):
+    """Jitted AC trellis for one block row with ADAPTIVE rate tables
+    (quantize_trellis_arith): ac_rates (256, 2) from the coder states."""
+
+    @jax.jit
+    def run(raw, qcoef, qtbl_zz, lam, ac_rates):
+        N = raw.shape[1]
+        pos = jnp.arange(64)[:, None]
+        in_band = (pos >= Ss) & (pos <= Se)
+        x = jnp.abs(raw)
+        sign = jnp.where(raw < 0, -1, 1)
+        q8_v = qtbl_zz.astype(jnp.int32) << 3
+        q8 = q8_v[:, None]
+        qval = (x + (q8 >> 1)) // q8                    # no clamp (arith)
+
+        ltbl = (1.0 / (qtbl_zz.astype(jnp.float32)
+                       * qtbl_zz.astype(jnp.float32)))
+        zdist = ((x * x).astype(jnp.float32) * lam[None, :]) * ltbl[:, None]
+        zterm = jnp.where(in_band, zdist, 0.0)
+
+        def azd_step(c, i):
+            c = c + zterm[i]
+            return c, c
+
+        _, azd = jax.lax.scan(azd_step, jnp.zeros((N,), jnp.float32),
+                              jnp.arange(64))
+        azd_prev = jnp.concatenate(
+            [jnp.zeros((1, N), jnp.float32), azd[:-1]], axis=0)
+
+        j_idx = jnp.arange(64)
+        j_is_start = (j_idx == (Ss - 1))[:, None]
+        j_nonzero = (qval != 0) & in_band
+        j_valid_static = j_is_start | j_nonzero
+        r_eob_j = ac_rates[3 * jnp.minimum(j_idx, 63), 0][:, None]
+
+        init_acc = jnp.where(j_is_start, jnp.float32(0), BIG) \
+            + jnp.zeros((1, N))
+        init_A = jnp.zeros((64, 1), jnp.float32) + jnp.zeros((1, N))
+        MAXNB = 14
+
+        def coef_bits(v, i):
+            vd = v - 1
+            nb = _nbits(vd)
+            st0 = 3 * (i - 1) + 2
+            stl = jnp.where(i <= ac_K, 189, 217)
+            cb = jnp.full(v.shape, jnp.float32(1.0))      # sign bit
+            a1 = ac_rates[st0, 1]
+            cb = cb + jnp.where(vd >= 1, a1, 0.0)
+            cb = cb + jnp.where(vd >= 2, a1, 0.0)
+            for k in range(3, MAXNB + 1):
+                cb = cb + jnp.where(nb >= k, ac_rates[stl + (k - 3), 1],
+                                    0.0)
+            # final 0-decision state depends on nb
+            nbv = jnp.arange(MAXNB + 1)
+            zf_tab = jnp.where(nbv <= 1, ac_rates[st0, 0],
+                               ac_rates[jnp.minimum(stl + nbv - 2, 255), 0])
+            m_state = jnp.where(nbv <= 1, st0 + 14,
+                                jnp.minimum(stl + nbv - 2, 241) + 14)
+            m0_tab = ac_rates[m_state, 0]
+            m1_tab = ac_rates[m_state, 1]
+            cb = cb + zf_tab[nb]
+            m0 = m0_tab[nb]
+            m1 = m1_tab[nb]
+            for p in range(MAXNB - 2, -1, -1):
+                live = p <= nb - 2
+                bit = (vd >> p) & 1
+                cb = cb + jnp.where(live, jnp.where(bit == 1, m1, m0), 0.0)
+            return cb
+
+        def step(carry, i):
+            acc, A = carry
+            z_add = ac_rates[3 * jnp.maximum(i - 2, 0) + 1, 0]
+            A = jnp.where((j_idx == i - 1)[:, None], r_eob_j, A + z_add)
+            run_bits = A + ac_rates[3 * (i - 1) + 1, 1]
+
+            qval_i = qval[i]
+            x_i = x[i]
+            tail = (azd_prev[i][None, :] - azd) + acc
+            best = jnp.full((N,), BIG)
+            bj = jnp.zeros((N,), jnp.int32)
+            bval = jnp.zeros((N,), jnp.int32)
+            for cand, okc in ((qval_i, qval_i != 0),
+                              (qval_i - 1, qval_i > 1)):
+                delta = cand * q8_v[i] - x_i
+                cdist = jnp.minimum(((delta * delta).astype(jnp.float32)
+                                     * lam) * ltbl[i], jnp.float32(3.0e38))
+                cb = coef_bits(jnp.maximum(cand, 1), i)
+                rate = (cb[None, :] + run_bits).astype(jnp.int32) \
+                    .astype(jnp.float32)        # `int rate` truncation
+                cost = (rate + cdist[None, :]) + tail
+                valid = ((j_valid_static & (j_idx < i)[:, None])
+                         & okc[None, :])
+                cost = jnp.where(valid, cost, BIG)
+                arg = jnp.argmin(cost, axis=0)
+                c_best = jnp.take_along_axis(cost, arg[None, :], axis=0)[0]
+                upd = c_best < best
+                best = jnp.where(upd, c_best, best)
+                bj = jnp.where(upd, arg.astype(jnp.int32), bj)
+                bval = jnp.where(upd, cand, bval)
+            new_acc_i = jnp.where(qval_i != 0, best, BIG)
+            acc = acc.at[i].set(new_acc_i)
+            return (acc, A), (bj, bval)
+
+        (acc, _), (runstart_h, val_h) = jax.lax.scan(
+            step, (init_acc, init_A), jnp.arange(Ss, Se + 1))
+        steps = Se - Ss + 1
+        run_start = jnp.zeros((64, N), jnp.int32) \
+            .at[Ss:Se + 1].set(runstart_h)
+        best_val = jnp.zeros((64, N), jnp.int32).at[Ss:Se + 1].set(val_h)
+
+        azd_Se = azd[Se]
+        eob_i = ac_rates[3 * jnp.minimum(jnp.maximum(pos[:, 0] - 1, 0), 63),
+                         1][:, None]
+        end_cost = ((acc + azd_Se[None, :]) - azd) \
+            + jnp.where(pos < Se, eob_i, 0.0)
+        end_cost = jnp.where(j_nonzero, end_cost, BIG)
+        end_cost = end_cost.at[Ss - 1].set(azd_Se + ac_rates[0, 1])
+        last_idx = jnp.argmin(end_cost, axis=0).astype(jnp.int32)
+
+        def walk(cur, _):
+            nxt = jnp.take_along_axis(
+                run_start, jnp.maximum(cur, 0)[None, :], axis=0)[0]
+            nxt = jnp.where(cur >= Ss, nxt, Ss - 1)
+            return nxt, cur
+
+        _, curs = jax.lax.scan(walk, last_idx, None, length=steps)
+        curs_valid = jnp.where(curs >= Ss, curs, 64)
+        keep = jnp.any(curs_valid[:, None, :] == j_idx[None, :, None],
+                       axis=0)
+        keep = keep & j_nonzero
+        new_band = jnp.where(keep, best_val * sign, 0).astype(jnp.int16)
+        return jnp.where(in_band, new_band, qcoef)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _arith_ac_row(Ss, Se, ac_K=5):
+    return _arith_ac_row_maker(Ss, Se, ac_K)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _arith_dc_row(raw_dc, last_dc0, q0, dc_rates, nc: int, lam_dc=None):
+    """DC trellis for one block row with adaptive rates and per-candidate
+    context tracking (quantize_trellis_arith DC section)."""
+    L = raw_dc.shape[0]
+    q8 = q0 * 8
+    sign = jnp.where(raw_dc < 0, -1, 1)
+    x = jnp.abs(raw_dc)
+    qval = (x + q8 // 2) // q8
+    ks = jnp.arange(nc)
+    cand_mag = qval[:, None] - nc // 2 + ks              # (L, nc), no clamp
+    delta_q = cand_mag * q8 - x[:, None]
+    dist = (delta_q * delta_q).astype(jnp.float32) * lam_dc[:, None]
+    cand = cand_mag * sign[:, None]
+    MAXNB = 15
+    dcl = dc_rates[20:20 + MAXNB, 1]                     # ladder states
+
+    def dc_bits_ctx(d, st0):
+        """Rate walk + new context for delta d with start state st0."""
+        nz = d != 0
+        neg = d < 0
+        ad = jnp.abs(d)
+        vd = jnp.maximum(ad - 1, 0)
+        nb = _nbits(vd)
+        bits = jnp.where(nz, dc_rates[st0, 1], dc_rates[st0, 0])
+        bits = bits + jnp.where(nz, jnp.where(neg, dc_rates[st0 + 1, 1],
+                                              dc_rates[st0 + 1, 0]), 0.0)
+        st1 = st0 + 2 + neg.astype(jnp.int32)
+        bits = bits + jnp.where(nz & (vd >= 1), dc_rates[st1, 1], 0.0)
+        for k in range(2, MAXNB + 1):
+            bits = bits + jnp.where(nz & (nb >= k), dcl[k - 2], 0.0)
+        stf = jnp.where(vd == 0, st1,
+                        jnp.where(nb == 1, 20, 20 + nb - 1))
+        bits = bits + jnp.where(nz, dc_rates[stf, 0], 0.0)
+        stm = stf + 14
+        m0 = dc_rates[stm, 0]
+        m1 = dc_rates[stm, 1]
+        for p in range(MAXNB - 2, -1, -1):
+            live = nz & (p <= nb - 2)
+            bit = (vd >> p) & 1
+            bits = bits + jnp.where(live, jnp.where(bit == 1, m1, m0), 0.0)
+        # context update (dc_L=0, dc_U=1 defaults): m>1 <=> nb>=2
+        base = jnp.where(neg, 8, 4)
+        ctx = jnp.where(nz, base + jnp.where(nb >= 2, 8, 0), 0)
+        return bits, ctx
+
+    def step(carry, t):
+        acc, ctx = carry                                  # (nc,), (nc,)
+        cand_t = cand[t]                                  # (nc,)
+        dist_t = dist[t]
+        prev = cand[jnp.maximum(t - 1, 0)]
+        d = cand_t[None, :] - prev[:, None]               # (l, k)
+        bits, newctx = dc_bits_ctx(d, ctx[:, None])
+        cost = (bits + dist_t[None, :]) + acc[:, None]
+        # first block: pred = last_dc0, state 0
+        d0 = cand_t - last_dc0
+        bits0, ctx0 = dc_bits_ctx(d0, jnp.zeros((nc,), jnp.int32) * 0)
+        cost0 = bits0 + dist_t
+        bt = jnp.argmin(cost, axis=0).astype(jnp.int32)
+        new_acc = jnp.min(cost, axis=0)
+        sel_ctx = jnp.take_along_axis(newctx, bt[None, :], axis=0)[0]
+        new_acc = jnp.where(t == 0, cost0, new_acc)
+        sel_ctx = jnp.where(t == 0, ctx0, sel_ctx)
+        bt = jnp.where(t == 0, 0, bt)
+        return (new_acc, sel_ctx), bt
+
+    acc0 = jnp.zeros((nc,), jnp.float32)
+    ctx0 = jnp.zeros((nc,), jnp.int32)
+    (acc, _), bts = jax.lax.scan(step, (acc0, ctx0), jnp.arange(L))
+    best = jnp.argmin(acc).astype(jnp.int32)
+
+    def back(cur, t):
+        val = cand[t, cur]
+        nxt = jnp.where(t == 0, cur, bts[t, cur])
+        return nxt, val
+
+    _, vals = jax.lax.scan(back, best, jnp.arange(L - 1, -1, -1))
+    out = jnp.flip(vals)
+    return out, out[-1]
+
+
+def arith_trellis_comps(ncomps: int, loops: int, bands: bool):
+    """Which (comp, band) pairs the reference's arithmetic trellis passes
+    actually quantize.  Arithmetic forces optimize_coding off
+    (jcmaster.c:1088) and the resulting pass/scan bookkeeping only ever
+    selects component 0 (and, with use_scans_in_trellis, only the first
+    frequency band) — verified empirically against an instrumented
+    reference build; chroma stays round-nearest.  Repeat passes over the
+    same component are fixed points, so one visit suffices."""
+    del ncomps, loops
+    return [(0, 0)]

@@ -783,3 +783,61 @@ long mj_arith_decode_ac_refine(const uint8_t* data, long len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Trellis support: a persistent single-component training context.  The
+// reference's trellis passes run the adaptive coder over each quantized
+// iMCU row with byte emission suppressed (jcarith.c:127-128) and snapshot
+// -log2 probabilities from the evolving states before each row
+// (jccoefct.c:384 jget_arith_rates).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* mj_arith_ctx_new() {
+  ArithEnc* e = new ArithEnc();
+  e->out = nullptr;
+  e->cap = 0;            // put() becomes a no-op (emission suppressed)
+  e->pos = 0;
+  e->overflow = false;
+  e->reset_all(true, true);
+  return e;
+}
+
+void mj_arith_ctx_free(void* ctx) { delete (ArithEnc*)ctx; }
+
+// rate_dc: 64*2 floats, rate_ac: 256*2 floats (jcarith.c:944-971 math)
+void mj_arith_get_rates(void* ctx, float* rate_dc, float* rate_ac) {
+  ArithEnc* e = (ArithEnc*)ctx;
+  for (int i = 0; i < 64; i++) {
+    int state = e->dc_stats[0][i];
+    int mps_val = state >> 7;
+    float prob_lps = (ARITAB[state & 0x7f].qe) / 46340.95;
+    float prob_0 = mps_val ? prob_lps : 1.0 - prob_lps;
+    float prob_1 = 1.0 - prob_0;
+    rate_dc[2 * i + 0] = -log(prob_0) / log(2.0);
+    rate_dc[2 * i + 1] = -log(prob_1) / log(2.0);
+  }
+  for (int i = 0; i < 256; i++) {
+    int state = e->ac_stats[0][i];
+    int mps_val = state >> 7;
+    float prob_lps = (ARITAB[state & 0x7f].qe) / 46340.95;
+    float prob_0 = mps_val ? prob_lps : 1.0 - prob_lps;
+    float prob_1 = 1.0 - prob_0;
+    rate_ac[2 * i + 0] = -log(prob_0) / log(2.0);
+    rate_ac[2 * i + 1] = -log(prob_1) / log(2.0);
+  }
+}
+
+// coefs: nblocks x 64 int16 zigzag blocks (a block row, raster order)
+void mj_arith_train_rows(void* ctx, const int16_t* coefs, int nblocks,
+                         int dc_L, int dc_U, int ac_K) {
+  ArithEnc* e = (ArithEnc*)ctx;
+  for (int b = 0; b < nblocks; b++) {
+    const int16_t* blk = coefs + (long)b * 64;
+    e->encode_dc(0, 0, blk[0], dc_L, dc_U);
+    e->encode_ac_band(0, blk, 1, 63, 0, ac_K);
+  }
+}
+
+}  // extern "C"

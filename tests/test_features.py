@@ -410,6 +410,37 @@ class TestNosmooth:
         np.testing.assert_array_equal(ours, ref)
 
 
+class TestArithmeticTrellis:
+    """Arithmetic-coding trellis (quantize_trellis_arith): adaptive
+    per-iMCU-row rate snapshots; the reference only ever quantizes
+    component 0 (oracle: reference-library harness)."""
+
+    def _golden(self, flags):
+        if not os.path.exists(HARNESS):
+            pytest.skip("colorspace harness not built")
+        from mozjpeg_tpu.utils import ppm as _ppm
+        img = _ppm.read(corpus("testorig.ppm"))
+        h, w = img.shape[:2]
+        p = subprocess.run([HARNESS, str(w), str(h), "ycbcr", "75",
+                            "fastcrush", "arith"] + flags + ["reprogress"],
+                           input=img.tobytes(), capture_output=True)
+        assert p.returncode == 0, p.stderr
+        return img, p.stdout
+
+    def test_default(self, testorig):
+        img, golden = self._golden([])
+        ours = encode(img, EncoderConfig(quality=75, arithmetic=True,
+                                         optimize_scans=False))
+        assert ours == golden
+
+    def test_bands(self, testorig):
+        img, golden = self._golden(["bands"])
+        ours = encode(img, EncoderConfig(quality=75, arithmetic=True,
+                                         optimize_scans=False,
+                                         use_scans_in_trellis=True))
+        assert ours == golden
+
+
 class TestLossless16:
     def test_roundtrip_16(self):
         from mozjpeg_tpu.codec.lossless import encode_lossless
