@@ -7,7 +7,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from ..codec.config import (EncoderConfig, Profile,
+from ..codec.config import (DCTMethod, EncoderConfig, Profile,
                             quality_default_subsampling)
 from ..utils import ppm
 
@@ -57,6 +57,7 @@ def build_parser():
     p.add_argument("-dc-scan-opt", type=int, default=0, dest="dc_scan_opt")
     p.add_argument("-lambda1", type=float, default=14.75)
     p.add_argument("-lambda2", type=float, default=16.5)
+    p.add_argument("-dct", default="int", choices=["int", "fast", "float"])
     p.add_argument("-outfile", type=str, default=None)
     p.add_argument("input", nargs="?", default=None)
     return p
@@ -130,6 +131,8 @@ def config_from_args(a) -> EncoderConfig:
         smoothing_factor=a.smooth,
         precision=a.precision,
         colorspace="rgb" if a.rgb else None,
+        dct_method={"int": DCTMethod.ISLOW, "fast": DCTMethod.IFAST,
+                    "float": DCTMethod.FLOAT}[a.dct],
         base_quant_tables=base_qt,
         qslots=qslots,
         scan_script=scan_script,

@@ -25,6 +25,7 @@ def build_parser():
                    choices=["fs", "ordered", "none"])
     p.add_argument("-nosmooth", action="store_true",
                    help="box-filter upsampling (merged upsample path)")
+    p.add_argument("-dct", default="int", choices=["int", "fast", "float"])
     p.add_argument("-outfile", type=str, default=None)
     p.add_argument("-pnm", "-ppm", action="store_true", default=True)
     p.add_argument("-crop", type=str, default=None,
@@ -44,7 +45,9 @@ def main(argv=None):
         num, den = (int(v) for v in a.scale.split("/"))
         img = decode_scaled(data, num, den)
     else:
-        img = decode(data, fancy_upsample=not a.nosmooth)
+        img = decode(data, fancy_upsample=not a.nosmooth,
+                     dct_method={"int": "islow", "fast": "ifast",
+                                 "float": "float"}[a.dct])
     if a.grayscale and img.ndim == 3:
         import numpy as np
         from ..ops import color

@@ -115,13 +115,18 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     return planes
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _render_plane(zz, qtbl, bh: int, bw: int, ch: int, cw: int,
-                  precision: int = 8):
+                  precision: int = 8, dct_method: str = "islow"):
     """(bh, bw, 64) zigzag int16 + qtbl -> (ch, cw) samples."""
     blocks = layout.from_zigzag(zz.astype(jnp.int32))
-    pass1_bits = 2 if precision == 8 else 1            # jidctint.c:80-86
-    pix = dct.idct_islow(blocks, qtbl, pass1_bits, precision)
+    if dct_method == "ifast":
+        pix = dct.idct_ifast(blocks, qtbl, precision)
+    elif dct_method == "float":
+        pix = dct.idct_float(blocks, qtbl, precision)
+    else:
+        pass1_bits = 2 if precision == 8 else 1        # jidctint.c:80-86
+        pix = dct.idct_islow(blocks, qtbl, pass1_bits, precision)
     plane = layout.unblockify(pix)
     return plane[:ch, :cw]
 
@@ -177,7 +182,8 @@ def _upsample_mode(jp, fancy=True):
 
 def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
            colorspace: Optional[str] = None,
-           fancy_upsample: bool = True) -> np.ndarray:
+           fancy_upsample: bool = True,
+           dct_method: str = "islow") -> np.ndarray:
     """Coefficient planes -> pixels: RGB (H, W, 3), gray (H, W), or
     CMYK (H, W, 4) for Adobe 4-component files."""
     max_h, max_v = jp.max_h, jp.max_v
@@ -187,9 +193,14 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
         ch = -(-jp.height * c.v // max_v)
         bw, bh = -(-cw // 8), -(-ch // 8)
         qt = jp.scan_qtables[0].get(c.quant_tbl, jp.qtables.get(c.quant_tbl))
+        if dct_method == "ifast":
+            qt = dct.ifast_multipliers(qt)
+        elif dct_method == "float":
+            qt = dct.float_multipliers(qt)
         zz = jnp.asarray(planes[ci][:bh, :bw])
         sample_planes.append(_render_plane(zz, jnp.asarray(qt), bh, bw,
-                                           ch, cw, jp.precision))
+                                           ch, cw, jp.precision,
+                                           dct_method))
 
     cs = colorspace or _jpeg_colorspace(jp)
     if cs == "grayscale":
@@ -225,10 +236,12 @@ def _upsample_ycck(y, cb, cr, k, mode: str, height: int, width: int,
     return _color.ycck_to_cmyk(ycck, precision)
 
 
-def decode(data: bytes, fancy_upsample: bool = True) -> np.ndarray:
+def decode(data: bytes, fancy_upsample: bool = True,
+           dct_method: str = "islow") -> np.ndarray:
     """Decode a JPEG byte stream to RGB (H, W, 3) or grayscale (H, W).
 
-    fancy_upsample=False is djpeg -nosmooth (box-filter upsampling)."""
+    fancy_upsample=False is djpeg -nosmooth (box-filter upsampling);
+    dct_method="ifast" is djpeg -dct fast."""
     jp = marker.parse(data)
     if jp.lossless:
         from . import lossless
@@ -238,7 +251,8 @@ def decode(data: bytes, fancy_upsample: bool = True) -> np.ndarray:
         planes = arith.decode_coefficients_arith(jp, data)
     else:
         planes = decode_coefficients(jp, data)
-    return render(jp, planes, fancy_upsample=fancy_upsample)
+    return render(jp, planes, fancy_upsample=fancy_upsample,
+                  dct_method=dct_method)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))

@@ -257,7 +257,7 @@ def _phase_p1(image, cfg, samp, qtables, cs):
     geom, comp_res, small = pipeline_t.run_p1(
         image, samp, qtables, cfg.overshoot_deringing, cs == "grayscale",
         cfg.precision, cs, _qt_slots(cfg, cs, ncomps),
-        cfg.smoothing_factor)
+        cfg.smoothing_factor, cfg.dct_method.value)
     return geom, comp_res, small
 
 

@@ -84,12 +84,13 @@ def _norm_seq(raw_zz):
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
 def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
         precision: int = 8, colorspace: str = "ycbcr",
         qt_slots: tuple = None, smoothing: int = 0,
-        qts81=None):
-    """qts81: per-component (8, 8, 1) device quant tables."""
+        dct_method: str = "islow", qts81=None, dts81=None):
+    """qts81: per-component (8, 8, 1) device quant tables; dts81:
+    per-component scaled divisor tables for the ifast method."""
     """Per comp (q_zz, raw_zz) device arrays + ONE packed small array
     [norms as f32-bits | hists as int32] for a single host transfer."""
     gl = geom[0]
@@ -121,15 +122,29 @@ def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
             p[: g.bh * 8, : g.bw * 8].astype(jnp.int32)
             - (1 << (precision - 1)))
         q81 = qts81[ci]
-        if dering_on:
+        if dering_on and dct_method != "float":
             # the reference's dering threshold is 255-CENTERJSAMPLE (literal
             # 8-bit constant) at EVERY data precision (jcdctmgr.c:419)
             szz = layout.to_zigzag_t(blocks)
             szz = dering.dering_t(szz, q81[0, 0, 0])
             blocks = layout.from_zigzag_t(szz)
-        pass1_bits = 2 if precision == 8 else 1        # jfdctint.c:80-86
-        coeffs = dct.fdct_islow_t(blocks, pass1_bits)  # (8, 8, N) raw
-        qz = quant.quantize_islow_t(coeffs, q81)
+        if dct_method == "ifast":
+            sc = dct.fdct_ifast_t(blocks)              # AAN-scaled
+            qz = dct.quantize_ifast_t(sc, dts81[ci])
+            coeffs = dct.rescale_ifast_t(sc)           # nominal-range raw
+        elif dct_method == "float":
+            fblocks = blocks.astype(jnp.float32)
+            if dering_on:
+                fzz = layout.to_zigzag_t(fblocks)
+                fzz = dering.dering_float_t(fzz, q81[0, 0, 0])
+                fblocks = layout.from_zigzag_t(fzz)
+            sc = dct.fdct_float_t(fblocks)
+            qz = dct.quantize_float_t(sc, dts81[ci])
+            coeffs = dct.rescale_float_t(sc)
+        else:
+            pass1_bits = 2 if precision == 8 else 1    # jfdctint.c:80-86
+            coeffs = dct.fdct_islow_t(blocks, pass1_bits)
+            qz = quant.quantize_islow_t(coeffs, q81)
         if dering_on:
             # post-dering clamp to +-(2^(precision+2)-1) (jcdctmgr.c:706,764)
             maxc = (1 << (precision + 2)) - 1
@@ -159,7 +174,7 @@ def _pad_for_entropy(q_zz, g: CompGeom, transpose: bool = True):
 def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
            dering_on: bool, grayscale: bool = False, precision: int = 8,
            colorspace: str = "ycbcr", qt_slots: tuple = None,
-           smoothing: int = 0):
+           smoothing: int = 0, dct_method: str = "islow"):
     """-> (geom, [(q_zz, raw_zz)] device arrays, small_dev packed array).
 
     Unpack small_dev with unpack_small() when the host needs norms/hists."""
@@ -170,9 +185,20 @@ def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
         if len(qtables) < 2:
             qt_slots = (0,) * len(geom)
     qts81 = tuple(_dev_qtbl(np.asarray(qtables[s])) for s in qt_slots)
+    dts81 = None
+    if dct_method == "ifast":
+        from ..ops import dct as _dct
+        dts81 = tuple(
+            jnp.asarray(_dct.ifast_divisors(qtables[s]).reshape(8, 8, 1))
+            for s in qt_slots)
+    elif dct_method == "float":
+        from ..ops import dct as _dct
+        dts81 = tuple(
+            jnp.asarray(_dct.float_divisors(qtables[s]).reshape(8, 8, 1))
+            for s in qt_slots)
     res, small = _p1(jnp.asarray(image), mcus_x, mcus_y, tuple(geom),
                      dering_on, precision, colorspace, qt_slots, smoothing,
-                     qts81=qts81)
+                     dct_method, qts81=qts81, dts81=dts81)
     return (mcus_x, mcus_y, geom), res, small
 
 
@@ -238,7 +264,8 @@ def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
     def one(rgb):
         return _p1.__wrapped__(rgb, mcus_x, mcus_y, geom, dering_on,
                                precision, "ycbcr",
-                               (0,) + (1,) * (len(geom) - 1), 0, qts81)
+                               (0,) + (1,) * (len(geom) - 1), 0, "islow",
+                               qts81, None)
 
     res, smalls = jax.vmap(one)(rgbs)
     b = rgbs.shape[0]

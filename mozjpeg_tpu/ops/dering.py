@@ -182,3 +182,70 @@ def dering_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
         + frnd(tan2.astype(jnp.float32) * cf4)
     new = jnp.minimum(jnp.ceil(val).astype(jnp.int32), maxovershoot[None, :])
     return jnp.where(m & active[None, :], new, zz)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def dering_float_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
+    """Float-DCT deringing (jcdctmgr.c:503-570 float_preprocess_deringing):
+    (64, N) float32 centered zigzag samples.  Differences from the int
+    variant: the headroom cap divides in float, and the replacement value
+    is NOT ceil'd (floats flow straight into the float DCT)."""
+    N = zz.shape[1]
+    pos = jnp.arange(64)[:, None]
+    fmax = jnp.float32(MAXS)
+    m = zz >= fmax
+
+    total = jnp.sum(zz, axis=0)                        # f32 (exact: ints)
+    cnt = jnp.sum(m.astype(jnp.int32), axis=0)
+    active = (cnt > 0) & (cnt < 64)
+    head = (fmax * 64 - total) / jnp.maximum(cnt, 1).astype(jnp.float32)
+    cap = jnp.minimum(31, 2 * q0.astype(jnp.int32)).astype(jnp.float32)
+    maxovershoot = fmax + jnp.minimum(cap, head)       # (N,)
+
+    notm_idx = jnp.where(~m, pos, -1)
+    start = jax.lax.cummax(notm_idx, axis=0) + 1
+    notm_idx_f = jnp.where(~m, pos, 64)
+    end = jnp.flip(jax.lax.cummin(jnp.flip(notm_idx_f, 0), axis=0), 0)
+
+    def at(idx):
+        return jnp.take_along_axis(zz, idx, axis=0)
+
+    f1 = at(jnp.maximum(start - 1, 0))
+    f2 = at(jnp.maximum(start - 2, 0))
+    l1 = at(jnp.where(end < 63, end, 63))
+    l2 = at(jnp.where(end < 62, end + 1, 63))
+
+    fslope = jnp.maximum(f1 - f2, fmax - f1)
+    lslope = jnp.maximum(l1 - l2, fmax - l1)
+    fslope_ = jnp.where(start == 0, lslope, fslope)
+    lslope_ = jnp.where(end == 64, fslope, lslope)
+
+    length = end - start
+    step = 1.0 / (length + 1).astype(jnp.float32)
+    run_first = m & ~jnp.concatenate(
+        [jnp.zeros((1, N), bool), m[:-1]], axis=0)
+
+    def pos_step(carry, i):
+        t = jnp.where(run_first[i], step[i], carry + step[i])
+        return t, t
+
+    _, t = jax.lax.scan(pos_step, jnp.zeros((N,), jnp.float32),
+                        jnp.arange(64))
+
+    _NOCONTRACT = jnp.float32(3.0e38)
+
+    def frnd(x):
+        return jnp.minimum(x, _NOCONTRACT)
+
+    tan1 = fslope_ * length
+    tan2 = -lslope_ * length
+    t2 = frnd(t * t)
+    t3 = frnd(t2 * t)
+    cf1 = (frnd(2.0 * t3) - frnd(3.0 * t2)) + 1.0
+    cf2 = frnd(-2.0 * t3) + frnd(3.0 * t2)
+    cf3 = (t3 - frnd(2.0 * t2)) + t
+    cf4 = t3 - t2
+    val = ((frnd(fmax * cf1) + frnd(tan1.astype(jnp.float32) * cf3))
+           + frnd(fmax * cf2)) + frnd(tan2.astype(jnp.float32) * cf4)
+    new = jnp.minimum(val, maxovershoot[None, :])       # no ceil
+    return jnp.where(m & active[None, :], new, zz)

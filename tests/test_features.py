@@ -441,6 +441,48 @@ class TestArithmeticTrellis:
         assert ours == golden
 
 
+class TestDCTMethods:
+    """-dct fast (AAN integer) and -dct float (AAN single-precision):
+    byte-exact encode on every path combination, bit-exact decode."""
+
+    def _golden(self, ref_tools, tmp_path, args):
+        return run_cjpeg(args, corpus("testorig.ppm"),
+                         str(tmp_path / "d.jpg"))
+
+    @pytest.mark.parametrize("meth,flag", [("IFAST", "fast"),
+                                           ("FLOAT", "float")])
+    def test_sequential(self, ref_tools, tmp_path, testorig, meth, flag):
+        from mozjpeg_tpu.codec.config import DCTMethod
+        golden = self._golden(ref_tools, tmp_path,
+                              ["-quality", "75", "-revert", "-baseline",
+                               "-dct", flag])
+        ours = encode(testorig, EncoderConfig(
+            quality=75, dct_method=getattr(DCTMethod, meth),
+            profile=Profile.FASTEST, progressive=False, force_baseline=True,
+            optimize_coding=False, optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False))
+        assert ours == golden
+
+    @pytest.mark.parametrize("meth,flag", [("IFAST", "fast"),
+                                           ("FLOAT", "float")])
+    def test_full_default(self, ref_tools, tmp_path, testorig, meth, flag):
+        from mozjpeg_tpu.codec.config import DCTMethod
+        golden = self._golden(ref_tools, tmp_path,
+                              ["-quality", "75", "-dct", flag])
+        ours = encode(testorig, EncoderConfig(
+            quality=75, dct_method=getattr(DCTMethod, meth)))
+        assert ours == golden
+
+    @pytest.mark.parametrize("meth", ["ifast", "float"])
+    def test_decode(self, ref_tools, tmp_path, testorig, meth):
+        run_cjpeg(["-quality", "75", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), str(tmp_path / "d.jpg"))
+        ref = run_djpeg(str(tmp_path / "d.jpg"), str(tmp_path / "d.ppm"),
+                        ["-dct", "fast" if meth == "ifast" else "float"])
+        ours = decode((tmp_path / "d.jpg").read_bytes(), dct_method=meth)
+        np.testing.assert_array_equal(ours, ref)
+
+
 class TestLossless16:
     def test_roundtrip_16(self):
         from mozjpeg_tpu.codec.lossless import encode_lossless
