@@ -51,6 +51,8 @@ def build_parser():
     p.add_argument("-scans", type=str, default=None,
                    help="scan script file")
     p.add_argument("-sample", type=str, default=None)
+    p.add_argument("-icc", type=str, default=None,
+                   help="embed ICC profile from file")
     p.add_argument("-smooth", type=int, default=0)
     p.add_argument("-restart", type=str, default=None)
     p.add_argument("-arithmetic", action="store_true")
@@ -71,7 +73,12 @@ def config_from_args(a) -> EncoderConfig:
     q_last = quality[-1] if isinstance(quality, list) else quality
     subsampling = quality_default_subsampling(q_last)
     if a.sample:
-        subsampling = rdswitch.parse_sample(a.sample)[0]
+        try:
+            subsampling = rdswitch.parse_sample(a.sample)[0]
+        except ValueError as e:
+            import sys
+            print(f"cjpeg: {e}", file=sys.stderr)
+            raise SystemExit(1)
     restart_interval = 0
     restart_in_rows = 0
     if a.restart:
@@ -118,6 +125,7 @@ def config_from_args(a) -> EncoderConfig:
         trellis_quant=False if (a.notrellis or a.revert) else None,
         trellis_quant_dc=not a.notrellis_dc,
         trellis_delta_dc_weight=a.trellis_dc_ver_weight,
+        icc=_read_icc(a.icc),
         overshoot_deringing=False if (a.noovershoot or a.revert) else None,
         arithmetic=a.arithmetic,
         restart_interval=restart_interval,
@@ -137,6 +145,19 @@ def config_from_args(a) -> EncoderConfig:
         qslots=qslots,
         scan_script=scan_script,
     )
+
+
+def _read_icc(path):
+    if not path:
+        return None
+    try:
+        with open(path, "rb") as f:
+            return f.read()
+    except OSError as e:
+        import sys
+        print(f"cjpeg: can't open ICC profile file {path}: {e.strerror}",
+              file=sys.stderr)
+        raise SystemExit(1)
 
 
 def main(argv=None):

@@ -26,8 +26,13 @@ def build_parser():
     p.add_argument("-fastcrush", action="store_true")
     p.add_argument("-revert", action="store_true")
     p.add_argument("-arithmetic", action="store_true")
-    p.add_argument("-copy", choices=["none", "comments", "icc", "all"],
-                   default="comments")
+    p.add_argument("-copy", choices=["none", "comments", "icc", "all",
+                                     "all_except_icc"], default="comments")
+    p.add_argument("-perfect", action="store_true")
+    p.add_argument("-trim", action="store_true",
+                   help="trim partial MCUs (this implementation always "
+                        "trims; flag accepted for compatibility)")
+    p.add_argument("-maxscans", type=int, default=None)
     p.add_argument("-outfile", type=str, default=None)
     p.add_argument("input", nargs="?", default=None)
     return p
@@ -39,6 +44,21 @@ def main(argv=None):
     data = (open(a.input, "rb").read() if a.input
             else sys.stdin.buffer.read())
     img = transcode.read_coefficients(data)
+    if a.maxscans is not None and len(img.jp.scans) > a.maxscans:
+        sys.stderr.write("jpegtran: scan count exceeds -maxscans\n")
+        return 2
+    if a.perfect:
+        ops = []
+        if a.flip == "horizontal": ops.append("flip_h")
+        if a.flip == "vertical": ops.append("flip_v")
+        if a.transpose: ops.append("transpose")
+        if a.transverse: ops.append("transverse")
+        if a.rotate: ops.append("rot%d" % a.rotate)
+        for op in ops:
+            if not transcode.perfect_possible(img.jp, op):
+                sys.stderr.write("jpegtran: transformation is not "
+                                 "perfect\n")
+                return 1
     if a.flip == "horizontal":
         img = transcode.flip_h(img)
     elif a.flip == "vertical":
@@ -72,7 +92,7 @@ def main(argv=None):
         overshoot_deringing=False,
         arithmetic=a.arithmetic,
     )
-    out = transcode.write_coefficients(img, cfg)
+    out = transcode.write_coefficients(img, cfg, a.copy)
     if a.outfile:
         with open(a.outfile, "wb") as f:
             f.write(out)

@@ -66,5 +66,8 @@ def parse_sample(arg: str) -> List[Tuple[int, int]]:
     out = []
     for p in arg.split(","):
         h, v = p.split("x")
-        out.append((int(h), int(v)))
+        h, v = int(h), int(v)
+        if not (1 <= h <= 4 and 1 <= v <= 4):
+            raise ValueError("JPEG sampling factors must be 1..4")
+        out.append((h, v))
     return out

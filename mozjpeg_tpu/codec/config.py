@@ -58,6 +58,7 @@ class EncoderConfig:
     arithmetic: bool = False
     restart_interval: int = 0               # in MCUs
     restart_in_rows: int = 0                # in MCU rows (converted later)
+    icc: Optional[bytes] = None             # embedded ICC profile (-icc)
     dc_scan_opt_mode: int = 0
 
     # quantization
@@ -114,6 +115,7 @@ class EncoderConfig:
             arithmetic=self.arithmetic and not deep,
             restart_interval=self.restart_interval,
             restart_in_rows=self.restart_in_rows,
+            icc=self.icc,
             dc_scan_opt_mode=self.dc_scan_opt_mode,
             quant_tbl_idx=(self.quant_tbl_idx
                            if self.quant_tbl_idx is not None
@@ -155,6 +157,7 @@ class ResolvedConfig:
     arithmetic: bool
     restart_interval: int
     restart_in_rows: int
+    icc: Optional[bytes]
     dc_scan_opt_mode: int
     quant_tbl_idx: int
     force_baseline: bool

@@ -131,25 +131,24 @@ def _render_plane(zz, qtbl, bh: int, bw: int, ch: int, cw: int,
     return plane[:ch, :cw]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def _upsample_color(y, cb, cr, mode: str, height: int, width: int,
-                    precision: int = 8):
-    if mode == "h2v2":
-        cb = sample.upsample_h2v2_fancy(cb)
-        cr = sample.upsample_h2v2_fancy(cr)
-    elif mode == "h2v1":
-        cb = sample.upsample_h2v1_fancy(cb)
-        cr = sample.upsample_h2v1_fancy(cr)
-    elif mode == "h2v2_rep":
-        # -nosmooth box filter; merged upsampling (jdmerge.c) computes
-        # the identical samples fused with the color conversion
-        cb = sample.upsample_replicate(cb, 2, 2)
-        cr = sample.upsample_replicate(cr, 2, 2)
-    elif mode == "h2v1_rep":
-        cb = sample.upsample_replicate(cb, 2, 1)
-        cr = sample.upsample_replicate(cr, 2, 1)
-    cb = cb[:height, :width]
-    cr = cr[:height, :width]
+                    precision: int = 8, hexp: int = 1, vexp: int = 1):
+    def up(pl):
+        if mode == "h2v2":
+            return sample.upsample_h2v2_fancy(pl)
+        if mode == "h2v1":
+            return sample.upsample_h2v1_fancy(pl)
+        if mode == "h1v2":
+            return sample.upsample_h1v2_fancy(pl)
+        if mode == "int":
+            # replicate (jdsample.c int_upsample); also the -nosmooth
+            # box filter / merged-upsample path
+            return sample.upsample_replicate(pl, hexp, vexp)
+        return pl
+
+    cb = up(cb)[:height, :width]
+    cr = up(cr)[:height, :width]
     ycc = jnp.stack([y[:height, :width], cb, cr], axis=-1)
     return color.ycc_to_rgb(ycc, precision)
 
@@ -172,12 +171,19 @@ def _jpeg_colorspace(jp: marker.ParsedJpeg) -> str:
 
 
 def _upsample_mode(jp, fancy=True):
+    """(mode, hexp, vexp) per jdsample.c:448-530 at full size."""
     c1 = jp.components[1]
-    if c1.h * 2 == jp.max_h and c1.v * 2 == jp.max_v:
-        return "h2v2" if fancy else "h2v2_rep"
-    if c1.h * 2 == jp.max_h:
-        return "h2v1" if fancy else "h2v1_rep"
-    return "none"
+    hexp = jp.max_h // c1.h
+    vexp = jp.max_v // c1.v
+    if (hexp, vexp) == (1, 1):
+        return "none", 1, 1
+    if (hexp, vexp) == (2, 2) and fancy:
+        return "h2v2", 2, 2
+    if (hexp, vexp) == (2, 1) and fancy:
+        return "h2v1", 2, 1
+    if (hexp, vexp) == (1, 2) and fancy:
+        return "h1v2", 1, 2
+    return "int", hexp, vexp
 
 
 def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
@@ -209,28 +215,34 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
         # null conversion: stored components are the output channels
         out = [np.asarray(p)[:jp.height, :jp.width] for p in sample_planes]
         return np.stack(out, axis=-1)
+    mode, hexp, vexp = _upsample_mode(jp, fancy_upsample)
     if cs == "ycck":
         y, cb, cr, k = sample_planes
-        cmyk = _upsample_ycck(y, cb, cr, k,
-                              _upsample_mode(jp, fancy_upsample),
-                              jp.height, jp.width, jp.precision)
+        cmyk = _upsample_ycck(y, cb, cr, k, mode, jp.height, jp.width,
+                              jp.precision, hexp, vexp)
         return np.asarray(cmyk)
     y, cb, cr = sample_planes[:3]
-    rgb = _upsample_color(y, cb, cr, _upsample_mode(jp, fancy_upsample),
-                          jp.height, jp.width, jp.precision)
+    rgb = _upsample_color(y, cb, cr, mode, jp.height, jp.width,
+                          jp.precision, hexp, vexp)
     return np.asarray(rgb)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def _upsample_ycck(y, cb, cr, k, mode: str, height: int, width: int,
-                   precision: int = 8):
+                   precision: int = 8, hexp: int = 1, vexp: int = 1):
     from ..ops import color as _color
-    if mode == "h2v2":
-        cb = sample.upsample_h2v2_fancy(cb)
-        cr = sample.upsample_h2v2_fancy(cr)
-    elif mode == "h2v1":
-        cb = sample.upsample_h2v1_fancy(cb)
-        cr = sample.upsample_h2v1_fancy(cr)
+    def up(pl):
+        if mode == "h2v2":
+            return sample.upsample_h2v2_fancy(pl)
+        if mode == "h2v1":
+            return sample.upsample_h2v1_fancy(pl)
+        if mode == "h1v2":
+            return sample.upsample_h1v2_fancy(pl)
+        if mode == "int":
+            return sample.upsample_replicate(pl, hexp, vexp)
+        return pl
+    cb = up(cb)
+    cr = up(cr)
     ycck = jnp.stack([y[:height, :width], cb[:height, :width],
                       cr[:height, :width], k[:height, :width]], axis=-1)
     return _color.ycck_to_cmyk(ycck, precision)

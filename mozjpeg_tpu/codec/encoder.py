@@ -152,7 +152,8 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
              icc: Optional[bytes] = None,
              com: Optional[bytes] = None,
              multi_dqt: bool = True, precision: int = 8,
-             cs: str = "ycbcr", qt_slots=None) -> bytes:
+             cs: str = "ycbcr", qt_slots=None,
+             extra_markers=None) -> bytes:
     """Write markers + scans into the final JPEG byte stream."""
     _, _, comps = geom
     comp_ids = _CS_INFO[cs][2]
@@ -170,6 +171,8 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
         marker.write_icc(w, icc)
     if com:
         w.com(com)
+    for code, payload in (extra_markers or ()):
+        w.segment(code, payload)
     # tables are emitted in component order, deduplicated on first use
     # (jcmarker.c write_frame_header walks comp_info)
     used_qt = list(dict.fromkeys(qt_slots[:ncomps]))
@@ -377,7 +380,8 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
                 run = trellis.make_trellis_all_t(
                     tuple(comps), None, ((ss, se),),
                     cfg.trellis_quant_dc and bi_ == 0, tuple(ncands),
-                    precision=cfg.precision, eob_opt=cfg.trellis_eob_opt)
+                    precision=cfg.precision, eob_opt=cfg.trellis_eob_opt,
+                    delta_w=float(cfg.trellis_delta_dc_weight))
                 cur = run(raws, cur, packed)
         finals = cur
     else:
@@ -386,11 +390,11 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
             for ci in range(len(comp_res))]
         packed = jnp.asarray(trellis.pack_trellis_inputs(
             lams, ac_sis, dc_sis, qtblzz))
-        run = trellis.make_trellis_all_t(tuple(comps), None, ((1, 63),),
-                                         cfg.trellis_quant_dc,
-                                         tuple(ncands),
-                                         precision=cfg.precision,
-                                         eob_opt=cfg.trellis_eob_opt)
+        run = trellis.make_trellis_all_t(
+            tuple(comps), None, ((1, 63),), cfg.trellis_quant_dc,
+            tuple(ncands), precision=cfg.precision,
+            eob_opt=cfg.trellis_eob_opt,
+            delta_w=float(cfg.trellis_delta_dc_weight))
         finals = run(raws, tuple(r[0] for r in comp_res), packed)
         for _ in range(max(1, cfg.trellis_num_loops) - 1):
             finals = run(raws, finals, packed)
@@ -447,12 +451,23 @@ def _split_flat(geom, flat):
 
 
 def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
-                   ncomps, restart, cs="ycbcr"):
+                   ncomps, restart, cs="ycbcr", extra_markers=None):
+    if cfg.icc:
+        # split across APP2 chunks (jcicc.c jpeg_write_icc_profile)
+        n = (len(cfg.icc) + marker.ICC_MARKER_PAYLOAD - 1) \
+            // marker.ICC_MARKER_PAYLOAD
+        chunks = tuple(
+            (0xE2, b"ICC_PROFILE\x00" + bytes([i + 1, n])
+             + cfg.icc[i * marker.ICC_MARKER_PAYLOAD:
+                       (i + 1) * marker.ICC_MARKER_PAYLOAD])
+            for i in range(n))
+        extra_markers = chunks + tuple(extra_markers or ())
     dc_tbls, ac_tbls = _std_dc_ac(ncomps, cs)
     ycbcr = cs == "ycbcr"
     if cfg.arithmetic:
         return _entropy_arith(width, height, geom, planes, qtables, config,
-                              cfg, ncomps, restart, dc_tbls, ac_tbls, cs)
+                              cfg, ncomps, restart, dc_tbls, ac_tbls, cs,
+                              extra_markers)
     progressive = cfg.progressive
     if cfg.scan_script is not None:
         # a custom script may be sequential: progressive iff the first
@@ -465,7 +480,7 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
             from . import scanopt
             return scanopt.encode_optimize_scans(
                 width, height, geom, planes, qtables, cfg, ncomps, restart,
-                cfg.precision)
+                cfg.precision, extra_markers)
         elif (config.profile == Profile.MAX_COMPRESSION
               or cfg.optimize_scans):
             # scan search bails for non-YCbCr multi-component images
@@ -492,13 +507,15 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
                     progressive, ncomps,
                     multi_dqt=config.profile != Profile.FASTEST,
                     precision=cfg.precision, cs=cs,
-                    qt_slots=_qt_slots(cfg, cs, ncomps))
+                    qt_slots=_qt_slots(cfg, cs, ncomps),
+                    extra_markers=extra_markers)
 
 
 
 
 def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
-                   ncomps, restart, dc_tbls, ac_tbls, cs="ycbcr"):
+                   ncomps, restart, dc_tbls, ac_tbls, cs="ycbcr",
+                   extra_markers=None):
     """Arithmetic-coded output scans (SOF9/SOF10 + DAC markers)."""
     from . import arith
     _, _, comps = geom
@@ -524,6 +541,8 @@ def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
         w.jfif_app0()
     else:
         w.adobe_app14(2 if cs == "ycck" else 0)
+    for code, payload in (extra_markers or ()):
+        w.segment(code, payload)
     used_qt = list(dict.fromkeys(qt_slots[:ncomps]))
     if config.profile != Profile.FASTEST:
         w.dqt_multi([(i, qtables[i]) for i in used_qt])

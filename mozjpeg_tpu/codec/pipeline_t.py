@@ -36,19 +36,24 @@ def _comp_plane(p, g: CompGeom, max_h: int, max_v: int, h2: int,
             p = sample.smooth_fullsize(p, smoothing)
         elif g.h * 2 == max_h and g.v * 2 == max_v:
             p = sample.downsample_h2v2_smooth(p, smoothing)
-        elif g.h < max_h:
+        elif g.h * 2 == max_h and g.v == max_v:
+            # h2v1 keeps its biased kernel even when smoothing is on
+            # (jcsample.c:499-507: smoothok=FALSE, no smooth variant)
             p = sample.downsample_h2v1(p)
-        elif g.v < max_v:
-            p = sample.downsample_h1v2(p)
+        elif g.h < max_h or g.v < max_v:
+            p = sample.downsample_int(p, max_h // g.h, max_v // g.v)
         return p[: g.bh_pad * 8, : g.bw_pad * 8]
     if g.v < max_v:
         p = p[:h2]
-    if g.h < max_h and g.v < max_v:
+    hexp, vexp = max_h // g.h, max_v // g.v
+    if (hexp, vexp) == (2, 2):
         p = sample.downsample_h2v2(p)
-    elif g.h < max_h:
+    elif (hexp, vexp) == (2, 1):
         p = sample.downsample_h2v1(p)
-    elif g.v < max_v:
-        p = sample.downsample_h1v2(p)
+    elif (hexp, vexp) != (1, 1):
+        # jcsample has no special 1x2 kernel: every other ratio
+        # (1x2, 4x1, 1x4, 4x2, ...) uses the plain int average
+        p = sample.downsample_int(p, hexp, vexp)
     p = layout.pad_plane(p, g.bh_pad * 8, g.bw_pad * 8)
     return p[: g.bh_pad * 8, : g.bw_pad * 8]
 

@@ -71,7 +71,7 @@ def _scan_buffer(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
 
 def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
                           cfg, ncomps: int, restart: int,
-                          precision: int = 8) -> bytes:
+                          precision: int = 8, extra_markers=None) -> bytes:
     script = scans.search_progression(ncomps, cfg.dc_scan_opt_mode)
     num_scans = len(script)
     _, _, comps = geom
@@ -187,6 +187,8 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
     out = marker.MarkerWriter()
     out.soi()
     out.jfif_app0()
+    for code, payload in (extra_markers or ()):
+        out.segment(code, payload)
     min_Al = min(best_Al_luma, best_Al_chroma)
     order: List[int] = [0]
     if ncomps == 3 and cfg.dc_scan_opt_mode != 0:

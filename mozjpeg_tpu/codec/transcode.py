@@ -215,9 +215,36 @@ TRANSFORMS = {
 }
 
 
+def copy_marker_list(jp, option: str = "comments"):
+    """Select saved COM/APPn markers per jpegtran -copy semantics
+    (transupp.c:2346-2392 jcopy_markers_execute); JFIF APP0 and Adobe
+    APP14 duplicates are dropped (the writer regenerates its own)."""
+    out = []
+    for code, payload in jp.markers:
+        is_com = code == 0xFE
+        is_app = 0xE0 <= code <= 0xEF
+        if not (is_com or is_app):
+            continue
+        is_icc = code == 0xE2 and payload[:12] == b"ICC_PROFILE\x00"
+        if option == "none":
+            continue
+        if option == "comments" and not is_com:
+            continue
+        if option == "icc" and not is_icc:
+            continue
+        if option == "all_except_icc" and is_icc:
+            continue
+        if code == 0xE0 and payload[:5] == b"JFIF\x00":
+            continue          # writer emits its own JFIF
+        if code == 0xEE and payload[:5] == b"Adobe":
+            continue          # writer emits its own Adobe APP14
+        out.append((code, payload))
+    return out
+
+
 def write_coefficients(ci_img: CoefImage,
                        config: Optional[EncoderConfig] = None,
-                       copy_markers: bool = True) -> bytes:
+                       copy_markers: str = "comments") -> bytes:
     """Entropy-code coefficient planes into a JPEG (jpeg_write_coefficients
     + the jpegtran output stack: optimize_scans over existing coefficients
     is exactly the jpegrescan use case)."""
@@ -250,15 +277,31 @@ def write_coefficients(ci_img: CoefImage,
                                                 np.ones((8, 8), np.uint16)))]
     restart = cfg.restart_interval
     from .decoder import _jpeg_colorspace
+    extra = copy_marker_list(jp, copy_markers) if copy_markers else None
     return _phase_entropy(jp.width, jp.height, geom, planes, qtables,
                           config, cfg, ncomps, restart,
-                          _jpeg_colorspace(jp))
+                          _jpeg_colorspace(jp), extra)
+
+
+def perfect_possible(jp, op: str) -> bool:
+    """jpegtran -perfect: a transform is lossless-perfect iff no edge
+    trimming would occur (transupp.c)."""
+    imcu_w, imcu_h = 8 * jp.max_h, 8 * jp.max_v
+    w_ok = jp.width % imcu_w == 0
+    h_ok = jp.height % imcu_h == 0
+    need_w = op in ("flip_h", "rot90", "rot180", "transverse")
+    need_h = op in ("flip_v", "rot180", "rot270", "transverse")
+    return (w_ok or not need_w) and (h_ok or not need_h)
 
 
 def transform(data: bytes, op: str = "none",
-              config: Optional[EncoderConfig] = None, **kwargs) -> bytes:
+              config: Optional[EncoderConfig] = None,
+              copy_markers: str = "comments",
+              perfect: bool = False) -> bytes:
     """One-call lossless transform: parse -> transform -> re-encode."""
     img = read_coefficients(data)
+    if perfect and not perfect_possible(img.jp, op):
+        raise ValueError("transformation is not perfect")
     if op.startswith("crop:"):
         x, y, w, h = (int(v) for v in op[5:].split(","))
         img = crop(img, x, y, w, h)
@@ -266,4 +309,4 @@ def transform(data: bytes, op: str = "none",
         img = TRANSFORMS[op](img)
     else:
         raise ValueError("unknown transform %r" % op)
-    return write_coefficients(img, config)
+    return write_coefficients(img, config, copy_markers)

@@ -177,9 +177,10 @@ def trellis_ac(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
     return jnp.where(in_band[None, :], new_band, qcoef)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
 def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
-                    maxq: int = 1023):
+                    maxq: int = 1023, delta_w: float = 0.0,
+                    above_raw=None, above_dc=None):
     """DC trellis over a batch of independent block rows.
 
     raw_dc: (R, L) int32 unquantized DC (x8); last_dc0: (R,) int32 initial
@@ -197,6 +198,13 @@ def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
     delta = cand_mag * q8 - x[..., None]
     dist = (delta * delta).astype(jnp.float32) * lam_dc[..., None]
     cand = cand_mag * sign[..., None]                   # (R, L, nc) signed
+    if delta_w > 0.0 and above_raw is not None:
+        # vertical-gradient distortion (jcdctmgr.c:1069-1084): compare the
+        # original and reconstructed DC gradients against the row above
+        vd = ((above_raw - raw_dc)[..., None]
+              - (above_dc[..., None] * q8 - cand * q8))
+        vdist = (vd * vd).astype(jnp.float32) * lam_dc[..., None]
+        dist = dist + jnp.float32(delta_w) * (vdist - dist)
 
     dc_si_f = dc_si.astype(jnp.float32)
 
@@ -598,17 +606,19 @@ def _eob_block_dp(czero, skip, has_eob, ac_si_f):
 
 
 def _trellis_dc_t(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
-                  maxq: int = 1023):
+                  maxq: int = 1023, delta_w: float = 0.0,
+                  above_raw=None, above_dc=None):
     """Same DP as trellis_dc_rows (already verified) for use inside the
     combined jit; raw_dc (R, L)."""
     return trellis_dc_rows.__wrapped__(raw_dc, last_dc0, q0, dc_si,
-                                       lam_dc, nc, maxq)
+                                       lam_dc, nc, maxq, delta_w,
+                                       above_raw, above_dc)
 
 
 @functools.lru_cache(maxsize=64)
 def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
                        batch: int = 1, precision: int = 8,
-                       eob_opt: bool = False):
+                       eob_opt: bool = False, delta_w: float = 0.0):
     """Build a single jitted program running trellis for every component
     (cached per configuration — a fresh closure per call would recompile).
 
@@ -664,8 +674,15 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
                     nph = rr.shape[0]
                     init = (jnp.zeros(nph, jnp.int32) if p == 0
                             else prev[:nph])
+                    ar = ad = None
+                    if delta_w > 0.0 and p > 0:
+                        # row above = phase p-1 of the same iMCU row
+                        ar = raw_dc[p - 1::v][:nph]
+                        ad = dc_rows[p - 1][:nph]
                     dc, fin = _trellis_dc_t(rr, init, q0, dc_sis[ci], ll,
-                                            ncands[ci], maxq=maxq)
+                                            ncands[ci], maxq=maxq,
+                                            delta_w=delta_w,
+                                            above_raw=ar, above_dc=ad)
                     dc_rows.append(dc)
                     prev = fin
                 # interleave phases back into row order

@@ -40,6 +40,17 @@ def downsample_h1v2(plane: jnp.ndarray) -> jnp.ndarray:
     return ((s + bias) >> 1).astype(plane.dtype)
 
 
+def downsample_int(plane: jnp.ndarray, hexp: int, vexp: int) -> jnp.ndarray:
+    """Generic integral-factor downsample (jcsample.c:152-199
+    int_downsample): plain average with +numpix/2 rounding."""
+    x = plane.astype(jnp.int32)
+    h, w = x.shape[-2], x.shape[-1]
+    numpix = hexp * vexp
+    s = x.reshape(x.shape[:-2] + (h // vexp, vexp, w // hexp, hexp)) \
+        .sum(axis=(-3, -1))
+    return ((s + numpix // 2) // numpix).astype(plane.dtype)
+
+
 def upsample_h2v1_fancy(plane: jnp.ndarray) -> jnp.ndarray:
     """Triangle-filter 2x horizontal upsample (jdsample.c:276-306).
 

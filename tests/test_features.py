@@ -356,6 +356,21 @@ class TestTrellisFlags:
                                          use_scans_in_trellis=True))
         assert ours == golden
 
+    @pytest.mark.parametrize("w,q", [(0.5, 75), (0.8, 50)])
+    def test_delta_dc_weight(self, ref_tools, tmp_path, testorig, w, q):
+        """-trellis-dc-ver-weight: vertical DC gradient distortion term
+        (jcdctmgr.c:1069-1084); applies only within iMCU rows (2x2 luma)."""
+        golden = run_cjpeg(["-quality", str(q), "-trellis-dc-ver-weight",
+                            str(w), "-fastcrush"],
+                           corpus("testorig.ppm"), str(tmp_path / "d.jpg"))
+        ours = encode(testorig, EncoderConfig(
+            quality=q, trellis_delta_dc_weight=w, optimize_scans=False))
+        assert ours == golden
+        # and the term must actually change the output
+        base = encode(testorig, EncoderConfig(quality=q,
+                                              optimize_scans=False))
+        assert base != ours
+
 
 class TestColorQuantization:
     """djpeg -colors N: two-pass median-cut (jquant2) and one-pass fixed
@@ -481,6 +496,60 @@ class TestDCTMethods:
                         ["-dct", "fast" if meth == "ifast" else "float"])
         ours = decode((tmp_path / "d.jpg").read_bytes(), dct_method=meth)
         np.testing.assert_array_equal(ours, ref)
+
+
+class TestSamplingRatios:
+    """Non-2x sampling (4:4:0, 4:1:1, 4:4:1, 4x2): generic int
+    downsample on encode, fancy-h1v2/int upsample on decode."""
+
+    @pytest.mark.parametrize("samp,name", [
+        ((1, 2), "1x2"), ((4, 1), "4x1"), ((1, 4), "1x4"),
+        ((4, 2), "4x2")])
+    def test_roundtrip(self, ref_tools, tmp_path, testorig, samp, name):
+        golden = run_cjpeg(["-quality", "85", "-sample", name, "-revert",
+                            "-baseline"], corpus("testorig.ppm"),
+                           str(tmp_path / "s.jpg"))
+        ours = encode(testorig, EncoderConfig(
+            quality=85, subsampling=samp, profile=Profile.FASTEST,
+            progressive=False, force_baseline=True, optimize_coding=False,
+            optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False))
+        assert ours == golden
+        ref = run_djpeg(str(tmp_path / "s.jpg"), str(tmp_path / "s.ppm"))
+        np.testing.assert_array_equal(decode(golden), ref)
+
+
+class TestJpegtranMarkers:
+    def _spliced(self, ref_tools, tmp_path):
+        run_cjpeg(["-quality", "85", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), str(tmp_path / "m.jpg"))
+        d = (tmp_path / "m.jpg").read_bytes()
+        com = b"\xff\xfe" + (13).to_bytes(2, "big") + b"hello world"
+        app1 = b"\xff\xe1" + (10).to_bytes(2, "big") + b"Exif\x00\x00AB"
+        p = tmp_path / "m2.jpg"
+        p.write_bytes(d[:20] + com + app1 + d[20:])
+        return p
+
+    @pytest.mark.parametrize("copy", ["all", "none", "comments"])
+    def test_copy_modes(self, ref_tools, tmp_path, copy):
+        from mozjpeg_tpu.codec import transcode
+        src = self._spliced(ref_tools, tmp_path)
+        subprocess.run([ref_tools["jpegtran"], "-rotate", "180", "-trim",
+                        "-copy", copy, "-revert", "-optimize", "-outfile",
+                        str(tmp_path / "r.jpg"), str(src)], check=True)
+        ours = transcode.transform(
+            src.read_bytes(), "rot180",
+            EncoderConfig(profile=Profile.FASTEST, progressive=False,
+                          optimize_coding=True, optimize_scans=False,
+                          trellis_quant=False, overshoot_deringing=False),
+            copy_markers=copy)
+        assert ours == (tmp_path / "r.jpg").read_bytes()
+
+    def test_perfect_rejected(self, ref_tools, tmp_path):
+        from mozjpeg_tpu.codec import transcode
+        src = self._spliced(ref_tools, tmp_path)
+        with pytest.raises(ValueError):
+            transcode.transform(src.read_bytes(), "rot180", perfect=True)
 
 
 class TestLossless16:
