@@ -526,6 +526,14 @@ def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
         if cfg.scan_script is not None:
             script = [scans.ScanInfo(tuple(s[0]), *s[1:])
                       for s in cfg.scan_script]
+        elif (cfg.optimize_scans and (ncomps == 1
+                                      or (ncomps == 3 and ycbcr))):
+            # the scan search runs with the arithmetic coder too
+            # (jcparam.c:739-742 jpeg_simple_progression -> search)
+            from . import scanopt
+            return scanopt.encode_optimize_scans(
+                width, height, geom, planes, qtables, cfg, ncomps, restart,
+                cfg.precision, extra_markers, arith=True)
         elif config.profile == Profile.MAX_COMPRESSION:
             script = scans.simple_progression_max(ncomps,
                                                   cfg.dc_scan_opt_mode,

@@ -69,9 +69,45 @@ def _scan_buffer(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
     return w.bytes()
 
 
+def _scan_buffer_arith(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
+                       restart: int,
+                       frame_header: Optional[bytes]) -> bytes:
+    """Arith candidate scan: [frame hdr] + DAC + [DRI] + SOS + data
+    (jcmarker.c:404-446 emit_dac writes the scan's tables every scan)."""
+    from . import arith
+    w = marker.MarkerWriter()
+    if frame_header:
+        w.raw(frame_header)
+    entries = []
+    for ci in scan.comps:
+        if scan.Ss == 0 and scan.Ah == 0:
+            t = dc_tbls[ci]
+            e = (0, t, (int(arith.DC_U[t]) << 4) | int(arith.DC_L[t]))
+            if e not in entries:
+                entries.append(e)
+        if scan.Se:
+            t = ac_tbls[ci]
+            e = (1, t, int(arith.AC_K[t]))
+            if e not in entries:
+                entries.append(e)
+    if entries:
+        w.dac(entries)
+    if restart:
+        w.dri(restart)
+    comp_ids = [1, 2, 3]
+    w.sos([(comp_ids[ci],
+            dc_tbls[ci] if scan.Ss == 0 and scan.Ah == 0 else 0,
+            ac_tbls[ci] if scan.Se else 0)
+           for ci in scan.comps], scan.Ss, scan.Se, scan.Ah, scan.Al)
+    w.raw(arith.encode_scan_arith(scan, geom, planes, dc_tbls, ac_tbls,
+                                  restart))
+    return w.bytes()
+
+
 def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
                           cfg, ncomps: int, restart: int,
-                          precision: int = 8, extra_markers=None) -> bytes:
+                          precision: int = 8, extra_markers=None,
+                          arith: bool = False) -> bytes:
     script = scans.search_progression(ncomps, cfg.dc_scan_opt_mode)
     num_scans = len(script)
     _, _, comps = geom
@@ -90,7 +126,7 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
     fh = marker.MarkerWriter()
     fh.dqt_multi([(i, qtables[i]) for i in range(min(ncomps, 2))])
     comp_ids = [1, 2, 3][:ncomps]
-    fh.sof(marker.SOF2, precision, height, width,
+    fh.sof(marker.SOF10 if arith else marker.SOF2, precision, height, width,
            [(comp_ids[ci], comps[ci].h, comps[ci].v, 0 if ci == 0 else 1)
             for ci in range(ncomps)])
     frame_header = fh.bytes()
@@ -115,8 +151,9 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
         elif ncomps == 3 and chroma_split_start <= sn < num_scans:
             scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
                             best_Al_chroma)
-        buf = _scan_buffer(scan, geom, planes, dc_tbls, ac_tbls, restart,
-                           frame_header if sn == 0 else None)
+        mk = _scan_buffer_arith if arith else _scan_buffer
+        buf = mk(scan, geom, planes, dc_tbls, ac_tbls, restart,
+                 frame_header if sn == 0 else None)
         bufs[sn] = buf
         sizes[sn] = len(buf) - (len(frame_header) if sn == 0 else 0)
         nxt = sn + 1

@@ -356,6 +356,14 @@ class TestTrellisFlags:
                                          use_scans_in_trellis=True))
         assert ours == golden
 
+    def test_arith_scan_search(self, ref_tools, tmp_path, testorig):
+        """Full-default arithmetic: the optimize_scans search runs with the
+        arithmetic coder (jcparam.c:739-742), selecting the same script."""
+        golden = run_cjpeg(["-quality", "75", "-arithmetic"],
+                           corpus("testorig.ppm"), str(tmp_path / "a.jpg"))
+        ours = encode(testorig, EncoderConfig(quality=75, arithmetic=True))
+        assert ours == golden
+
     @pytest.mark.parametrize("w,q", [(0.5, 75), (0.8, 50)])
     def test_delta_dc_weight(self, ref_tools, tmp_path, testorig, w, q):
         """-trellis-dc-ver-weight: vertical DC gradient distortion term
