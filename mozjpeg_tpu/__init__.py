@@ -10,10 +10,13 @@ if _os.environ.get("JAX_PLATFORMS"):
     try:
         # only re-assert the env value if the config still carries it as
         # its default — a script that already called
-        # jax.config.update("jax_platforms", ...) wins
-        if _jax.config.jax_platforms == _os.environ["JAX_PLATFORMS"]:
-            _jax.config.update("jax_platforms",
-                               _os.environ["JAX_PLATFORMS"])
+        # jax.config.update("jax_platforms", ...) wins.  Plugins may
+        # prepend themselves to the default (e.g. "axon,cpu" for
+        # JAX_PLATFORMS=cpu), so compare as an ordered subset.
+        _env = _os.environ["JAX_PLATFORMS"]
+        _cur = (_jax.config.jax_platforms or "").split(",")
+        if set(_env.split(",")) <= set(_cur):
+            _jax.config.update("jax_platforms", _env)
     except Exception:
         pass
 

@@ -15,7 +15,7 @@ from ..utils import ppm
 def build_parser():
     p = argparse.ArgumentParser(prog="cjpeg", add_help=True,
                                 description="TPU-native mozjpeg encoder")
-    p.add_argument("-quality", type=str, default="75")
+    p.add_argument("-quality", type=str, default=None)
     p.add_argument("-precision", type=int, default=8,
                    help="data precision: 8, 12 (lossy) or 16 (lossless)")
     p.add_argument("-lossless", type=str, default=None,
@@ -68,7 +68,7 @@ def build_parser():
 def config_from_args(a) -> EncoderConfig:
     from . import rdswitch
     profile = Profile.FASTEST if a.revert else Profile.MAX_COMPRESSION
-    quality = rdswitch.parse_quality(a.quality)
+    quality = rdswitch.parse_quality(a.quality or "75")
     # the heuristic keys off the LAST rating parsed (rdswitch.c:562-570)
     q_last = quality[-1] if isinstance(quality, list) else quality
     subsampling = quality_default_subsampling(q_last)
@@ -107,6 +107,15 @@ def config_from_args(a) -> EncoderConfig:
         quant_idx = 3 if quant_idx is None else quant_idx
         l1, l2 = 14.75, 16.5
         use_lambda_tbl = True
+
+    if a.quality is None and quant_idx is None:
+        # cjpeg quirk: without -quality (or -quant-table/-tune-*) the
+        # tables stay as jpeg_set_defaults installed them -- Annex K
+        # (index 0), because quant_tbl_master_idx is still 0 when
+        # set_defaults calls jpeg_set_quality(75) (jcparam.c:411,505-510);
+        # the mozjpeg default index 3 only applies once cjpeg runs
+        # set_quality_ratings -> jpeg_default_qtables (cjpeg.c:721-724)
+        quant_idx = 0
 
     base_qt = (rdswitch.read_quant_tables(open(a.qtables).read())
                if a.qtables else None)

@@ -93,21 +93,34 @@ def _scan_tables_std(ncomps, cs="ycbcr"):
 
 def _restart_interval(cfg, mcus_x: int) -> int:
     if cfg.restart_in_rows:
-        return cfg.restart_in_rows * mcus_x
+        return min(cfg.restart_in_rows * mcus_x, 65535)
+    return cfg.restart_interval
+
+
+def scan_restart_interval(cfg, scan, geom, ncomps) -> int:
+    """Per-scan restart interval (jcmaster.c:595-600 per_scan_setup):
+    -restart N rows converts with the SCAN's MCUs_per_row -- the component's
+    width_in_blocks for non-interleaved scans (jcmaster.c:533)."""
+    mcus_x, _, comps = geom
+    if cfg.restart_in_rows:
+        mpr = mcus_x if len(scan.comps) > 1 else comps[scan.comps[0]].bw
+        return min(cfg.restart_in_rows * mpr, 65535)
     return cfg.restart_interval
 
 
 class ScanResult:
     __slots__ = ("scan", "data", "dc_tables", "ac_tables", "dc_tbls",
-                 "ac_tbls")
+                 "ac_tbls", "restart")
 
-    def __init__(self, scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls):
+    def __init__(self, scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
+                 restart=0):
         self.scan = scan
         self.data = data
         self.dc_tables = dc_tables    # {tbl_idx: HuffTable} used by this scan
         self.ac_tables = ac_tables
         self.dc_tbls = dc_tbls        # {comp: tbl_idx}
         self.ac_tbls = ac_tbls
+        self.restart = restart        # this scan's restart interval
 
 
 def encode_scan_optimal(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
@@ -132,7 +145,8 @@ def encode_scan_optimal(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
                 ac_tables[t] = entenc.gen_optimal_table(acc[t])
     data, _, _ = entenc.encode_scan(sg, dc_tbls, ac_tbls, dc_tables,
                                     ac_tables, restart, gather=False)
-    return ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls)
+    return ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
+                      restart)
 
 
 def encode_scan_fixed(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
@@ -144,7 +158,8 @@ def encode_scan_fixed(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
                if scan.Se > 0 and ac_tbls[ci] in ac_tables}
     data, _, _ = entenc.encode_scan(sg, dc_tbls, ac_tbls, dc_tables,
                                     ac_tables, restart, gather=False)
-    return ScanResult(scan, data, used_dc, used_ac, dc_tbls, ac_tbls)
+    return ScanResult(scan, data, used_dc, used_ac, dc_tbls, ac_tbls,
+                      restart)
 
 
 def assemble(width: int, height: int, geom, qtables, scan_results,
@@ -211,9 +226,9 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
         else:
             for c, t, tbl in entries:
                 w.dht(c, t, tbl)
-        if restart != last_dri:
-            w.dri(restart)
-            last_dri = restart
+        if sr.restart != last_dri:
+            w.dri(sr.restart)
+            last_dri = sr.restart
         # unused table fields are written as 0 (jcmarker.c:511-518)
         w.sos([(comp_ids[ci],
                 sr.dc_tbls[ci] if scan.Ss == 0 and scan.Ah == 0 else 0,
@@ -254,13 +269,26 @@ def _resolve(image, config, overrides):
     return config, cfg, cs, ncomps, samp, qtables
 
 
+def _trellis_ris(cfg, comps):
+    """Restart interval per component for the trellis stats passes: the
+    stats gather is a single-component pseudo-scan, so -restart N rows
+    converts with that component's width_in_blocks (jcmaster.c:533,595)."""
+    if cfg.restart_in_rows:
+        return tuple(min(cfg.restart_in_rows * g.bw, 65535) for g in comps)
+    if cfg.restart_interval:
+        return (cfg.restart_interval,) * len(comps)
+    return None
+
+
 def _phase_p1(image, cfg, samp, qtables, cs):
     from . import pipeline_t
     ncomps = len(samp)
+    _, _, comps = pipeline_t.geometry(image.shape[1], image.shape[0], samp)
     geom, comp_res, small = pipeline_t.run_p1(
         image, samp, qtables, cfg.overshoot_deringing, cs == "grayscale",
         cfg.precision, cs, _qt_slots(cfg, cs, ncomps),
-        cfg.smoothing_factor, cfg.dct_method.value)
+        cfg.smoothing_factor, cfg.dct_method.value,
+        ris=_trellis_ris(cfg, comps))
     return geom, comp_res, small
 
 
@@ -302,6 +330,17 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
         _lib.mj_arith_train_rows.argtypes = [
             _ct.c_void_p, _ct.POINTER(_ct.c_int16), _ct.c_int, _ct.c_int,
             _ct.c_int, _ct.c_int]
+        _lib.mj_arith_ctx_restart.argtypes = [_ct.c_void_p, _ct.c_int,
+                                              _ct.c_int, _ct.c_int]
+        # restart resets during the trellis re-encode follow emit_restart
+        # with the GLOBAL progressive flag and the pseudo-scan's Ss=1:
+        # progressive files keep DC stats/predictions, AC always resets
+        prog_mode = cfg.progressive
+        if cfg.scan_script is not None:
+            from . import scans as _scans
+            _s0 = _scans.ScanInfo(tuple(cfg.scan_script[0][0]),
+                                  *cfg.scan_script[0][1:])
+            prog_mode = _s0.Ss != 0 or _s0.Se != 63
         fs = cfg.trellis_freq_split
         band_defs = ([(1, fs), (fs + 1, 63)]
                      if cfg.use_scans_in_trellis else [(1, 63)])
@@ -325,6 +364,18 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
             q_host = cur[comp]
             raw_host = raws_h[comp]
             ctx = _lib.mj_arith_ctx_new()
+            # restart resets in the suppressed re-encode (jcarith.c:383-389):
+            # stats + DC predictions reset every restart_interval MCUs; the
+            # reset lands AFTER the row's rate snapshot (compress_output runs
+            # after quantize_trellis_arith within the iMCU row).  The trellis
+            # pass is a single-component pseudo-scan, so -restart N rows
+            # converts with the component's width_in_blocks (jcmaster.c:533)
+            rint = 0
+            tris = _trellis_ris(cfg, comps)
+            if tris:
+                rint = tris[comp]
+            rtg = rint
+            nrst = 0
             for ri in range(-(-bh // v)):
                 _lib.mj_arith_get_rates(
                     ctx, rate_dc.ctypes.data_as(f32p),
@@ -349,9 +400,20 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
                     q_host[:, sl] = np.asarray(new_q)
                     blkrow = np.ascontiguousarray(
                         q_host[:, sl].T.astype(np.int16))
-                    _lib.mj_arith_train_rows(
-                        ctx, blkrow.ctypes.data_as(
-                            _ct.POINTER(_ct.c_int16)), bw, 0, 1, 5)
+                    off = 0
+                    while off < bw:
+                        if rint and rtg == 0:
+                            _lib.mj_arith_ctx_restart(
+                                ctx, nrst, 0 if prog_mode else 1, 1)
+                            nrst = (nrst + 1) & 7
+                            rtg = rint
+                        take = min(bw - off, rtg) if rint else bw
+                        _lib.mj_arith_train_rows(
+                            ctx, blkrow[off:off + take].ctypes.data_as(
+                                _ct.POINTER(_ct.c_int16)), take, 0, 1, 5)
+                        off += take
+                        if rint:
+                            rtg -= take
             _lib.mj_arith_ctx_free(ctx)
         finals = tuple(jnp.asarray(c) for c in cur)
         if cfg.trellis_q_opt:
@@ -366,7 +428,8 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
         for _loop in range(max(1, cfg.trellis_num_loops)):
             for bi_, (ss, se) in enumerate([(1, fs), (fs + 1, 63)]):
                 if opt:
-                    hist_fn = trellis.make_band_hist_t(ss, se)
+                    hist_fn = trellis.make_band_hist_t(
+                        ss, se, ris=_trellis_ris(cfg, comps))
                     bh = hist_fn(cur)
                     ac_sis = [trellis.trellis_tables_from_hist(
                         np.asarray(bh[ci])[0], tbl_slots[ci], True)[0]
@@ -496,13 +559,13 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
     results = []
     for scan in script:
         sg = entenc.ScanGeometry(scan, geom, planes)
+        r = scan_restart_interval(cfg, scan, geom, ncomps)
         if cfg.optimize_coding or progressive:
-            results.append(encode_scan_optimal(sg, dc_tbls, ac_tbls,
-                                               restart))
+            results.append(encode_scan_optimal(sg, dc_tbls, ac_tbls, r))
         else:
             dct_, act_ = _scan_tables_std(ncomps, cs)
             results.append(encode_scan_fixed(sg, dc_tbls, ac_tbls, dct_,
-                                             act_, restart))
+                                             act_, r))
     return assemble(width, height, geom, qtables, results, restart,
                     progressive, ncomps,
                     multi_dqt=config.profile != Profile.FASTEST,
@@ -561,9 +624,9 @@ def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
     w.sof(sof_code, 8, height, width,
           [(comp_ids[ci], comps[ci].h, comps[ci].v, qt_slots[ci])
            for ci in range(ncomps)])
-    if restart:
-        w.dri(restart)
+    last_dri = 0
     for scan in script:
+        r = scan_restart_interval(cfg, scan, geom, ncomps)
         entries = []
         for ci in scan.comps:
             if scan.Ss == 0 and scan.Ah == 0:
@@ -578,12 +641,15 @@ def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
                     entries.append(e)
         if entries:
             w.dac(entries)
+        if r != last_dri:
+            w.dri(r)
+            last_dri = r
         w.sos([(comp_ids[ci],
                 dc_tbls[ci] if scan.Ss == 0 and scan.Ah == 0 else 0,
                 ac_tbls[ci] if scan.Se else 0)
                for ci in scan.comps], scan.Ss, scan.Se, scan.Ah, scan.Al)
         w.raw(arith.encode_scan_arith(scan, geom, planes, dc_tbls, ac_tbls,
-                                      restart))
+                                      r))
     w.eoi()
     return w.bytes()
 

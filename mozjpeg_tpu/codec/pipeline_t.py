@@ -89,11 +89,12 @@ def _norm_seq(raw_zz):
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
         precision: int = 8, colorspace: str = "ycbcr",
         qt_slots: tuple = None, smoothing: int = 0,
-        dct_method: str = "islow", qts81=None, dts81=None):
+        dct_method: str = "islow", ris: tuple = None,
+        qts81=None, dts81=None):
     """qts81: per-component (8, 8, 1) device quant tables; dts81:
     per-component scaled divisor tables for the ifast method."""
     """Per comp (q_zz, raw_zz) device arrays + ONE packed small array
@@ -157,7 +158,8 @@ def _p1(rgb, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
         q_zz = layout.to_zigzag_t(qz)                  # (64, N) int16
         raw_zz = layout.to_zigzag_t(coeffs)            # (64, N) int32
         norm = _norm_seq(raw_zz)
-        achist = symbols.ac_first_histogram_t(q_zz)
+        achist = symbols.ac_first_histogram_t(
+            q_zz, ri=(ris[ci] if ris else 0))
         out.append((q_zz, raw_zz, norm, achist))
     # pack all small outputs into one int32 buffer (one tunnel round trip)
     small = jnp.concatenate(
@@ -179,7 +181,8 @@ def _pad_for_entropy(q_zz, g: CompGeom, transpose: bool = True):
 def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
            dering_on: bool, grayscale: bool = False, precision: int = 8,
            colorspace: str = "ycbcr", qt_slots: tuple = None,
-           smoothing: int = 0, dct_method: str = "islow"):
+           smoothing: int = 0, dct_method: str = "islow",
+           ris: tuple = None):
     """-> (geom, [(q_zz, raw_zz)] device arrays, small_dev packed array).
 
     Unpack small_dev with unpack_small() when the host needs norms/hists."""
@@ -203,7 +206,7 @@ def run_p1(image: np.ndarray, samp: List[Tuple[int, int]], qtables,
             for s in qt_slots)
     res, small = _p1(jnp.asarray(image), mcus_x, mcus_y, tuple(geom),
                      dering_on, precision, colorspace, qt_slots, smoothing,
-                     dct_method, qts81=qts81, dts81=dts81)
+                     dct_method, ris, qts81=qts81, dts81=dts81)
     return (mcus_x, mcus_y, geom), res, small
 
 
@@ -263,14 +266,14 @@ def batchable(geom) -> bool:
                and g.bw == g.bw_pad and g.bh == g.bh_pad for g in comps)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
-              precision: int = 8, qts81=None):
+              precision: int = 8, ris: tuple = None, qts81=None):
     def one(rgb):
         return _p1.__wrapped__(rgb, mcus_x, mcus_y, geom, dering_on,
                                precision, "ycbcr",
                                (0,) + (1,) * (len(geom) - 1), 0, "islow",
-                               qts81, None)
+                               ris, qts81, None)
 
     res, smalls = jax.vmap(one)(rgbs)
     b = rgbs.shape[0]
@@ -283,7 +286,7 @@ def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
 
 
 def run_p1_batch(images: np.ndarray, samp, qtables, dering_on: bool,
-                 precision: int = 8):
+                 precision: int = 8, ris: tuple = None):
     """images (B, H, W, 3) -> (geom, [(q,raw) with N'=B*N], smalls (B,...))."""
     b, h, w = images.shape[:3]
     mcus_x, mcus_y, geom = geometry(w, h, samp)
@@ -291,7 +294,7 @@ def run_p1_batch(images: np.ndarray, samp, qtables, dering_on: bool,
     qts81 = tuple(q81[0 if i == 0 else min(1, len(q81) - 1)]
                   for i in range(len(geom)))
     res, small = _p1_batch(jnp.asarray(images), mcus_x, mcus_y, tuple(geom),
-                           dering_on, precision, qts81=qts81)
+                           dering_on, precision, ris, qts81=qts81)
     return (mcus_x, mcus_y, geom), res, small
 
 

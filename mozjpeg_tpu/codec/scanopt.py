@@ -27,6 +27,11 @@ AL_MAX_CHROMA = scans.AL_MAX_CHROMA      # 2
 NUM_FREQ_SPLITS = len(scans.FREQUENCY_SPLITS)  # 5
 
 
+def _scan_restart(scan, geom, cfg, ncomps, restart):
+    from .encoder import scan_restart_interval
+    return scan_restart_interval(cfg, scan, geom, ncomps)
+
+
 class _Candidate:
     __slots__ = ("buf", "size")
 
@@ -36,7 +41,8 @@ class _Candidate:
 
 
 def _scan_buffer(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
-                 restart: int, frame_header: Optional[bytes]) -> bytes:
+                 restart: int, frame_header: Optional[bytes],
+                 emit_dri: bool = False) -> bytes:
     """Encode one candidate scan: [frame hdr] + DHT(s) + [DRI] + SOS + data."""
     from .encoder import encode_scan_optimal
     sg = entenc.ScanGeometry(scan, geom, planes)
@@ -58,7 +64,7 @@ def _scan_buffer(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
                 entries.append((1, t, sr.ac_tables[t]))
                 seen.add(("a", t))
     w.dht_multi(entries)
-    if restart:
+    if emit_dri:
         w.dri(restart)
     comp_ids = [1, 2, 3]
     w.sos([(comp_ids[ci],
@@ -70,8 +76,8 @@ def _scan_buffer(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
 
 
 def _scan_buffer_arith(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
-                       restart: int,
-                       frame_header: Optional[bytes]) -> bytes:
+                       restart: int, frame_header: Optional[bytes],
+                       emit_dri: bool = False) -> bytes:
     """Arith candidate scan: [frame hdr] + DAC + [DRI] + SOS + data
     (jcmarker.c:404-446 emit_dac writes the scan's tables every scan)."""
     from . import arith
@@ -92,7 +98,7 @@ def _scan_buffer_arith(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
                 entries.append(e)
     if entries:
         w.dac(entries)
-    if restart:
+    if emit_dri:
         w.dri(restart)
     comp_ids = [1, 2, 3]
     w.sos([(comp_ids[ci],
@@ -133,6 +139,7 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
 
     sizes: Dict[int, int] = {}
     bufs: Dict[int, bytes] = {}
+    last_dri = 0
 
     best_Al_luma = 0
     best_Al_chroma = 0
@@ -152,8 +159,15 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
             scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
                             best_Al_chroma)
         mk = _scan_buffer_arith if arith else _scan_buffer
-        buf = mk(scan, geom, planes, dc_tbls, ac_tbls, restart,
-                 frame_header if sn == 0 else None)
+        # per-scan restart interval; DRI emitted when it changes along the
+        # candidate-encode order -- the search captures scan buffers in
+        # trial order and stitches them verbatim (jcmaster.c:672-683,
+        # jcmarker.c:778-780)
+        r = _scan_restart(scan, geom, cfg, ncomps, restart)
+        buf = mk(scan, geom, planes, dc_tbls, ac_tbls, r,
+                 frame_header if sn == 0 else None,
+                 emit_dri=(r != last_dri))
+        last_dri = r if r != last_dri else last_dri
         bufs[sn] = buf
         sizes[sn] = len(buf) - (len(frame_header) if sn == 0 else 0)
         nxt = sn + 1

@@ -698,7 +698,7 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
 
 
 @functools.lru_cache(maxsize=32)
-def make_band_hist_t(ss: int, se: int, batch: int = 1):
+def make_band_hist_t(ss: int, se: int, batch: int = 1, ris: tuple = None):
     """Jitted per-band AC-first histograms from the CURRENT coefficient
     state — the reference's trellis stats passes regather per scan band
     after the previous band's requantization (jcmaster.c:444-460
@@ -707,13 +707,16 @@ def make_band_hist_t(ss: int, se: int, batch: int = 1):
     @jax.jit
     def run(qs):
         outs = []
-        for q in qs:                                   # (64, B*n)
+        for ci, q in enumerate(qs):                    # (64, B*n)
+            ri = ris[ci] if ris else 0
             if batch == 1:
-                outs.append(_symbols.ac_first_histogram_t(q, ss, se)[None])
+                outs.append(
+                    _symbols.ac_first_histogram_t(q, ss, se, ri)[None])
             else:
                 qb = q.reshape(64, batch, -1)
                 outs.append(jax.vmap(
-                    lambda a: _symbols.ac_first_histogram_t(a, ss, se),
+                    lambda a, _ri=ri: _symbols.ac_first_histogram_t(
+                        a, ss, se, _ri),
                     in_axes=1)(qb))
         return tuple(outs)
 

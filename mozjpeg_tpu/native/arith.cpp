@@ -806,6 +806,16 @@ void* mj_arith_ctx_new() {
 
 void mj_arith_ctx_free(void* ctx) { delete (ArithEnc*)ctx; }
 
+// restart boundary in the suppressed trellis re-encode (jcarith.c
+// emit_restart): the re-encode runs in sequential mode (trellis_passes
+// forces progressive_mode FALSE locally) but emit_restart tests the GLOBAL
+// cinfo->progressive_mode with the pseudo-scan's Ss=1, so for progressive
+// files only the AC statistics reset -- DC stats and predictions persist
+// across restart boundaries during trellis passes.
+void mj_arith_ctx_restart(void* ctx, int n, int reset_dc, int reset_ac) {
+  ((ArithEnc*)ctx)->restart(n, reset_dc != 0, reset_ac != 0);
+}
+
 // rate_dc: 64*2 floats, rate_ac: 256*2 floats (jcarith.c:944-971 math)
 void mj_arith_get_rates(void* ctx, float* rate_dc, float* rate_ac) {
   ArithEnc* e = (ArithEnc*)ctx;

@@ -83,14 +83,32 @@ def dc_histogram_single(plane: jnp.ndarray, bw: int, bh: int) -> jnp.ndarray:
 # Coefficient-major ("t") layout + progressive AC-first statistics.
 # ---------------------------------------------------------------------------
 
-def ac_first_histogram_t(zz: jnp.ndarray, Ss: int = 1, Se: int = 63
-                         ) -> jnp.ndarray:
+def ac_first_histogram_t(zz: jnp.ndarray, Ss: int = 1, Se: int = 63,
+                         ri: int = 0) -> jnp.ndarray:
     """Exact phuff AC-first (Ah=0, Al=0) symbol counts for one component.
 
     zz: (64, N) zigzag coefficients in SCAN ORDER (raster over real blocks).
     Reproduces encode_mcu_AC_first gather semantics incl. cross-block EOB-run
     accumulation and the 0x7FFF forced flush (/root/reference/jcphuff.c).
+    ri > 0: restart interval in blocks -- EOB runs flush at each boundary
+    (emit_restart, jcphuff.c), so segments are statistically independent.
     """
+    N = zz.shape[1]
+    if ri and ri < N:
+        nfull = N // ri
+        hists = []
+        if nfull:
+            segs = zz[:, :nfull * ri].reshape(64, nfull, ri)
+            hists.append(jax.vmap(
+                lambda a: _ac_first_hist_seg(a, Ss, Se),
+                in_axes=1)(segs).sum(0))
+        if N - nfull * ri:
+            hists.append(_ac_first_hist_seg(zz[:, nfull * ri:], Ss, Se))
+        return sum(hists)
+    return _ac_first_hist_seg(zz, Ss, Se)
+
+
+def _ac_first_hist_seg(zz: jnp.ndarray, Ss: int, Se: int) -> jnp.ndarray:
     band = zz[Ss:Se + 1].astype(jnp.int32)             # (L, N)
     L, N = band.shape
     nz = band != 0

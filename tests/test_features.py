@@ -710,3 +710,60 @@ class TestICC:
         spliced = data[:20] + icc_bytes + data[20:]
         jp = mk.parse(spliced)
         assert jp.icc_profile == profile
+
+
+class TestRestart:
+    """Restart intervals (-restart N rows / Nb MCUs) across entropy paths.
+
+    Per-scan conversion of rows to MCUs follows per_scan_setup
+    (jcmaster.c:595-600): non-interleaved scans use the component's
+    width_in_blocks as MCUs_per_row (jcmaster.c:533)."""
+
+    def _cli(self, tmp_path, args):
+        from mozjpeg_tpu.cli import cjpeg as cli
+        out = str(tmp_path / "our.jpg")
+        cli.main(args + ["-outfile", out, corpus("testorig.ppm")])
+        return open(out, "rb").read()
+
+    @pytest.mark.parametrize("flags", [
+        ["-quality", "75", "-revert", "-baseline", "-restart", "2"],
+        ["-quality", "75", "-revert", "-baseline", "-restart", "7b"],
+        ["-quality", "75", "-revert", "-progressive", "-restart", "2"],
+        ["-quality", "75", "-revert", "-baseline", "-arithmetic",
+         "-restart", "2"],
+    ], ids=["baseline-rows", "baseline-mcus", "prog-rows", "arith-rows"])
+    def test_revert_paths(self, ref_tools, tmp_path, flags):
+        golden = run_cjpeg(flags, corpus("testorig.ppm"),
+                           str(tmp_path / "ref.jpg"))
+        assert self._cli(tmp_path, list(flags)) == golden
+
+    @pytest.mark.parametrize("flags", [
+        ["-quality", "75", "-restart", "2"],
+        ["-quality", "75", "-restart", "4b"],
+        ["-quality", "75", "-arithmetic", "-restart", "2"],
+        ["-quality", "75", "-grayscale", "-restart", "3"],
+    ], ids=["default-rows", "default-mcus", "arith-trellis", "gray"])
+    def test_full_default_paths(self, ref_tools, tmp_path, flags):
+        golden = run_cjpeg(flags, corpus("testorig.ppm"),
+                           str(tmp_path / "ref.jpg"))
+        assert self._cli(tmp_path, list(flags)) == golden
+
+
+class TestNoQualityQuirk:
+    """cjpeg without -quality keeps jpeg_set_defaults' Annex K tables
+    (quant_tbl_master_idx is still 0 inside set_defaults, jcparam.c:411);
+    the mozjpeg index-3 tables require set_quality_ratings (cjpeg.c:721)."""
+
+    def test_no_quality_default(self, ref_tools, tmp_path):
+        golden = run_cjpeg([], corpus("testorig.ppm"),
+                           str(tmp_path / "ref.jpg"))
+        from mozjpeg_tpu.cli import cjpeg as cli
+        out = str(tmp_path / "our.jpg")
+        cli.main(["-outfile", out, corpus("testorig.ppm")])
+        assert open(out, "rb").read() == golden
+
+    def test_quality_explicit_differs(self, ref_tools, tmp_path):
+        a = run_cjpeg([], corpus("testorig.ppm"), str(tmp_path / "a.jpg"))
+        b = run_cjpeg(["-quality", "75"], corpus("testorig.ppm"),
+                      str(tmp_path / "b.jpg"))
+        assert a != b  # Annex K vs ImageMagick tables
