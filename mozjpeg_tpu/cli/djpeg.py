@@ -43,7 +43,10 @@ def main(argv=None):
     maxval = (1 << _marker.parse(data).precision) - 1
     if a.scale:
         num, den = (int(v) for v in a.scale.split("/"))
-        img = decode_scaled(data, num, den)
+        # -nosmooth only suppresses fancy upsampling (djpeg.c:366-368);
+        # block smoothing stays on (jdapimin.c:221)
+        img = decode_scaled(data, num, den,
+                            fancy_upsample=not a.nosmooth)
     else:
         img = decode(data, fancy_upsample=not a.nosmooth,
                      dct_method={"int": "islow", "fast": "ifast",

@@ -140,7 +140,18 @@ def decode_coefficients_arith(jp, data: bytes) -> List[np.ndarray]:
         comps.append(CompGeom(c.h, c.v, cw, ch, -(-cw // 8), -(-ch // 8),
                               mcus_x * c.h, mcus_y * c.v))
     buf = np.frombuffer(data, np.uint8)
+    ncomps = len(jp.components)
+    cb_cur = np.full((ncomps, 64), -1, dtype=np.int32)
+    cb_prev = np.full((ncomps, 64), -1, dtype=np.int32)
     for si, scan in enumerate(jp.scans):
+        if jp.progressive:
+            # progression status for block smoothing (jdarith.c:663-680,
+            # same bookkeeping as jdphuff)
+            for ci in scan.comp_indices:
+                lo, hi = min(scan.Ss, 1), max(scan.Se, 9)
+                cb_prev[ci, lo:hi + 1] = (cb_cur[ci, lo:hi + 1]
+                                          if si > 0 else 0)
+                cb_cur[ci, scan.Ss:scan.Se + 1] = scan.Al
         seg = np.ascontiguousarray(buf[scan.data_start:scan.data_end])
         restart = jp.scan_restart[si]
         interleaved = len(scan.comp_indices) > 1
@@ -187,4 +198,10 @@ def decode_coefficients_arith(jp, data: bytes) -> List[np.ndarray]:
                     _ptr(seg), ln, arr, scan.Ss, scan.Se, scan.Al, restart)
         if r < 0:
             raise ValueError("corrupt arithmetic scan %d" % si)
+    # the arith decoder never sets insufficient_data (zero data is legal
+    # mid-stream, jdarith.c:136-141), so every started scan completes and
+    # last_good_iMCU_row reaches the end of the image
+    jp.coef_bits = cb_cur if jp.progressive else None
+    jp.coef_bits_prev = cb_prev if jp.progressive else None
+    jp.last_good_imcu_row = mcus_y - 1
     return planes

@@ -42,7 +42,12 @@ def _flatten_decode_tables(tables):
 
 def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     """Entropy-decode all scans -> list of (bh_pad, bw_pad, 64) int16 zigzag
-    planes (MCU-padded dims)."""
+    planes (MCU-padded dims).
+
+    Side effects on jp (consumed by progressive block smoothing):
+    jp.coef_bits / jp.coef_bits_prev -- the progression status table
+    (jdphuff.c:126-144), and jp.last_good_imcu_row -- the last input
+    iMCU row decoded with sufficient data (jdcoefct.c:233-234)."""
     max_h, max_v = jp.max_h, jp.max_v
     mcus_x = -(-jp.width // (8 * max_h))
     mcus_y = -(-jp.height // (8 * max_v))
@@ -52,7 +57,20 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
                                dtype=np.int16))
     buf = np.frombuffer(data, dtype=np.uint8)
 
+    ncomps = len(jp.components)
+    cb_cur = np.full((ncomps, 64), -1, dtype=np.int32)
+    cb_prev = np.full((ncomps, 64), -1, dtype=np.int32)
+    last_good = mcus_y - 1
+    lg_out = np.zeros(1, dtype=np.int32)
+
     for si, scan in enumerate(jp.scans):
+        if jp.progressive:
+            # progression status update at scan start (jdphuff.c:126-144)
+            for ci in scan.comp_indices:
+                lo, hi = min(scan.Ss, 1), max(scan.Se, 9)
+                cb_prev[ci, lo:hi + 1] = (cb_cur[ci, lo:hi + 1]
+                                          if si > 0 else 0)
+                cb_cur[ci, scan.Ss:scan.Se + 1] = scan.Al
         htables = jp.scan_htables[si]
         restart = jp.scan_restart[si]
         dc_tables = {i: t for (cls, i), t in htables.items() if cls == 0}
@@ -91,27 +109,38 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
                 _np_ptr(dmn, i32p), _np_ptr(dmx, i64p), _np_ptr(dvp, i32p),
                 _np_ptr(dvl, u8p),
                 _np_ptr(amn, i32p), _np_ptr(amx, i64p), _np_ptr(avp, i32p),
-                _np_ptr(avl, u8p))
+                _np_ptr(avl, u8p), _np_ptr(lg_out, i32p))
         elif scan.Ss == 0:
             if scan.Ah == 0:
                 r = lib.mj_decode_dc_first(
                     _np_ptr(seg, u8p), seg_len, arr, len(scan.comp_indices),
                     smx, smy, restart, scan.Al,
                     _np_ptr(dmn, i32p), _np_ptr(dmx, i64p),
-                    _np_ptr(dvp, i32p), _np_ptr(dvl, u8p))
+                    _np_ptr(dvp, i32p), _np_ptr(dvl, u8p),
+                    _np_ptr(lg_out, i32p))
             else:
                 r = lib.mj_decode_dc_refine(
                     _np_ptr(seg, u8p), seg_len, arr, len(scan.comp_indices),
-                    smx, smy, restart, scan.Al)
+                    smx, smy, restart, scan.Al, _np_ptr(lg_out, i32p))
         else:
             fn = (lib.mj_decode_ac_first if scan.Ah == 0
                   else lib.mj_decode_ac_refine)
             r = fn(_np_ptr(seg, u8p), seg_len, arr,
                    scan.Ss, scan.Se, scan.Al, restart,
                    _np_ptr(amn, i32p), _np_ptr(amx, i64p), _np_ptr(avp, i32p),
-                   _np_ptr(avl, u8p))
+                   _np_ptr(avl, u8p), _np_ptr(lg_out, i32p))
         if r < 0:
             raise ValueError("corrupt scan %d" % si)
+        # scan-local MCU row -> image iMCU row (jdcoefct consume_data
+        # assigns last_good_iMCU_row = input_iMCU_row per MCU)
+        if interleaved:
+            last_good = int(lg_out[0])
+        else:
+            v = jp.components[scan.comp_indices[0]].v
+            last_good = min(int(lg_out[0]) // v, mcus_y - 1)
+    jp.coef_bits = cb_cur if jp.progressive else None
+    jp.coef_bits_prev = cb_prev if jp.progressive else None
+    jp.last_good_imcu_row = last_good
     return planes
 
 
@@ -186,13 +215,54 @@ def _upsample_mode(jp, fancy=True):
     return "int", hexp, vexp
 
 
+def _smooth_latches(jp):
+    """coef_bits latches for block smoothing (smoothing_ok,
+    jdcoefct.c:373-420): current = this scan's coef_bits; previous =
+    the prior scan's, or -1 when only one scan was started."""
+    n = len(jp.components)
+    cur = np.asarray(jp.coef_bits)[:, :10].copy()
+    prev = np.full((n, 10), -1, dtype=np.int32)
+    if len(jp.scans) > 1:
+        prev[:, 1:10] = np.asarray(jp.coef_bits_prev)[:, 1:10]
+    prev[:, 0] = cur[:, 0]
+    return cur, prev
+
+
+def _maybe_smooth(jp, planes, block_smoothing: bool):
+    """Return possibly-smoothed per-component (bh, bw, 64) int arrays."""
+    from . import smooth
+    max_h, max_v = jp.max_h, jp.max_v
+    mcus_y = -(-jp.height // (8 * max_v))
+    use = (block_smoothing and getattr(jp, "coef_bits", None) is not None
+           and smooth.smoothing_ok(jp, jp.coef_bits))
+    out = []
+    cur = prev = None
+    if use:
+        cur, prev = _smooth_latches(jp)
+    for ci, c in enumerate(jp.components):
+        cw = -(-jp.width * c.h // max_h)
+        ch = -(-jp.height * c.v // max_v)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        if use:
+            qt = jp.scan_qtables[0].get(c.quant_tbl,
+                                        jp.qtables.get(c.quant_tbl))
+            out.append(smooth.smooth_component(
+                planes[ci], bh, bw, c.v, mcus_y, qt, cur[ci], prev[ci],
+                jp.last_good_imcu_row))
+        else:
+            out.append(planes[ci][:bh, :bw])
+    return out
+
+
 def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
            colorspace: Optional[str] = None,
            fancy_upsample: bool = True,
-           dct_method: str = "islow") -> np.ndarray:
+           dct_method: str = "islow",
+           block_smoothing: bool = True) -> np.ndarray:
     """Coefficient planes -> pixels: RGB (H, W, 3), gray (H, W), or
     CMYK (H, W, 4) for Adobe 4-component files."""
     max_h, max_v = jp.max_h, jp.max_v
+    smoothed = _maybe_smooth(jp, planes, block_smoothing)
     sample_planes = []
     for ci, c in enumerate(jp.components):
         cw = -(-jp.width * c.h // max_h)
@@ -203,7 +273,7 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
             qt = dct.ifast_multipliers(qt)
         elif dct_method == "float":
             qt = dct.float_multipliers(qt)
-        zz = jnp.asarray(planes[ci][:bh, :bw])
+        zz = jnp.asarray(smoothed[ci])
         sample_planes.append(_render_plane(zz, jnp.asarray(qt), bh, bw,
                                            ch, cw, jp.precision,
                                            dct_method))
@@ -249,11 +319,15 @@ def _upsample_ycck(y, cb, cr, k, mode: str, height: int, width: int,
 
 
 def decode(data: bytes, fancy_upsample: bool = True,
-           dct_method: str = "islow") -> np.ndarray:
+           dct_method: str = "islow",
+           block_smoothing: bool = True) -> np.ndarray:
     """Decode a JPEG byte stream to RGB (H, W, 3) or grayscale (H, W).
 
-    fancy_upsample=False is djpeg -nosmooth (box-filter upsampling);
-    dct_method="ifast" is djpeg -dct fast."""
+    fancy_upsample=False is djpeg -nosmooth (box-filter upsampling; pass
+    block_smoothing=False too for full -nosmooth semantics);
+    dct_method="ifast" is djpeg -dct fast. Truncated/partial progressive
+    streams render like djpeg: missing data leaves coefficients at their
+    last decoded state and block smoothing interpolates the rest."""
     jp = marker.parse(data)
     if jp.lossless:
         from . import lossless
@@ -264,7 +338,7 @@ def decode(data: bytes, fancy_upsample: bool = True,
     else:
         planes = decode_coefficients(jp, data)
     return render(jp, planes, fancy_upsample=fancy_upsample,
-                  dct_method=dct_method)
+                  dct_method=dct_method, block_smoothing=block_smoothing)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
@@ -306,7 +380,8 @@ def _upsample_plane_scaled(pl, mode: str, hexp: int, vexp: int,
 
 
 def decode_scaled(data: bytes, num: int, den: int,
-                  fancy_upsample: bool = True) -> np.ndarray:
+                  fancy_upsample: bool = True,
+                  block_smoothing: bool = True) -> np.ndarray:
     """Scaled decode (djpeg -scale num/den): output M/8 for M = 1..16.
 
     Follows jdmaster.c jpeg_core_output_dimensions, the per-component
@@ -329,6 +404,7 @@ def decode_scaled(data: bytes, num: int, den: int,
     else:
         planes = decode_coefficients(jp, data)
     max_h, max_v = jp.max_h, jp.max_v
+    smoothed = _maybe_smooth(jp, planes, block_smoothing)
 
     # fancy upsampling is disabled at 1/8 scale (jdsample.c:444)
     fancy = fancy_upsample and min_size > 1
@@ -345,7 +421,7 @@ def decode_scaled(data: bytes, num: int, den: int,
         ch_full = -(-jp.height * c.v // max_v)
         bw, bh = -(-cw_full // 8), -(-ch_full // 8)
         qt = jp.scan_qtables[0].get(c.quant_tbl, jp.qtables.get(c.quant_tbl))
-        zz = jnp.asarray(np.ascontiguousarray(planes[ci][:bh, :bw]))
+        zz = jnp.asarray(np.ascontiguousarray(smoothed[ci]))
         pl = _render_plane_scaled(zz, jnp.asarray(qt), bh, bw,
                                   down_h, down_w, ssize)
         # upsampler selection (jdsample.c:448-530)

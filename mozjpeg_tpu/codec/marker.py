@@ -183,6 +183,11 @@ class ParsedJpeg:
     saw_jfif: bool = False
     markers: List[Tuple[int, bytes]] = dataclasses.field(default_factory=list)
     icc_profile: Optional[bytes] = None
+    # filled by decode_coefficients (progression status for block
+    # smoothing of partial progressive streams, jdphuff.c:126-144)
+    coef_bits: Optional[np.ndarray] = None
+    coef_bits_prev: Optional[np.ndarray] = None
+    last_good_imcu_row: int = 0
 
     @property
     def max_h(self):

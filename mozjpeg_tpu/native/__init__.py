@@ -82,24 +82,24 @@ lib.mj_decode_seq.restype = ctypes.c_long
 lib.mj_decode_seq.argtypes = [
     u8p, ctypes.c_long, cpp, ctypes.c_int,
     ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    i32p, i64p, i32p, u8p, i32p, i64p, i32p, u8p]
+    i32p, i64p, i32p, u8p, i32p, i64p, i32p, u8p, i32p]
 
 lib.mj_decode_dc_first.restype = ctypes.c_long
 lib.mj_decode_dc_first.argtypes = [
     u8p, ctypes.c_long, cpp, ctypes.c_int,
     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    i32p, i64p, i32p, u8p]
+    i32p, i64p, i32p, u8p, i32p]
 
 lib.mj_decode_dc_refine.restype = ctypes.c_long
 lib.mj_decode_dc_refine.argtypes = [
     u8p, ctypes.c_long, cpp, ctypes.c_int,
-    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p]
 
 lib.mj_decode_ac_first.restype = ctypes.c_long
 lib.mj_decode_ac_first.argtypes = [
     u8p, ctypes.c_long, cpp,
     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    i32p, i64p, i32p, u8p]
+    i32p, i64p, i32p, u8p, i32p]
 
 lib.mj_decode_ac_refine.restype = ctypes.c_long
 lib.mj_decode_ac_refine.argtypes = lib.mj_decode_ac_first.argtypes

@@ -501,12 +501,15 @@ struct BitReader {
   long pos;        // next byte to read
   uint64_t acc;    // left-justified bits
   int nbits;
+  int real_bits;   // bits in acc that came from actual data (rest zero-fed)
   bool saw_marker; // hit a non-stuffing marker: feed zeroes from now on
+  bool insufficient;  // ran out of real bits (jdhuff insufficient_data);
+                      // sticky until a restart marker is consumed
   int marker_pos;  // byte offset of the 0xFF of the marker (if saw_marker)
 
   void init(const uint8_t* d, long l) {
-    data = d; len = l; pos = 0; acc = 0; nbits = 0; saw_marker = false;
-    marker_pos = -1;
+    data = d; len = l; pos = 0; acc = 0; nbits = 0; real_bits = 0;
+    saw_marker = false; insufficient = false; marker_pos = -1;
   }
   // load up to 8 more bits
   inline void fill() {
@@ -531,6 +534,7 @@ struct BitReader {
       }
       acc |= (uint64_t)b << (56 - nbits);
       nbits += 8;
+      real_bits += 8;
     }
   }
   inline int peek(int n) {
@@ -544,6 +548,10 @@ struct BitReader {
   inline int get(int n) {
     if (n == 0) return 0;
     if (nbits < n) fill();
+    // jdhuff fill_bit_buffer: a request that real data can't satisfy
+    // warns once and zero-fills (entropy->insufficient_data)
+    if (n > real_bits) insufficient = true;
+    real_bits = real_bits >= n ? real_bits - n : 0;
     int v = (int)(acc >> (64 - n));
     acc <<= n;
     nbits -= n;
@@ -554,7 +562,7 @@ struct BitReader {
   // before RSTn, so at a restart boundary the accumulator holds only pad
   // bits (<8 real bits) or zero-fed bits — never whole unconsumed bytes.
   int read_restart() {
-    acc = 0; nbits = 0;
+    acc = 0; nbits = 0; real_bits = 0;
     long p = saw_marker ? (long)marker_pos : pos;
     saw_marker = false;
     marker_pos = -1;
@@ -565,6 +573,10 @@ struct BitReader {
         while (q < len && data[q] == 0xFF) q++;  // FF fill
         if (q >= len) break;
         pos = q + 1;
+        // process_restart resets the out-of-data flag only when a real
+        // RSTn was consumed (jdhuff.c:537-540 via unread_marker == 0)
+        if (data[q] >= 0xD0 && data[q] <= 0xD7) insufficient = false;
+        else { saw_marker = true; marker_pos = (int)(q - 1); pos = q - 1; }
         return data[q];
       }
       p++;  // resync past garbage
@@ -592,7 +604,9 @@ static inline int huff_decode(BitReader& br, const DecTables& t, int tbl) {
   while (code > maxcode[l]) {
     code = (code << 1) | br.get(1);
     l++;
-    if (l > 16) return -1;
+    // jpeg_huff_decode: bad code warns and fakes a zero (jdhuff.c) so
+    // corrupt/truncated streams keep decoding like djpeg does
+    if (l > 16) return 0;
   }
   return vals[valptr[l] + (code - mincode[l])];
 }
@@ -612,12 +626,14 @@ long mj_decode_seq(const uint8_t* data, long len,
                    const int32_t* dc_mincode, const int64_t* dc_maxcode,
                    const int32_t* dc_valptr, const uint8_t* dc_vals,
                    const int32_t* ac_mincode, const int64_t* ac_maxcode,
-                   const int32_t* ac_valptr, const uint8_t* ac_vals) {
+                   const int32_t* ac_valptr, const uint8_t* ac_vals,
+                   int32_t* last_good_row) {
   BitReader br; br.init(data, len);
   DecTables dct{dc_mincode, dc_maxcode, dc_valptr, dc_vals};
   DecTables act{ac_mincode, ac_maxcode, ac_valptr, ac_vals};
   int last_dc[16] = {0};
   int restarts_to_go = restart_interval;
+  if (last_good_row) *last_good_row = 0;
 
   for (int my = 0; my < mcus_y; my++) {
     for (int mx = 0; mx < mcus_x; mx++) {
@@ -626,6 +642,11 @@ long mj_decode_seq(const uint8_t* data, long len,
         memset(last_dc, 0, sizeof(last_dc));
         restarts_to_go = restart_interval;
       }
+      // out of data: leave the (pre-zeroed) MCU alone -> uniform gray
+      // for the rest of the segment (jdhuff.c:787-790); last_good row
+      // tracks the input row while data remains (jdcoefct.c:233-234)
+      if (!br.insufficient) {
+        if (last_good_row) *last_good_row = my;
       for (int ci = 0; ci < ncomp; ci++) {
         CompPlaneMut& c = comps[ci];
         for (int v = 0; v < c.v; v++) {
@@ -634,27 +655,27 @@ long mj_decode_seq(const uint8_t* data, long len,
             long bx = (long)mx * c.h + h;
             int16_t* blk = c.coef + (by * c.stride + bx) * 64;
             int s = huff_decode(br, dct, c.dc_tbl);
-            if (s < 0) return -1;
             int diff = s ? huff_extend(br.get(s), s) : 0;
             last_dc[ci] += diff;
             blk[0] = (int16_t)last_dc[ci];
             int k = 1;
             while (k < 64) {
               int rs = huff_decode(br, act, c.ac_tbl);
-              if (rs < 0) return -1;
               int r = rs >> 4, sz = rs & 15;
               if (sz == 0) {
                 if (r != 15) break;  // EOB
                 k += 16;             // ZRL
               } else {
                 k += r;
-                if (k > 63) return -1;
-                blk[k] = (int16_t)huff_extend(br.get(sz), sz);
+                // corrupt data: jpeg_natural_order's padding maps any
+                // overrun to position 63 (jdhuff.c:612-619)
+                blk[k > 63 ? 63 : k] = (int16_t)huff_extend(br.get(sz), sz);
                 k++;
               }
             }
           }
         }
+      }
       }
       if (restart_interval) restarts_to_go--;
     }
@@ -667,11 +688,13 @@ long mj_decode_dc_first(const uint8_t* data, long len,
                         CompPlaneMut* comps, int ncomp,
                         int mcus_x, int mcus_y, int restart_interval, int Al,
                         const int32_t* dc_mincode, const int64_t* dc_maxcode,
-                        const int32_t* dc_valptr, const uint8_t* dc_vals) {
+                        const int32_t* dc_valptr, const uint8_t* dc_vals,
+                        int32_t* last_good_row) {
   BitReader br; br.init(data, len);
   DecTables dct{dc_mincode, dc_maxcode, dc_valptr, dc_vals};
   int last_dc[16] = {0};
   int restarts_to_go = restart_interval;
+  if (last_good_row) *last_good_row = 0;
   for (int my = 0; my < mcus_y; my++) {
     for (int mx = 0; mx < mcus_x; mx++) {
       if (restart_interval && restarts_to_go == 0) {
@@ -679,6 +702,8 @@ long mj_decode_dc_first(const uint8_t* data, long len,
         memset(last_dc, 0, sizeof(last_dc));
         restarts_to_go = restart_interval;
       }
+      if (!br.insufficient) {
+        if (last_good_row) *last_good_row = my;
       for (int ci = 0; ci < ncomp; ci++) {
         CompPlaneMut& c = comps[ci];
         for (int v = 0; v < c.v; v++) {
@@ -687,12 +712,12 @@ long mj_decode_dc_first(const uint8_t* data, long len,
             long bx = (long)mx * c.h + h;
             int16_t* blk = c.coef + (by * c.stride + bx) * 64;
             int s = huff_decode(br, dct, c.dc_tbl);
-            if (s < 0) return -1;
             int diff = s ? huff_extend(br.get(s), s) : 0;
             last_dc[ci] += diff;
             blk[0] = (int16_t)(last_dc[ci] << Al);
           }
         }
+      }
       }
       if (restart_interval) restarts_to_go--;
     }
@@ -703,16 +728,21 @@ long mj_decode_dc_first(const uint8_t* data, long len,
 // Progressive DC refine scan decode.
 long mj_decode_dc_refine(const uint8_t* data, long len,
                          CompPlaneMut* comps, int ncomp,
-                         int mcus_x, int mcus_y, int restart_interval, int Al) {
+                         int mcus_x, int mcus_y, int restart_interval, int Al,
+                         int32_t* last_good_row) {
   BitReader br; br.init(data, len);
   int restarts_to_go = restart_interval;
   int p1 = 1 << Al;
+  if (last_good_row) *last_good_row = 0;
   for (int my = 0; my < mcus_y; my++) {
     for (int mx = 0; mx < mcus_x; mx++) {
       if (restart_interval && restarts_to_go == 0) {
         br.read_restart();
         restarts_to_go = restart_interval;
       }
+      // zero-fed bits never set correction bits, so out-of-data MCUs are
+      // naturally untouched (jdphuff.c:466-468 skips the check too)
+      if (!br.insufficient && last_good_row) *last_good_row = my;
       for (int ci = 0; ci < ncomp; ci++) {
         CompPlaneMut& c = comps[ci];
         for (int v = 0; v < c.v; v++) {
@@ -735,12 +765,14 @@ long mj_decode_ac_first(const uint8_t* data, long len,
                         CompPlaneMut* comp,
                         int Ss, int Se, int Al, int restart_interval,
                         const int32_t* ac_mincode, const int64_t* ac_maxcode,
-                        const int32_t* ac_valptr, const uint8_t* ac_vals) {
+                        const int32_t* ac_valptr, const uint8_t* ac_vals,
+                        int32_t* last_good_row) {
   BitReader br; br.init(data, len);
   DecTables act{ac_mincode, ac_maxcode, ac_valptr, ac_vals};
   CompPlaneMut& c = *comp;
   unsigned eobrun = 0;
   int restarts_to_go = restart_interval;
+  if (last_good_row) *last_good_row = 0;
 
   for (long by = 0; by < c.bh; by++) {
     for (long bx = 0; bx < c.bw; bx++) {
@@ -750,13 +782,16 @@ long mj_decode_ac_first(const uint8_t* data, long len,
         restarts_to_go = restart_interval;
       }
       int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+      if (br.insufficient) {
+        // out of data: leave the MCU as-is (jdphuff.c:387)
+      } else {
+      if (last_good_row) *last_good_row = (int32_t)by;
       if (eobrun > 0) {
         eobrun--;
       } else {
         int k = Ss;
         while (k <= Se) {
           int rs = huff_decode(br, act, c.ac_tbl);
-          if (rs < 0) return -1;
           int r = rs >> 4, sz = rs & 15;
           if (sz == 0) {
             if (r != 15) {
@@ -767,11 +802,14 @@ long mj_decode_ac_first(const uint8_t* data, long len,
             k += 16;
           } else {
             k += r;
-            if (k > Se) return -1;
-            blk[k] = (int16_t)(huff_extend(br.get(sz), sz) * (1 << Al));
+            // corrupt data: one write may land past Se; natural-order
+            // padding clamps it to position 63 (jdphuff.c:412-414)
+            blk[k > 63 ? 63 : k] =
+                (int16_t)(huff_extend(br.get(sz), sz) * (1 << Al));
             k++;
           }
         }
+      }
       }
       if (restart_interval) restarts_to_go--;
     }
@@ -784,7 +822,8 @@ long mj_decode_ac_refine(const uint8_t* data, long len,
                          CompPlaneMut* comp,
                          int Ss, int Se, int Al, int restart_interval,
                          const int32_t* ac_mincode, const int64_t* ac_maxcode,
-                         const int32_t* ac_valptr, const uint8_t* ac_vals) {
+                         const int32_t* ac_valptr, const uint8_t* ac_vals,
+                         int32_t* last_good_row) {
   BitReader br; br.init(data, len);
   DecTables act{ac_mincode, ac_maxcode, ac_valptr, ac_vals};
   CompPlaneMut& c = *comp;
@@ -792,6 +831,7 @@ long mj_decode_ac_refine(const uint8_t* data, long len,
   int restarts_to_go = restart_interval;
   int p1 = 1 << Al;
   int m1 = -(1 << Al);
+  if (last_good_row) *last_good_row = 0;
 
   for (long by = 0; by < c.bh; by++) {
     for (long bx = 0; bx < c.bw; bx++) {
@@ -801,6 +841,12 @@ long mj_decode_ac_refine(const uint8_t* data, long len,
         restarts_to_go = restart_interval;
       }
       int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+      // out of data: don't modify the MCU (jdphuff.c:525-526)
+      if (br.insufficient) {
+        if (restart_interval) restarts_to_go--;
+        continue;
+      }
+      if (last_good_row) *last_good_row = (int32_t)by;
       int k = Ss;
       if (eobrun == 0) {
         while (k <= Se) {

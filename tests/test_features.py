@@ -767,3 +767,78 @@ class TestNoQualityQuirk:
         b = run_cjpeg(["-quality", "75"], corpus("testorig.ppm"),
                       str(tmp_path / "b.jpg"))
         assert a != b  # Annex K vs ImageMagick tables
+
+
+class TestTruncatedStreams:
+    """Partial/corrupt streams decode pixel-exactly like djpeg: missing
+    data leaves coefficients at their last decoded state
+    (insufficient_data, jdhuff.c:362-374) and progressive previews are
+    block-smoothed (decompress_smooth_data, jdcoefct.c:429-760)."""
+
+    def _sweep(self, tmp_path, cjpeg_flags, djpeg_args=None, decode_kw=None,
+               step=401):
+        src = corpus("testorig.ppm")
+        full = run_cjpeg(cjpeg_flags, src, str(tmp_path / "f.jpg"))
+        trunc = str(tmp_path / "t.jpg")
+        checked = 0
+        for cut in range(400, len(full), step):
+            with open(trunc, "wb") as f:
+                f.write(full[:cut])
+            r = subprocess.run([DJPEG, *(djpeg_args or []), "-outfile",
+                                str(tmp_path / "r.ppm"), trunc],
+                               capture_output=True)
+            try:
+                ref = ppm.read(str(tmp_path / "r.ppm"))
+            except Exception:
+                continue
+            ours = decode(full[:cut], **(decode_kw or {}))
+            np.testing.assert_array_equal(ours, ref,
+                                          err_msg=f"cut={cut}")
+            checked += 1
+        assert checked > 0
+
+    def test_progressive_smoothed(self, ref_tools, tmp_path):
+        self._sweep(tmp_path, ["-quality", "75", "-revert", "-progressive"])
+
+    def test_full_default(self, ref_tools, tmp_path):
+        self._sweep(tmp_path, ["-quality", "75"])
+
+    def test_baseline_gray_fill(self, ref_tools, tmp_path):
+        self._sweep(tmp_path, ["-quality", "75", "-revert", "-baseline"])
+
+    def test_progressive_restart(self, ref_tools, tmp_path):
+        self._sweep(tmp_path, ["-quality", "75", "-revert", "-progressive",
+                               "-restart", "2"])
+
+    def test_arithmetic(self, ref_tools, tmp_path):
+        self._sweep(tmp_path, ["-quality", "75", "-arithmetic"])
+
+    def test_nosmooth_keeps_block_smoothing(self, ref_tools, tmp_path):
+        # djpeg -nosmooth only disables fancy upsampling (djpeg.c:366);
+        # block smoothing stays on (jdapimin.c:221)
+        self._sweep(tmp_path, ["-quality", "75", "-revert", "-progressive"],
+                    djpeg_args=["-nosmooth"],
+                    decode_kw={"fancy_upsample": False})
+
+    def test_corrupt_byte_restart_resync(self, ref_tools, tmp_path):
+        src = corpus("testorig.ppm")
+        full = bytearray(run_cjpeg(
+            ["-quality", "75", "-revert", "-baseline", "-restart", "2"],
+            src, str(tmp_path / "f.jpg")))
+        trunc = str(tmp_path / "t.jpg")
+        for pos in range(700, len(full) - 100, 531):
+            bad = bytes(full[:pos]) + bytes([full[pos] ^ 0x55]) \
+                + bytes(full[pos + 1:])
+            with open(trunc, "wb") as f:
+                f.write(bad)
+            r = subprocess.run([DJPEG, "-outfile",
+                                str(tmp_path / "r.ppm"), trunc],
+                               capture_output=True)
+            if r.returncode not in (0, 2):
+                continue
+            try:
+                ref = ppm.read(str(tmp_path / "r.ppm"))
+            except Exception:
+                continue
+            ours = decode(bad)
+            np.testing.assert_array_equal(ours, ref, err_msg=f"pos={pos}")
