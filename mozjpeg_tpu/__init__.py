@@ -22,8 +22,23 @@ if _os.environ.get("JAX_PLATFORMS"):
 
 from . import _jaxcache  # noqa: F401  (enable persistent XLA cache)
 
-from .codec.config import EncoderConfig, Profile, DCTMethod  # noqa: F401
-from .codec.encoder import encode  # noqa: F401
-from .codec.decoder import decode  # noqa: F401
-
 __version__ = "0.1.0"
+
+__all__ = ["EncoderConfig", "Profile", "DCTMethod", "encode", "decode",
+           "encode_many"]
+
+
+def __getattr__(name):
+    # lazy exports (PEP 562): keep `import mozjpeg_tpu` free of device
+    # backend initialization so host-only tools (wrjpgcom, rdjpgcom)
+    # don't touch the TPU runtime
+    if name in ("EncoderConfig", "Profile", "DCTMethod"):
+        from .codec import config
+        return getattr(config, name)
+    if name in ("encode", "encode_many"):
+        from .codec import encoder
+        return getattr(encoder, name)
+    if name == "decode":
+        from .codec.decoder import decode
+        return decode
+    raise AttributeError(name)

@@ -842,3 +842,36 @@ class TestTruncatedStreams:
                 continue
             ours = decode(bad)
             np.testing.assert_array_equal(ours, ref, err_msg=f"pos={pos}")
+
+
+class TestComCLIs:
+    """rdjpgcom / wrjpgcom equivalents (byte-exact insertion, identical
+    text output vs the reference utilities)."""
+
+    def test_wrjpgcom_insert_and_replace(self, ref_tools, tmp_path):
+        from mozjpeg_tpu.cli.wrjpgcom import insert_comment
+        base = run_cjpeg(["-quality", "75", "-revert", "-baseline"],
+                         corpus("testorig.ppm"), str(tmp_path / "c.jpg"))
+        wr = os.path.join(os.path.dirname(ref_tools["cjpeg"]), "wrjpgcom")
+        ref1 = subprocess.run([wr, "-comment", "hello"],
+                              input=base, capture_output=True).stdout
+        assert insert_comment(base, b"hello", False) == ref1
+        ref2 = subprocess.run([wr, "-replace", "-comment", "bye"],
+                              input=ref1, capture_output=True).stdout
+        assert insert_comment(ref1, b"bye", True) == ref2
+
+    def test_rdjpgcom_output(self, ref_tools, tmp_path):
+        import io
+        from mozjpeg_tpu.cli import rdjpgcom
+        from mozjpeg_tpu.cli.wrjpgcom import insert_comment
+        base = run_cjpeg(["-quality", "75", "-revert", "-baseline"],
+                         corpus("testorig.ppm"), str(tmp_path / "c.jpg"))
+        data = insert_comment(base, b"line1\r\nline2\\ \x01\x7f", False)
+        p = str(tmp_path / "c2.jpg")
+        open(p, "wb").write(data)
+        rd = os.path.join(os.path.dirname(ref_tools["cjpeg"]), "rdjpgcom")
+        ref = subprocess.run([rd, "-verbose", p],
+                             capture_output=True).stdout.decode()
+        buf = io.StringIO()
+        rdjpgcom.scan(data, verbose=True, raw=False, out=buf)
+        assert buf.getvalue() == ref
