@@ -60,9 +60,44 @@ def build_parser():
     p.add_argument("-lambda1", type=float, default=14.75)
     p.add_argument("-lambda2", type=float, default=16.5)
     p.add_argument("-dct", default="int", choices=["int", "fast", "float"])
+    p.add_argument("-targa", action="store_true",
+                   help="input is Targa (no magic number; cjpeg.c:90)")
     p.add_argument("-outfile", type=str, default=None)
     p.add_argument("input", nargs="?", default=None)
     return p
+
+
+def read_input(data: bytes, is_targa: bool):
+    """Sniff the input format by first byte like cjpeg select_file_type
+    (cjpeg.c:86-126): B->BMP, G->GIF, P->PPM/PGM; Targa needs -targa.
+
+    -> (img, gray, density): RGB (H, W, 3) or grayscale (H, W) uint8,
+    whether the source declares itself grayscale (GIF gray colormap or
+    Targa subtype 3 set in_color_space GRAYSCALE), and BMP density."""
+    if is_targa:
+        from ..utils import targa
+        img, gray = targa.read_targa(data)
+        return img, gray, None
+    if not data:
+        raise SystemExit("cjpeg: empty input file")
+    c = data[0]
+    if c == 0x42:
+        from ..utils import bmp
+        img, density = bmp.read_bmp(data)
+        return img, False, density
+    if c == 0x47:
+        from ..utils import gif
+        img, gray = gif.read_gif(data)
+        return img, gray, None
+    if c == 0x50:
+        import io
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".ppm") as f:
+            f.write(data)
+            f.flush()
+            img = ppm.read(f.name)
+        return img, img.ndim == 2, None
+    raise SystemExit("cjpeg: unrecognized input file format")
 
 
 def config_from_args(a) -> EncoderConfig:
@@ -175,17 +210,9 @@ def main(argv=None):
     if a.precision == 16 and not a.lossless:
         sys.stderr.write("16-bit requires -lossless\n")
         return 1
-    if a.input:
-        img = ppm.read(a.input)
-    else:
-        sys.stderr.write("reading PPM from stdin\n")
-        import io
-        data = sys.stdin.buffer.read()
-        import tempfile
-        with tempfile.NamedTemporaryFile(suffix=".ppm") as f:
-            f.write(data)
-            f.flush()
-            img = ppm.read(f.name)
+    data = (open(a.input, "rb").read() if a.input
+            else sys.stdin.buffer.read())
+    img, src_gray, density = read_input(data, a.targa)
     if a.lossless:
         from ..codec.lossless import encode_lossless
         parts = a.lossless.split(",")
@@ -194,7 +221,15 @@ def main(argv=None):
         out = encode_lossless(img, predictor=psv, point_transform=pt,
                               precision=a.precision)
     else:
-        out = encode(img, config_from_args(a))
+        import dataclasses
+        cfg = config_from_args(a)
+        if src_gray and img.ndim == 2:
+            # GIF gray colormap / Targa subtype 3 / PGM input set
+            # in_color_space GRAYSCALE -> grayscale JPEG by default
+            cfg = dataclasses.replace(cfg, grayscale=True)
+        if density is not None:
+            cfg = dataclasses.replace(cfg, density=density)
+        out = encode(img, cfg)
     if a.outfile:
         with open(a.outfile, "wb") as f:
             f.write(out)

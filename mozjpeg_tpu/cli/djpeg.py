@@ -27,11 +27,85 @@ def build_parser():
                    help="box-filter upsampling (merged upsample path)")
     p.add_argument("-dct", default="int", choices=["int", "fast", "float"])
     p.add_argument("-outfile", type=str, default=None)
-    p.add_argument("-pnm", "-ppm", action="store_true", default=True)
+    fmt = p.add_mutually_exclusive_group()
+    fmt.add_argument("-pnm", "-ppm", action="store_const", const="pnm",
+                     dest="fmt", default="pnm")
+    fmt.add_argument("-bmp", action="store_const", const="bmp", dest="fmt")
+    fmt.add_argument("-os2", action="store_const", const="os2", dest="fmt")
+    fmt.add_argument("-gif", action="store_const", const="gif", dest="fmt")
+    fmt.add_argument("-gif0", action="store_const", const="gif0",
+                     dest="fmt")
+    fmt.add_argument("-targa", action="store_const", const="targa",
+                     dest="fmt")
     p.add_argument("-crop", type=str, default=None,
                    help="WxH+X+Y partial decode")
     p.add_argument("input", nargs="?", default=None)
     return p
+
+
+def _write_output(a, img, maxval, density):
+    """Serialize per the selected format with djpeg's quantization rules:
+    GIF forces palette output (wrgif.c:402-407); BMP/Targa go colormapped
+    only when -colors quantization is active."""
+    import numpy as np
+    fmt = a.fmt
+    gray_in = img.ndim == 2
+    colors = a.colors
+    if fmt in ("gif", "gif0") and not gray_in and not colors:
+        colors = 256                     # forced quantization, <=256
+    idx = cmap = None
+    if colors:
+        from ..codec.decoder import quantize_colors
+        idx, cmap = quantize_colors(img, colors, a.dither,
+                                    two_pass=not a.onepass)
+
+    if fmt == "pnm":
+        out_img = cmap[idx] if idx is not None else img
+        if a.outfile:
+            ppm.write(a.outfile, out_img, maxval=maxval)
+        else:
+            import tempfile
+            with tempfile.NamedTemporaryFile(suffix=".ppm") as f:
+                ppm.write(f.name, out_img, maxval=maxval)
+                sys.stdout.buffer.write(open(f.name, "rb").read())
+        return
+
+    if fmt in ("bmp", "os2"):
+        from ..utils import bmp
+        os2 = fmt == "os2"
+        if idx is not None:
+            data = bmp.write_bmp(idx, os2=os2, colormap=cmap,
+                                 density=density)
+        elif gray_in:
+            data = bmp.write_bmp(img, os2=os2, colormap=None,
+                                 density=density)
+        else:
+            data = bmp.write_bmp(img, os2=os2, density=density)
+    elif fmt in ("gif", "gif0"):
+        from ..utils import gif
+        lzw = fmt == "gif"
+        if idx is not None:
+            n = len(cmap)
+            # grayscale-quantized colormaps stay gray triples
+            data = gif.write_gif(idx, cmap, n, lzw=lzw)
+        else:
+            data = gif.write_gif(img, None, 256, lzw=lzw)
+    else:                                # targa
+        from ..utils import targa
+        if idx is not None:
+            if gray_in:
+                # Targa has no mapped grayscale: demap (wrtarga.c:163-167)
+                data = targa.write_targa(cmap[idx][..., 0]
+                                         if cmap.ndim == 2 else cmap[idx])
+            else:
+                data = targa.write_targa(idx, colormap=cmap,
+                                         num_colors=len(cmap))
+        else:
+            data = targa.write_targa(img)
+    if a.outfile:
+        open(a.outfile, "wb").write(data)
+    else:
+        sys.stdout.buffer.write(data)
 
 
 def main(argv=None):
@@ -61,19 +135,10 @@ def main(argv=None):
         wh, x, y = a.crop.split("+")
         w, h = (int(v) for v in wh.split("x"))
         img = img[int(y):int(y) + h, int(x):int(x) + w]
-    if a.colors:
-        from ..codec.decoder import quantize_colors
-        idx, cmap = quantize_colors(img, a.colors, a.dither,
-                                    two_pass=not a.onepass)
-        img = cmap[idx]          # PPM output maps through the colormap
-    if a.outfile:
-        ppm.write(a.outfile, img, maxval=maxval)
-    else:
-        import io
-        import tempfile
-        with tempfile.NamedTemporaryFile(suffix=".ppm") as f:
-            ppm.write(f.name, img, maxval=maxval)
-            sys.stdout.buffer.write(open(f.name, "rb").read())
+    jp = _marker.parse(data)
+    # wrbmp only writes pels-per-meter when density_unit is dots/cm
+    density = jp.density if jp.density[0] == 2 else None
+    _write_output(a, img, maxval, density)
     return 0
 
 

@@ -60,6 +60,9 @@ class EncoderConfig:
     restart_in_rows: int = 0                # in MCU rows (converted later)
     icc: Optional[bytes] = None             # embedded ICC profile (-icc)
     dc_scan_opt_mode: int = 0
+    # JFIF density (unit, X, Y): unit 0=aspect, 1=dpi, 2=dots/cm;
+    # BMP inputs propagate pels-per-meter here (rdbmp.c:515-519)
+    density: tuple = (0, 1, 1)
 
     # quantization
     quant_tbl_idx: Optional[int] = None     # None = profile default (3 or 0)
@@ -117,6 +120,7 @@ class EncoderConfig:
             restart_in_rows=self.restart_in_rows,
             icc=self.icc,
             dc_scan_opt_mode=self.dc_scan_opt_mode,
+            density=self.density,
             quant_tbl_idx=(self.quant_tbl_idx
                            if self.quant_tbl_idx is not None
                            else (3 if maxc else 0)),
@@ -158,6 +162,7 @@ class ResolvedConfig:
     restart_interval: int
     restart_in_rows: int
     icc: Optional[bytes]
+    density: tuple
     dc_scan_opt_mode: int
     quant_tbl_idx: int
     force_baseline: bool

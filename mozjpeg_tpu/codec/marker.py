@@ -181,6 +181,7 @@ class ParsedJpeg:
     restart_interval: int = 0
     adobe_transform: Optional[int] = None
     saw_jfif: bool = False
+    density: tuple = (0, 1, 1)           # JFIF (unit, X, Y)
     markers: List[Tuple[int, bytes]] = dataclasses.field(default_factory=list)
     icc_profile: Optional[bytes] = None
     # filled by decode_coefficients (progression status for block
@@ -323,6 +324,9 @@ def parse(data: bytes) -> ParsedJpeg:
         elif m == APP0:
             if seg[:5] == b"JFIF\x00":
                 jp.saw_jfif = True
+                if len(seg) >= 12:
+                    jp.density = (seg[7], (seg[8] << 8) | seg[9],
+                                  (seg[10] << 8) | seg[11])
             jp.markers.append((m, bytes(seg)))
         elif m == APP14:
             if seg[:5] == b"Adobe":

@@ -13,17 +13,19 @@ _LIB = os.path.join(_DIR, "libmjentropy.so")
 _SRC2 = os.path.join(_DIR, "arith.cpp")
 _SRC3 = os.path.join(_DIR, "lossless.cpp")
 _SRC4 = os.path.join(_DIR, "quant.cpp")
+_SRC5 = os.path.join(_DIR, "imageio.cpp")
 
 
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, _SRC2, _SRC3, _SRC4, "-o", _LIB + ".tmp"]
+           _SRC, _SRC2, _SRC3, _SRC4, _SRC5, "-o", _LIB + ".tmp"]
     subprocess.run(cmd, check=True)
     os.replace(_LIB + ".tmp", _LIB)
 
 
 def _ensure_built():
-    srcs = [s for s in (_SRC, _SRC2, _SRC3, _SRC4) if os.path.exists(s)]
+    srcs = [s for s in (_SRC, _SRC2, _SRC3, _SRC4, _SRC5)
+            if os.path.exists(s)]
     if (not os.path.exists(_LIB)
             or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
                    for s in srcs)):

@@ -875,3 +875,74 @@ class TestComCLIs:
         buf = io.StringIO()
         rdjpgcom.scan(data, verbose=True, raw=False, out=buf)
         assert buf.getvalue() == ref
+
+
+class TestImageIO:
+    """BMP/GIF/Targa readers and writers, byte-exact vs the reference
+    cjpeg input sniffing (cjpeg.c:86-126) and djpeg -bmp/-os2/-gif/-gif0/
+    -targa writers."""
+
+    @pytest.fixture(scope="class")
+    def basejpg(self, ref_tools, tmp_path_factory):
+        d = tmp_path_factory.mktemp("io")
+        color = run_cjpeg(["-quality", "75", "-revert", "-baseline"],
+                          corpus("testorig.ppm"), str(d / "c.jpg"))
+        gray = run_cjpeg(["-quality", "75", "-revert", "-baseline",
+                          "-grayscale"], corpus("testorig.ppm"),
+                         str(d / "g.jpg"))
+        return d, str(d / "c.jpg"), str(d / "g.jpg")
+
+    @pytest.mark.parametrize("fmt", ["bmp", "os2", "targa", "gif", "gif0"])
+    def test_djpeg_writers(self, basejpg, fmt, tmp_path):
+        from mozjpeg_tpu.cli import djpeg as dj
+        d, cjpg, gjpg = basejpg
+        for src in (cjpg, gjpg):
+            ref = str(tmp_path / "ref.out")
+            our = str(tmp_path / "our.out")
+            subprocess.run([DJPEG, "-" + fmt, "-outfile", ref, src],
+                           check=True)
+            dj.main(["-" + fmt, "-outfile", our, src])
+            assert open(our, "rb").read() == open(ref, "rb").read(), \
+                (fmt, src)
+
+    @pytest.mark.parametrize("fmt", ["bmp", "targa", "gif"])
+    def test_djpeg_writers_quantized(self, basejpg, fmt, tmp_path):
+        from mozjpeg_tpu.cli import djpeg as dj
+        d, cjpg, _ = basejpg
+        ref = str(tmp_path / "ref.out")
+        our = str(tmp_path / "our.out")
+        subprocess.run([DJPEG, "-" + fmt, "-colors", "100",
+                        "-outfile", ref, cjpg], check=True)
+        dj.main(["-" + fmt, "-colors", "100", "-outfile", our, cjpg])
+        assert open(our, "rb").read() == open(ref, "rb").read()
+
+    @pytest.mark.parametrize("fmt,extra", [
+        ("bmp", []), ("os2", []), ("targa", ["-targa"]), ("gif", []),
+    ])
+    def test_cjpeg_readers(self, basejpg, fmt, extra, tmp_path):
+        from mozjpeg_tpu.cli import cjpeg as cj
+        d, cjpg, _ = basejpg
+        src = str(tmp_path / ("in." + fmt))
+        subprocess.run([DJPEG, "-" + fmt, "-outfile", src, cjpg],
+                       check=True)
+        ref = str(tmp_path / "ref.jpg")
+        our = str(tmp_path / "our.jpg")
+        subprocess.run([CJPEG, "-quality", "75", *extra, "-outfile", ref,
+                        src], check=True)
+        cj.main(["-quality", "75", *extra, "-outfile", our, src])
+        assert open(our, "rb").read() == open(ref, "rb").read()
+
+    def test_cjpeg_gray_gif_makes_gray_jpeg(self, basejpg, tmp_path):
+        from mozjpeg_tpu.cli import cjpeg as cj
+        from mozjpeg_tpu.codec import marker
+        d, _, gjpg = basejpg
+        src = str(tmp_path / "g.gif")
+        subprocess.run([DJPEG, "-gif", "-outfile", src, gjpg], check=True)
+        our = str(tmp_path / "our.jpg")
+        cj.main(["-quality", "75", "-outfile", our, src])
+        jp = marker.parse(open(our, "rb").read())
+        assert len(jp.components) == 1
+        ref = str(tmp_path / "ref.jpg")
+        subprocess.run([CJPEG, "-quality", "75", "-outfile", ref, src],
+                       check=True)
+        assert open(our, "rb").read() == open(ref, "rb").read()
