@@ -18,8 +18,12 @@ def build_parser():
     p.add_argument("-rotate", type=int, choices=[90, 180, 270], default=None)
     p.add_argument("-transpose", action="store_true")
     p.add_argument("-transverse", action="store_true")
-    p.add_argument("-crop", type=str, default=None, help="WxH+X+Y")
+    p.add_argument("-crop", type=str, default=None,
+                   help="W[fr]xH[fr]{+-}X{+-}Y (f=flat, r=reflect fill)")
     p.add_argument("-wipe", type=str, default=None, help="WxH+X+Y")
+    p.add_argument("-drop", type=str, nargs=2, default=None,
+                   metavar=("+X+Y", "FILE"),
+                   help="insert FILE's image at +X+Y")
     p.add_argument("-optimize", "-optimise", action="store_true",
                    dest="optimize", default=None)
     p.add_argument("-progressive", action="store_true", default=None)
@@ -59,28 +63,32 @@ def main(argv=None):
                 sys.stderr.write("jpegtran: transformation is not "
                                  "perfect\n")
                 return 1
+    # jpegtran default (no -trim) preserves partial edge iMCUs
+    # untransformed (transupp.c no-crop variants); -trim drops them
+    trim = a.trim
     if a.flip == "horizontal":
-        img = transcode.flip_h(img)
+        img = transcode.flip_h(img, trim)
     elif a.flip == "vertical":
-        img = transcode.flip_v(img)
+        img = transcode.flip_v(img, trim)
     if a.transpose:
         img = transcode.transpose(img)
     if a.transverse:
-        img = transcode.transverse(img)
+        img = transcode.transverse(img, trim)
     if a.rotate == 90:
-        img = transcode.rot90(img)
+        img = transcode.rot90(img, trim)
     elif a.rotate == 180:
-        img = transcode.rot180(img)
+        img = transcode.rot180(img, trim)
     elif a.rotate == 270:
-        img = transcode.rot270(img)
+        img = transcode.rot270(img, trim)
     if a.crop:
-        wh, x, y = a.crop.split("+")
-        w, h = (int(v) for v in wh.split("x"))
-        img = transcode.crop(img, int(x), int(y), w, h)
+        img = transcode.crop_spec(img, transcode.parse_crop_spec(a.crop))
     if a.wipe:
-        wh, x, y = a.wipe.split("+")
-        w, h = (int(v) for v in wh.split("x"))
-        img = transcode.wipe(img, int(x), int(y), w, h)
+        img = transcode.wipe_spec(img, transcode.parse_crop_spec(a.wipe))
+    if a.drop:
+        cs = transcode.parse_crop_spec(a.drop[0])
+        src = transcode.read_coefficients(open(a.drop[1], "rb").read())
+        img = transcode.drop(img, src, cs.xoff, cs.yoff,
+                             trim_requant=a.trim)
 
     profile = Profile.FASTEST if a.revert else Profile.MAX_COMPRESSION
     cfg = EncoderConfig(

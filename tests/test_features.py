@@ -6,7 +6,7 @@ import subprocess
 import numpy as np
 import pytest
 
-from conftest import CORPUS, CJPEG, DJPEG, run_cjpeg, run_djpeg
+from conftest import (CORPUS, CJPEG, DJPEG, JPEGTRAN, run_cjpeg, run_djpeg)
 from mozjpeg_tpu import encode, decode, EncoderConfig, Profile
 from mozjpeg_tpu.utils import ppm
 
@@ -680,15 +680,12 @@ class TestCLI:
         out = str(tmp_path / "t180.jpg")
         cli.main(["-rotate", "180", "-revert", "-optimize",
                   "-outfile", out, str(tmp_path / "t.jpg")])
-        pix = run_djpeg(out, str(tmp_path / "t180.ppm"))
-        # compare against the reference jpegtran (pixel-space rotation of
-        # the decode differs by IDCT rounding, so that is NOT the oracle)
-        subprocess.run([ref_tools["jpegtran"], "-rotate", "180", "-trim",
+        subprocess.run([ref_tools["jpegtran"], "-rotate", "180",
+                        "-revert", "-optimize",
                         "-outfile", str(tmp_path / "ref180.jpg"),
                         str(tmp_path / "t.jpg")], check=True)
-        ref = run_djpeg(str(tmp_path / "ref180.jpg"),
-                        str(tmp_path / "ref180.ppm"))
-        np.testing.assert_array_equal(pix, ref)
+        assert open(out, "rb").read() == \
+            open(str(tmp_path / "ref180.jpg"), "rb").read()
 
 
 class TestICC:
@@ -946,3 +943,62 @@ class TestImageIO:
         subprocess.run([CJPEG, "-quality", "75", "-outfile", ref, src],
                        check=True)
         assert open(our, "rb").read() == open(ref, "rb").read()
+
+
+class TestJpegtranFull:
+    """No-trim edge-block semantics, crop extension fills, wipe modes,
+    and -drop, all byte-exact vs the reference jpegtran."""
+
+    @pytest.fixture(scope="class")
+    def basejpg(self, ref_tools, tmp_path_factory):
+        d = tmp_path_factory.mktemp("tran")
+        p = str(d / "c.jpg")
+        run_cjpeg(["-quality", "75", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), p)
+        return p
+
+    def _both(self, src, args, tmp_path):
+        from mozjpeg_tpu.cli import jpegtran as jt
+        ref = str(tmp_path / "r.jpg")
+        our = str(tmp_path / "o.jpg")
+        subprocess.run([JPEGTRAN, "-revert", "-optimize", *args,
+                        "-outfile", ref, src], check=True)
+        jt.main(["-revert", "-optimize", *args, "-outfile", our, src])
+        assert open(our, "rb").read() == open(ref, "rb").read(), args
+
+    @pytest.mark.parametrize("args", [
+        ["-flip", "horizontal"], ["-flip", "vertical"],
+        ["-rotate", "90"], ["-rotate", "180"], ["-rotate", "270"],
+        ["-transverse"],
+        ["-flip", "horizontal", "-trim"], ["-rotate", "180", "-trim"],
+    ], ids=["fliph", "flipv", "rot90", "rot180", "rot270", "transverse",
+            "fliph-trim", "rot180-trim"])
+    def test_transforms(self, basejpg, args, tmp_path):
+        self._both(basejpg, args, tmp_path)
+
+    @pytest.mark.parametrize("spec", [
+        "100x80+30+20", "300x200+10+10", "300fx200+10+10",
+        "300rx200+10+10", "100x80-20-10", "100fx80f+35+21",
+    ], ids=["plain", "ext-zero", "ext-flat", "ext-reflect", "neg",
+            "force"])
+    def test_crop(self, basejpg, spec, tmp_path):
+        self._both(basejpg, ["-crop", spec], tmp_path)
+
+    @pytest.mark.parametrize("spec", [
+        "64x48+32+32", "64fx48+32+32", "64rx149+0+0", "64rx149+163+0",
+    ], ids=["zero", "flatten", "reflect-left", "reflect-right"])
+    def test_wipe(self, basejpg, spec, tmp_path):
+        self._both(basejpg, ["-wipe", spec], tmp_path)
+
+    @pytest.mark.parametrize("dq,trim", [(75, False), (60, False),
+                                         (60, True)],
+                             ids=["same-q", "gcd", "requant"])
+    def test_drop(self, basejpg, dq, trim, tmp_path, ref_tools):
+        from mozjpeg_tpu.utils import ppm as _ppm
+        sub = str(tmp_path / "sub.ppm")
+        full = run_djpeg(basejpg, str(tmp_path / "full.ppm"))
+        _ppm.write(sub, full[8:72, 16:112])
+        dj = str(tmp_path / "d.jpg")
+        run_cjpeg(["-quality", str(dq), "-revert", "-baseline"], sub, dj)
+        args = ["-drop", "+40+24", dj] + (["-trim"] if trim else [])
+        self._both(basejpg, args, tmp_path)
