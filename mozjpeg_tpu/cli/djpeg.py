@@ -23,6 +23,10 @@ def build_parser():
                    help="one-pass (fixed palette) quantization")
     p.add_argument("-dither", default="fs",
                    choices=["fs", "ordered", "none"])
+    p.add_argument("-rgb565", action="store_true",
+                   help="force RGB565 output (BMP formats only)")
+    p.add_argument("-map", type=str, default=None, dest="mapfile",
+                   help="quantize to the colors of this GIF/PPM file")
     p.add_argument("-nosmooth", action="store_true",
                    help="box-filter upsampling (merged upsample path)")
     p.add_argument("-dct", default="int", choices=["int", "fast", "float"])
@@ -51,10 +55,15 @@ def _write_output(a, img, maxval, density):
     fmt = a.fmt
     gray_in = img.ndim == 2
     colors = a.colors
-    if fmt in ("gif", "gif0") and not gray_in and not colors:
+    if fmt in ("gif", "gif0") and not gray_in and not colors \
+            and not a.mapfile:
         colors = 256                     # forced quantization, <=256
     idx = cmap = None
-    if colors:
+    if a.mapfile:
+        from ..codec.decoder import read_color_map, quantize_to_map
+        cmap = read_color_map(open(a.mapfile, "rb").read())
+        idx, cmap = quantize_to_map(img, cmap, a.dither)
+    elif colors:
         from ..codec.decoder import quantize_colors
         idx, cmap = quantize_colors(img, colors, a.dither,
                                     two_pass=not a.onepass)
@@ -121,16 +130,26 @@ def main(argv=None):
         # block smoothing stays on (jdapimin.c:221)
         img = decode_scaled(data, num, den,
                             fancy_upsample=not a.nosmooth)
+        if a.grayscale and img.ndim == 3:
+            import numpy as np
+            from ..ops import color
+            import jax.numpy as jnp
+            img = np.asarray(color.rgb_to_gray(jnp.asarray(img)))
+    elif a.grayscale:
+        from ..codec.decoder import decode_grayscale
+        img = decode_grayscale(data, fancy_upsample=not a.nosmooth)
+    elif a.rgb565:
+        from ..codec.decoder import decode_rgb565
+        px = decode_rgb565(data, fancy_upsample=not a.nosmooth)
+        import numpy as np
+        # wrbmp expands LE RGB565 to 24-bit (wrbmp.c:127-140)
+        img = np.stack([((px >> 8) & 0xF8).astype(np.uint8),
+                        ((px >> 3) & 0xFC).astype(np.uint8),
+                        ((px << 3) & 0xF8).astype(np.uint8)], axis=-1)
     else:
         img = decode(data, fancy_upsample=not a.nosmooth,
                      dct_method={"int": "islow", "fast": "ifast",
                                  "float": "float"}[a.dct])
-    if a.grayscale and img.ndim == 3:
-        import numpy as np
-        from ..ops import color
-        import jax.numpy as jnp
-        # decoder-side RGB->gray not yet wired; approximate via luma plane
-        img = np.asarray(color.rgb_to_gray(jnp.asarray(img)))
     if a.crop:
         wh, x, y = a.crop.split("+")
         w, h = (int(v) for v in wh.split("x"))

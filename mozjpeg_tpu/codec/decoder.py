@@ -379,6 +379,42 @@ def _upsample_plane_scaled(pl, mode: str, hexp: int, vexp: int,
     return pl
 
 
+def decode_grayscale(data: bytes, fancy_upsample: bool = True,
+                     block_smoothing: bool = True) -> np.ndarray:
+    """djpeg -grayscale: YCbCr sources copy the Y channel (jdcolor.c:432
+    grayscale/YCbCr->gray is a null conversion of component 0; chroma is
+    not even IDCT'd), RGB sources use the fixed-point Y formula
+    (rgb_gray_convert, jdcolor.c:338)."""
+    jp = marker.parse(data)
+    if jp.lossless:
+        from . import lossless
+        img = lossless.decode_lossless(jp, data)
+        return img if img.ndim == 2 else img[..., 0]
+    if jp.arithmetic:
+        from . import arith
+        planes = arith.decode_coefficients_arith(jp, data)
+    else:
+        planes = decode_coefficients(jp, data)
+    cs = _jpeg_colorspace(jp)
+    if cs == "rgb":
+        rgb = render(jp, planes, fancy_upsample=fancy_upsample,
+                     block_smoothing=block_smoothing)
+        from ..ops import color as _color
+        return np.asarray(_color.rgb_to_gray(jnp.asarray(rgb)))
+    if cs not in ("grayscale", "ycbcr"):
+        raise ValueError("cannot convert %s to grayscale" % cs)
+    smoothed = _maybe_smooth(jp, planes, block_smoothing)
+    c = jp.components[0]
+    max_h, max_v = jp.max_h, jp.max_v
+    cw = -(-jp.width * c.h // max_h)
+    ch = -(-jp.height * c.v // max_v)
+    bw, bh = -(-cw // 8), -(-ch // 8)
+    qt = jp.scan_qtables[0].get(c.quant_tbl, jp.qtables.get(c.quant_tbl))
+    pl = _render_plane(jnp.asarray(smoothed[0]), jnp.asarray(qt), bh, bw,
+                       ch, cw, jp.precision, "islow")
+    return np.asarray(pl)[:jp.height, :jp.width]
+
+
 def decode_scaled(data: bytes, num: int, den: int,
                   fancy_upsample: bool = True,
                   block_smoothing: bool = True) -> np.ndarray:
@@ -505,3 +541,147 @@ def quantize_colors(rgb: np.ndarray, ncolors: int,
     cm = np.stack([cmap[:256], cmap[256:512], cmap[512:768]],
                   axis=-1)[:n]
     return idx, cm
+
+def read_color_map(data: bytes) -> np.ndarray:
+    """djpeg -map FILE (rdcolmap.c): extract a palette from a GIF global
+    colormap or the pixels of a maxval-255 PPM (P3/P6), deduplicated in
+    order of first appearance. -> (n, 3) uint8."""
+    if not data:
+        raise ValueError("bad colormap file")
+    out: list = []
+    seen = set()
+
+    def add(r, g, b):
+        if (r, g, b) not in seen:
+            if len(out) >= 256:
+                raise ValueError("too many colors in map file")
+            seen.add((r, g, b))
+            out.append((r, g, b))
+
+    if data[0] == 0x47:                       # GIF
+        if len(data) < 13 or data[:3] != b"GIF":
+            raise ValueError("bad colormap file")
+        flags = data[10]
+        if not (flags & 0x80):
+            raise ValueError("bad colormap file")
+        n = 2 << (flags & 7)
+        pal = data[13:13 + 3 * n]
+        for i in range(n):
+            add(pal[3 * i], pal[3 * i + 1], pal[3 * i + 2])
+    elif data[0] == 0x50:                     # PPM
+        import re
+        m = re.match(rb"P([36])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+"
+                     rb"(\d+)\s", data)
+        if not m:
+            raise ValueError("bad colormap file")
+        fmt, w, h, maxval = (int(m.group(1)), int(m.group(2)),
+                             int(m.group(3)), int(m.group(4)))
+        if maxval != 255:
+            raise ValueError("bad colormap file")
+        if fmt == 6:
+            px = np.frombuffer(data[m.end():m.end() + w * h * 3], np.uint8)
+        else:
+            px = np.array(data[m.end():].split()[:w * h * 3], np.uint8)
+        px = px.reshape(-1, 3)
+        for r, g, b in px:
+            add(int(r), int(g), int(b))
+    else:
+        raise ValueError("bad colormap file")
+    return np.array(out, np.uint8)
+
+
+def quantize_to_map(rgb: np.ndarray, cmap: np.ndarray,
+                    dither: str = "fs"):
+    """Quantize to a supplied colormap (jquant2 pass2 with an external
+    palette; ordered dithering falls back to FS like the reference)."""
+    from ..native import lib as _lib, u8p as _u8p
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    if rgb.ndim == 2:
+        rgb = np.ascontiguousarray(np.stack([rgb] * 3, axis=-1))
+    h, w = rgb.shape[:2]
+    idx = np.empty((h, w), np.uint8)
+    cm = np.ascontiguousarray(cmap, np.uint8)
+    _lib.mj_quantize_to_map.restype = ctypes.c_int
+    _lib.mj_quantize_to_map.argtypes = [_u8p, ctypes.c_int, ctypes.c_int,
+                                        _u8p, ctypes.c_int, ctypes.c_int,
+                                        _u8p]
+    r = _lib.mj_quantize_to_map(
+        rgb.ctypes.data_as(_u8p), w, h, cm.ctypes.data_as(_u8p),
+        len(cm), 0 if dither in ("none", None) else 1,
+        idx.ctypes.data_as(_u8p))
+    if r < 0:
+        raise ValueError("quantize_to_map failed")
+    return idx, cm
+
+_DITHER_565 = np.array([
+    [0x0A, 0x02, 0x08, 0x00],
+    [0x06, 0x0E, 0x04, 0x0C],
+    [0x09, 0x01, 0x0B, 0x03],
+    [0x05, 0x0D, 0x07, 0x0F]], np.int32)   # byte c%4 of dither_matrix[r%4]
+
+
+def decode_rgb565(data: bytes, fancy_upsample: bool = True,
+                  dither: bool = True) -> np.ndarray:
+    """Decode to packed RGB565 little-endian (H, W) uint16
+    (jdcol565.c ycc_rgb565[D]_convert with the 4x4 ordered dither of
+    jdcolor.c:617-625; TurboJPEG TJPF_RGB565 semantics)."""
+    from ..ops.color import (FIX_1_40200, FIX_1_77200, FIX_0_71414,
+                             FIX_0_34414, SCALEBITS, ONE_HALF)
+    jp = marker.parse(data)
+    if jp.arithmetic:
+        from . import arith
+        planes = arith.decode_coefficients_arith(jp, data)
+    else:
+        planes = decode_coefficients(jp, data)
+    cs = _jpeg_colorspace(jp)
+    if cs not in ("ycbcr", "grayscale"):
+        raise ValueError("RGB565 output requires YCbCr or grayscale")
+    smoothed = _maybe_smooth(jp, planes, True)
+    max_h, max_v = jp.max_h, jp.max_v
+    comps = []
+    for ci, c in enumerate(jp.components):
+        cw = -(-jp.width * c.h // max_h)
+        ch = -(-jp.height * c.v // max_v)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        qt = jp.scan_qtables[0].get(c.quant_tbl,
+                                    jp.qtables.get(c.quant_tbl))
+        comps.append(np.asarray(_render_plane(
+            jnp.asarray(smoothed[ci]), jnp.asarray(qt), bh, bw, ch, cw,
+            jp.precision, "islow")))
+    H, W = jp.height, jp.width
+    if cs == "grayscale":
+        # gray_rgb565D packs the SAME dithered value into all channels
+        # (DITHER_565_R for each, jdcol565.c:347-392)
+        yv = comps[0][:H, :W].astype(np.int32)
+        if dither:
+            d = _DITHER_565[np.arange(H)[:, None] % 4,
+                            np.arange(W)[None, :] % 4]
+            yv = yv + d
+        gv = np.clip(yv, 0, 255)
+        return (((gv << 8) & 0xF800) | ((gv << 3) & 0x7E0)
+                | (gv >> 3)).astype(np.uint16)
+    else:
+        mode, hexp, vexp = _upsample_mode(jp, fancy_upsample)
+        def up(pl):
+            return np.asarray(_upsample_plane_scaled(
+                jnp.asarray(pl),
+                {"h2v2": "fancy_h2v2", "h2v1": "fancy_h2v1",
+                 "h1v2": "fancy_h1v2"}.get(mode, mode), hexp, vexp))
+        yv = comps[0][:H, :W].astype(np.int32)
+        cb = up(comps[1])[:H, :W].astype(np.int32) - 128
+        cr = up(comps[2])[:H, :W].astype(np.int32) - 128
+        r = yv + ((FIX_1_40200 * cr + ONE_HALF) >> SCALEBITS)
+        b = yv + ((FIX_1_77200 * cb + ONE_HALF) >> SCALEBITS)
+        g = yv + ((-FIX_0_34414 * cb - FIX_0_71414 * cr + ONE_HALF)
+                  >> SCALEBITS)
+    if dither:
+        d = _DITHER_565[np.arange(H)[:, None] % 4,
+                        np.arange(W)[None, :] % 4]
+        r = r + d
+        g = g + (d >> 1)
+        b = b + d
+    r = np.clip(r, 0, 255)
+    g = np.clip(g, 0, 255)
+    b = np.clip(b, 0, 255)
+    return (((r << 8) & 0xF800) | ((g << 3) & 0x7E0)
+            | (b >> 3)).astype(np.uint16)

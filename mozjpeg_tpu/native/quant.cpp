@@ -356,21 +356,8 @@ extern "C" {
 // rgb: (h, w, 3) uint8; out_idx: (h, w) uint8; out_cmap: 3*256 uint8.
 // dither: 0 = none, 1 = Floyd-Steinberg.  Returns the actual number of
 // colormap entries (may be less than requested).
-int mj_quantize_colors(const uint8_t *rgb, int w, int h, int desired,
-                       int dither, uint8_t *out_idx, uint8_t *out_cmap) {
-  if (desired < 1 || desired > kMaxColors) return -1;
-  Quant2 *q = (Quant2 *)calloc(1, sizeof(Quant2));
-  if (!q) return -1;
-
-  // pass 1: histogram (16-bit cells saturate at 65535)
-  for (long i = 0; i < (long)w * h; i++) {
-    const uint8_t *p = rgb + i * 3;
-    uint16_t *cp = cell(q, p[0] >> kC0Shift, p[1] >> kC1Shift,
-                        p[2] >> kC2Shift);
-    if ((uint16_t)(*cp + 1) != 0) (*cp)++;
-  }
-  select_colors(q, desired);
-
+static void run_pass2(Quant2 *q, const uint8_t *rgb, int w, int h,
+                      int dither, uint8_t *out_idx) {
   // re-use the histogram as the inverse-cmap cache
   memset(q->hist, 0, sizeof(q->hist));
 
@@ -447,6 +434,24 @@ int mj_quantize_colors(const uint8_t *rgb, int w, int h, int desired,
     }
     free(fserr);
   }
+}
+
+int mj_quantize_colors(const uint8_t *rgb, int w, int h, int desired,
+                       int dither, uint8_t *out_idx, uint8_t *out_cmap) {
+  if (desired < 1 || desired > kMaxColors) return -1;
+  Quant2 *q = (Quant2 *)calloc(1, sizeof(Quant2));
+  if (!q) return -1;
+
+  // pass 1: histogram (16-bit cells saturate at 65535)
+  for (long i = 0; i < (long)w * h; i++) {
+    const uint8_t *p = rgb + i * 3;
+    uint16_t *cp = cell(q, p[0] >> kC0Shift, p[1] >> kC1Shift,
+                        p[2] >> kC2Shift);
+    if ((uint16_t)(*cp + 1) != 0) (*cp)++;
+  }
+  select_colors(q, desired);
+
+  run_pass2(q, rgb, w, h, dither, out_idx);
 
   memcpy(out_cmap, q->cmap[0], kMaxColors);
   memcpy(out_cmap + kMaxColors, q->cmap[1], kMaxColors);
@@ -454,6 +459,26 @@ int mj_quantize_colors(const uint8_t *rgb, int w, int h, int desired,
   int n = q->ncolors;
   free(q);
   return n;
+}
+
+
+// Quantize to a SUPPLIED colormap (djpeg -map FILE, rdcolmap.c feeding
+// jquant2's pass2 machinery: inverse colormap + optional FS dither).
+int mj_quantize_to_map(const uint8_t *rgb, int w, int h,
+                       const uint8_t *cmap_rgb, int ncolors, int dither,
+                       uint8_t *out_idx) {
+  if (ncolors < 1 || ncolors > kMaxColors) return -1;
+  Quant2 *q = (Quant2 *)calloc(1, sizeof(Quant2));
+  if (!q) return -1;
+  for (int i = 0; i < ncolors; i++) {
+    q->cmap[0][i] = cmap_rgb[i * 3 + 0];
+    q->cmap[1][i] = cmap_rgb[i * 3 + 1];
+    q->cmap[2][i] = cmap_rgb[i * 3 + 2];
+  }
+  q->ncolors = ncolors;
+  run_pass2(q, rgb, w, h, dither, out_idx);
+  free(q);
+  return ncolors;
 }
 
 }  // extern "C"

@@ -1002,3 +1002,48 @@ class TestJpegtranFull:
         run_cjpeg(["-quality", str(dq), "-revert", "-baseline"], sub, dj)
         args = ["-drop", "+40+24", dj] + (["-trim"] if trim else [])
         self._both(basejpg, args, tmp_path)
+
+
+class TestDecodeOutputModes:
+    """djpeg -grayscale / -map / -rgb565, byte-exact vs the reference."""
+
+    @pytest.fixture(scope="class")
+    def jpgs(self, ref_tools, tmp_path_factory):
+        d = tmp_path_factory.mktemp("dom")
+        c = str(d / "c.jpg")
+        run_cjpeg(["-quality", "75", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), c)
+        g = str(d / "g.jpg")
+        run_cjpeg(["-quality", "75", "-revert", "-baseline",
+                   "-grayscale"], corpus("testorig.ppm"), g)
+        r = str(d / "r.jpg")
+        run_cjpeg(["-quality", "75", "-rgb", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), r)
+        return c, g, r
+
+    def _both(self, src, args, tmp_path, ext="ppm"):
+        from mozjpeg_tpu.cli import djpeg as dj
+        ref = str(tmp_path / ("r." + ext))
+        our = str(tmp_path / ("o." + ext))
+        subprocess.run([DJPEG, *args, "-outfile", ref, src], check=True)
+        dj.main([*args, "-outfile", our, src])
+        assert open(our, "rb").read() == open(ref, "rb").read(), args
+
+    def test_grayscale_of_color(self, jpgs, tmp_path):
+        self._both(jpgs[0], ["-grayscale"], tmp_path)
+
+    def test_grayscale_of_rgb(self, jpgs, tmp_path):
+        self._both(jpgs[2], ["-grayscale"], tmp_path)
+
+    def test_map_gif(self, jpgs, tmp_path):
+        mp = str(tmp_path / "map.gif")
+        subprocess.run([DJPEG, "-gif", "-colors", "216", "-outfile", mp,
+                        jpgs[0]], check=True)
+        self._both(jpgs[0], ["-map", mp], tmp_path)
+        self._both(jpgs[0], ["-map", mp, "-dither", "none"], tmp_path)
+
+    def test_rgb565_bmp(self, jpgs, tmp_path):
+        self._both(jpgs[0], ["-rgb565", "-bmp"], tmp_path, "bmp")
+        self._both(jpgs[1], ["-rgb565", "-bmp"], tmp_path, "bmp")
+        self._both(jpgs[0], ["-rgb565", "-nosmooth", "-bmp"], tmp_path,
+                   "bmp")
