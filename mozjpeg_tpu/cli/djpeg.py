@@ -153,7 +153,13 @@ def main(argv=None):
     if a.crop:
         wh, x, y = a.crop.split("+")
         w, h = (int(v) for v in wh.split("x"))
-        img = img[int(y):int(y) + h, int(x):int(x) + w]
+        x, y = int(x), int(y)
+        # jpeg_crop_scanline region decode: x aligns down to an iMCU
+        # boundary and the width grows left; rows select [y, y+h)
+        from ..codec.decoder import decode_cropped
+        img, ax, w2 = decode_cropped(data, x, w,
+                                     fancy_upsample=not a.nosmooth)
+        img = img[y:y + h]
     jp = _marker.parse(data)
     # wrbmp only writes pels-per-meter when density_unit is dots/cm
     density = jp.density if jp.density[0] == 2 else None

@@ -685,3 +685,63 @@ def decode_rgb565(data: bytes, fancy_upsample: bool = True,
     b = np.clip(b, 0, 255)
     return (((r << 8) & 0xF800) | ((g << 3) & 0x7E0)
             | (b >> 3)).astype(np.uint16)
+
+def decode_cropped(data: bytes, x: int, w: int,
+                   fancy_upsample: bool = True,
+                   block_smoothing: bool = True):
+    """Partial-width decode (jpeg_crop_scanline, jdapistd.c:186-300):
+    xoffset aligns DOWN to an iMCU column boundary, the width grows left
+    to compensate, and upsampling runs over the region with image-edge
+    semantics at both region borders. Returns (rgb_or_gray, aligned_x,
+    aligned_w); callers slice rows themselves (jpeg_skip_scanlines is
+    a pure row restriction for whole-image decodes)."""
+    jp = marker.parse(data)
+    if jp.arithmetic:
+        from . import arith
+        planes = arith.decode_coefficients_arith(jp, data)
+    else:
+        planes = decode_coefficients(jp, data)
+    max_h, max_v = jp.max_h, jp.max_v
+    ncomps = len(jp.components)
+    align = 8 if ncomps == 1 else 8 * max_h
+    if w == 0 or x + w > jp.width:
+        raise ValueError("bad crop width")
+    if w == jp.width:
+        img = render(jp, planes, fancy_upsample=fancy_upsample,
+                     block_smoothing=block_smoothing)
+        return img, 0, jp.width
+    ax = (x // align) * align
+    w2 = w + x - ax
+    smoothed = _maybe_smooth(jp, planes, block_smoothing)
+    cs = _jpeg_colorspace(jp)
+    slices = []
+    for ci, c in enumerate(jp.components):
+        hsf = 1 if ncomps == 1 else c.h
+        cw = -(-jp.width * c.h // max_h)
+        ch = -(-jp.height * c.v // max_v)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        qt = jp.scan_qtables[0].get(c.quant_tbl,
+                                    jp.qtables.get(c.quant_tbl))
+        pl = np.asarray(_render_plane(
+            jnp.asarray(smoothed[ci]), jnp.asarray(qt), bh, bw, ch, cw,
+            jp.precision, "islow"))
+        start = ax * hsf // align * 8
+        dw = -(-w2 * c.h // max_h) if ncomps > 1 else w2
+        slices.append(jnp.asarray(
+            np.ascontiguousarray(pl[:, start:start + dw])))
+    if cs == "grayscale":
+        return (np.asarray(slices[0])[:jp.height, :w2], ax, w2)
+    mode, hexp, vexp = _upsample_mode(jp, fancy_upsample)
+    if cs == "ycck":
+        y_, cb, cr, k = slices
+        out = _upsample_ycck(y_, cb, cr, k, mode, jp.height, w2,
+                             jp.precision, hexp, vexp)
+        return np.asarray(out), ax, w2
+    if cs in ("rgb", "cmyk"):
+        out = [np.asarray(p)[:jp.height, :w2] for p in slices]
+        return np.stack(out, axis=-1), ax, w2
+    y_, cb, cr = slices[:3]
+    rgb = _upsample_color(y_, cb, cr, mode, jp.height, w2,
+                          jp.precision, hexp, vexp)
+    return np.asarray(rgb), ax, w2
+

@@ -775,3 +775,36 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
                           planes, qtables, config, cfg, ncomps, restart)
                 for img, planes in zip(images, per_image_planes)]
         return [f.result() for f in futs]
+
+def encode_raw_yuv(planes, width: int, height: int, samp,
+                   config: Optional[EncoderConfig] = None,
+                   **overrides) -> bytes:
+    """Encode pre-subsampled component planes (jpeg_write_raw_data /
+    tj3CompressFromYUV8): skips color conversion and downsampling but
+    runs the full mozjpeg pass machinery (dering, trellis, scan search).
+
+    planes: list of (ph, pw) uint8 arrays with tjPlaneWidth/Height dims;
+    samp: [(h, v), ...] sampling factors."""
+    import numpy as _np
+    from . import pipeline_t
+    if config is None:
+        config = EncoderConfig()
+    cfg = config.resolved()
+    cs = "grayscale" if len(planes) == 1 else "ycbcr"
+    ncomps = len(planes)
+    qtables = make_qtables(cfg)
+    _, _, comps = pipeline_t.geometry(width, height, samp)
+    geom, comp_res, small = pipeline_t.run_p1_raw(
+        planes, width, height, samp, qtables, cfg.overshoot_deringing,
+        cfg.precision, _qt_slots(cfg, cs, ncomps),
+        ris=_trellis_ris(cfg, comps))
+    if cfg.trellis_quant:
+        finals = _phase_trellis(geom, comp_res, small, cfg, qtables, cs)
+    else:
+        finals = tuple(r[0] for r in comp_res)
+    flat = _phase_pack(geom, finals)
+    out_planes = _split_flat(geom, _np.asarray(flat))
+    restart = _restart_interval(cfg, geom[0])
+    return _phase_entropy(width, height, geom, out_planes, qtables,
+                          config, cfg, ncomps, restart, cs)
+

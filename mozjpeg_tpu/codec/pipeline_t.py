@@ -358,3 +358,68 @@ def download_final_batch(geom, planes_t, b: int):
             off += n
         out.append(planes)
     return out
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _p1_raw(planes, geom: tuple, dering_on: bool, precision: int = 8,
+            ris: tuple = None, qts81=None):
+    """Raw-YUV variant of _p1 (jpeg_write_raw_data path): the caller
+    supplies already-subsampled component planes padded to the block
+    grid; color conversion and downsampling are skipped."""
+    out = []
+    for ci, g in enumerate(geom):
+        p = planes[ci]
+        blocks = layout.blockify_t(
+            p[: g.bh * 8, : g.bw * 8].astype(jnp.int32)
+            - (1 << (precision - 1)))
+        q81 = qts81[ci]
+        if dering_on:
+            szz = layout.to_zigzag_t(blocks)
+            szz = dering.dering_t(szz, q81[0, 0, 0])
+            blocks = layout.from_zigzag_t(szz)
+        pass1_bits = 2 if precision == 8 else 1
+        coeffs = dct.fdct_islow_t(blocks, pass1_bits)
+        qz = quant.quantize_islow_t(coeffs, q81)
+        if dering_on:
+            maxc = (1 << (precision + 2)) - 1
+            qz = jnp.clip(qz, -maxc, maxc)
+        q_zz = layout.to_zigzag_t(qz)
+        raw_zz = layout.to_zigzag_t(coeffs)
+        norm = _norm_seq(raw_zz)
+        achist = symbols.ac_first_histogram_t(
+            q_zz, ri=(ris[ci] if ris else 0))
+        out.append((q_zz, raw_zz, norm, achist))
+    small = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(o[2], jnp.int32) for o in out]
+        + [o[3] for o in out])
+    return [o[:2] for o in out], small
+
+
+def run_p1_raw(planes, width: int, height: int, samp, qtables,
+               dering_on: bool, precision: int = 8,
+               qt_slots: tuple = None, ris: tuple = None):
+    """planes: per-comp uint8 arrays with tjPlaneWidth/Height dims
+    (PAD(width, max_h) * h / max_h etc.). Rows and columns beyond the
+    plane replicate the last row/column out to the block grid (verified
+    against tj3CompressFromYUV8's edge blocks)."""
+    mcus_x, mcus_y, geom = geometry(width, height, samp)
+    if qt_slots is None:
+        qt_slots = (0,) + (1,) * (len(geom) - 1)
+        if len(qtables) < 2:
+            qt_slots = (0,) * len(geom)
+    qts81 = tuple(_dev_qtbl(np.asarray(qtables[s])) for s in qt_slots)
+    padded = []
+    for ci, g in enumerate(geom):
+        pl = np.asarray(planes[ci])
+        ph, pw = pl.shape
+        buf = np.zeros((g.bh * 8, g.bw * 8), pl.dtype)
+        ch, cw = min(ph, g.bh * 8), min(pw, g.bw * 8)
+        buf[:ch, :cw] = pl[:ch, :cw]
+        if cw < g.bw * 8:
+            buf[:ch, cw:] = buf[:ch, cw - 1:cw]
+        if ch < g.bh * 8:
+            buf[ch:] = buf[ch - 1:ch]
+        padded.append(jnp.asarray(buf))
+    res, small = _p1_raw(tuple(padded), tuple(geom), dering_on, precision,
+                         ris, qts81)
+    return (mcus_x, mcus_y, geom), res, small
+

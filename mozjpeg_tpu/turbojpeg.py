@@ -102,10 +102,14 @@ def jpeg_buf_size(width: int, height: int, subsamp: int) -> int:
 
 def yuv_plane_dims(comp: int, width: int, height: int,
                    subsamp: int) -> Tuple[int, int]:
+    """tj3YUVPlaneWidth/Height: the luma plane pads to the sampling
+    grid; chroma divides the padded luma dims (turbojpeg.c:1051-1075)."""
     h, v = _SAMP_FACTORS[subsamp]
+    pw = -(-width // h) * h
+    ph = -(-height // v) * v
     if comp == 0 or subsamp == TJSAMP_GRAY:
-        return width, height
-    return -(-width // h), -(-height // v)
+        return pw, ph
+    return pw // h, ph // v
 
 
 def yuv_buf_size(width: int, align: int, height: int, subsamp: int) -> int:
@@ -365,7 +369,9 @@ class TJ:
             return [img]
         ycc = np.asarray(color.rgb_to_ycc(jnp.asarray(img)))
         h, w = img.shape[:2]
-        planes = [ycc[:, :, 0]]
+        pw0, ph0 = yuv_plane_dims(0, w, h, p[TJPARAM_SUBSAMP])
+        planes = [np.pad(ycc[:, :, 0], ((0, ph0 - h), (0, pw0 - w)),
+                         mode="edge")]
         for c in (1, 2):
             pl = ycc[:, :, c]
             # pad to sampling multiple with edge replication, then the
@@ -413,11 +419,9 @@ class TJ:
         up = []
         for pl in (cb, cr):
             j = jnp.asarray(pl)
-            if hs == 2 and vs == 2:
-                j = sample.upsample_h2v2_fancy(j)
-            elif hs == 2 and vs == 1:
-                j = sample.upsample_h2v1_fancy(j)
-            elif hs != 1 or vs != 1:
+            if hs != 1 or vs != 1:
+                # tjDecodeYUVPlanes forces do_fancy_upsampling = FALSE
+                # (turbojpeg.c:2477): plain replication
                 j = sample.upsample_replicate(j, hs, vs)
             up.append(np.asarray(j)[:height, :width])
         ycc = np.stack([y[:height, :width], up[0], up[1]], axis=-1)
@@ -426,13 +430,32 @@ class TJ:
 
     def compress_from_yuv(self, yuv: bytes, width: int, height: int,
                           align: int = 1) -> bytes:
-        """tj3CompressFromYUV8: decode planes then run the DCT/entropy
-        stack on the reassembled image."""
-        img = self.decode_yuv(yuv, width, height, TJPF_RGB, align)
-        return self.compress(img, TJPF_RGB)
+        """tj3CompressFromYUV8 (jpeg_write_raw_data): encode the supplied
+        planes directly -- no color conversion or resampling."""
+        from .codec.encoder import encode_raw_yuv
+        p = self._params
+        subsamp = p[TJPARAM_SUBSAMP]
+        ncomp = 1 if subsamp == TJSAMP_GRAY else 3
+        hs, vs = _SAMP_FACTORS[subsamp]
+        samp = ([(1, 1)] if ncomp == 1
+                else [(hs, vs), (1, 1), (1, 1)])
+        planes = []
+        off = 0
+        buf = np.frombuffer(yuv, np.uint8)
+        for c in range(ncomp):
+            w, h = yuv_plane_dims(c, width, height, subsamp)
+            stride = -(-w // align) * align
+            planes.append(buf[off:off + stride * h]
+                          .reshape(h, stride)[:, :w])
+            off += stride * h
+        gray = ncomp == 1
+        cfg = self._encoder_config(gray, False)
+        return encode_raw_yuv(planes, width, height, samp, cfg)
 
     def decompress_to_yuv(self, jpeg: bytes, align: int = 1) -> bytes:
-        """tj3DecompressToYUV8: decode without upsampling/color."""
+        """tj3DecompressToYUV8 (jpeg_read_raw_data): component planes at
+        tjPlaneWidth/Height dims -- the sampling-grid padding carries the
+        decoded block-edge samples."""
         from .codec import marker
         from .codec.decoder import decode_coefficients, _render_plane
         import jax.numpy as jnp
@@ -442,19 +465,24 @@ class TJ:
             planes = arith.decode_coefficients_arith(jp, jpeg)
         else:
             planes = decode_coefficients(jp, jpeg)
+        max_h, max_v = jp.max_h, jp.max_v
+        pw0 = -(-jp.width // max_h) * max_h
+        ph0 = -(-jp.height // max_v) * max_v
         out = bytearray()
         for ci, c in enumerate(jp.components):
-            cw = -(-jp.width * c.h // jp.max_h)
-            ch = -(-jp.height * c.v // jp.max_v)
+            pw = pw0 * c.h // max_h
+            ph = ph0 * c.v // max_v
+            cw = -(-jp.width * c.h // max_h)
+            ch = -(-jp.height * c.v // max_v)
             bw, bh = -(-cw // 8), -(-ch // 8)
             qt = jp.scan_qtables[0].get(c.quant_tbl,
                                         jp.qtables.get(c.quant_tbl))
             pl = np.asarray(_render_plane(
                 jnp.asarray(planes[ci][:bh, :bw]), jnp.asarray(qt),
-                bh, bw, ch, cw, jp.precision))
-            stride = -(-cw // align) * align
-            row = np.zeros((ch, stride), np.uint8)
-            row[:, :cw] = pl
+                bh, bw, min(ph, bh * 8), min(pw, bw * 8), jp.precision))
+            stride = -(-pw // align) * align
+            row = np.zeros((ph, stride), np.uint8)
+            row[:pl.shape[0], :pl.shape[1]] = pl
             out += row.tobytes()
         return bytes(out)
 

@@ -17,6 +17,16 @@ import subprocess  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules: every XLA CPU
+    executable holds several memory mappings and the process otherwise
+    runs into vm.max_map_count (~65530) late in the suite, crashing the
+    compiler mid-mmap."""
+    yield
+    jax.clear_caches()
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFBUILD = os.path.join(REPO, ".refbuild")
 CORPUS = os.path.join(REPO, "corpus")
