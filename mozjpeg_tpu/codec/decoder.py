@@ -745,3 +745,49 @@ def decode_cropped(data: bytes, x: int, w: int,
                           jp.precision, hexp, vexp)
     return np.asarray(rgb), ax, w2
 
+class BufferedImage:
+    """Buffered-image mode (jpeg_start_output/jpeg_finish_output,
+    libjpeg.txt): render the image as of each completed input scan.
+    Pass k shows the coefficient state after scans 1..k, with block
+    smoothing applied to the not-yet-received coefficients exactly like
+    an interactive progressive viewer."""
+
+    def __init__(self, data: bytes, fancy_upsample: bool = True,
+                 block_smoothing: bool = True,
+                 dct_method: str = "islow"):
+        self._data = data
+        self._jp = marker.parse(data)
+        self._fancy = fancy_upsample
+        self._smooth = block_smoothing
+        self._dct = dct_method
+
+    @property
+    def num_scans(self) -> int:
+        return len(self._jp.scans)
+
+    @property
+    def progressive(self) -> bool:
+        return self._jp.progressive
+
+    def render_pass(self, nscans: int) -> np.ndarray:
+        """Image after consuming the first nscans scans (1-based)."""
+        if not 1 <= nscans <= len(self._jp.scans):
+            raise ValueError("pass out of range")
+        jp = marker.parse(self._data)
+        jp.scans = jp.scans[:nscans]
+        jp.scan_htables = jp.scan_htables[:nscans]
+        jp.scan_restart = jp.scan_restart[:nscans]
+        jp.scan_qtables = jp.scan_qtables[:nscans]
+        if jp.arithmetic:
+            from . import arith
+            planes = arith.decode_coefficients_arith(jp, self._data)
+        else:
+            planes = decode_coefficients(jp, self._data)
+        return render(jp, planes, fancy_upsample=self._fancy,
+                      dct_method=self._dct,
+                      block_smoothing=self._smooth)
+
+    def __iter__(self):
+        for k in range(1, self.num_scans + 1):
+            yield self.render_pass(k)
+

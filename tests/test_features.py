@@ -1047,3 +1047,53 @@ class TestDecodeOutputModes:
         self._both(jpgs[1], ["-rgb565", "-bmp"], tmp_path, "bmp")
         self._both(jpgs[0], ["-rgb565", "-nosmooth", "-bmp"], tmp_path,
                    "bmp")
+
+
+class TestBufferedImage:
+    """Buffered-image mode (jpeg_start_output/jpeg_finish_output,
+    jdapistd.c:37-108): render the picture as of each completed scan.
+    The final pass must match the one-shot full decode, and truncating
+    the stream after scan k must reproduce pass k exactly (that is the
+    coefficient state an interactive viewer would have)."""
+
+    @pytest.fixture(scope="class")
+    def projpg(self, ref_tools, tmp_path_factory):
+        d = tmp_path_factory.mktemp("bufim")
+        p = str(d / "p.jpg")
+        run_cjpeg(["-quality", "75", "-revert", "-progressive"],
+                  corpus("testorig.ppm"), p)
+        return open(p, "rb").read()
+
+    def test_final_pass_equals_full_decode(self, projpg):
+        from mozjpeg_tpu.codec import decoder
+        bi = decoder.BufferedImage(projpg)
+        assert bi.progressive and bi.num_scans > 1
+        full = decoder.decode(projpg)
+        last = bi.render_pass(bi.num_scans)
+        assert np.array_equal(last, full)
+
+    def test_pass_matches_truncated_stream(self, projpg):
+        from mozjpeg_tpu.codec import decoder, marker
+        jp = marker.parse(projpg)
+        bi = decoder.BufferedImage(projpg)
+        k = max(1, bi.num_scans // 2)
+        # cut the stream right after scan k's entropy data
+        cut = projpg[:jp.scans[k - 1].data_end] + b"\xff\xd9"
+        assert np.array_equal(bi.render_pass(k), decoder.decode(cut))
+
+    def test_iter_yields_every_pass(self, projpg):
+        from mozjpeg_tpu.codec import decoder
+        bi = decoder.BufferedImage(projpg, block_smoothing=False)
+        shapes = {im.shape for im in bi}
+        full = decoder.decode(projpg)
+        assert shapes == {full.shape}
+
+    def test_baseline_single_pass(self, ref_tools, tmp_path):
+        from mozjpeg_tpu.codec import decoder
+        p = str(tmp_path / "b.jpg")
+        run_cjpeg(["-quality", "75", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), p)
+        data = open(p, "rb").read()
+        bi = decoder.BufferedImage(data)
+        assert bi.num_scans == 1 and not bi.progressive
+        assert np.array_equal(bi.render_pass(1), decoder.decode(data))
