@@ -12,3 +12,42 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:  # cache is best-effort
     pass
+
+
+def ensure_backend(probe_timeout=25.0, cache_ttl=300.0):
+    """Fall back to CPU when the accelerator plugin is registered but its
+    device is unreachable (a dead TPU tunnel makes jax.devices() hang, not
+    raise). Probes in a subprocess with a timeout and caches the verdict,
+    because backend init in-process is not recoverable once it hangs. The
+    codec's integer compute paths are backend-exact, so CPU results are
+    identical."""
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    if jax.config.jax_platforms == "cpu":
+        return
+    cache = os.path.join(tempfile.gettempdir(), "mozjpeg_tpu_backend_probe")
+    verdict = None
+    try:
+        st = os.stat(cache)
+        if time.time() - st.st_mtime < cache_ttl:
+            verdict = open(cache).read().strip()
+    except OSError:
+        pass
+    if verdict is None:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            verdict = "ok" if r.returncode == 0 else "cpu"
+        except subprocess.TimeoutExpired:
+            verdict = "cpu"
+        try:
+            with open(cache, "w") as f:
+                f.write(verdict)
+        except OSError:
+            pass
+    if verdict != "ok":
+        jax.config.update("jax_platforms", "cpu")

@@ -205,6 +205,8 @@ def _read_icc(path):
 
 
 def main(argv=None):
+    from .._jaxcache import ensure_backend
+    ensure_backend()
     a = build_parser().parse_args(argv)
     from ..codec.encoder import encode
     if a.precision == 16 and not a.lossless:

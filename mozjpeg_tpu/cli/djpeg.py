@@ -43,6 +43,24 @@ def build_parser():
                      dest="fmt")
     p.add_argument("-crop", type=str, default=None,
                    help="WxH+X+Y partial decode")
+    p.add_argument("-skip", type=str, default=None,
+                   help="Y0,Y1 drop rows Y0..Y1 inclusive")
+    p.add_argument("-rgb", action="store_true", dest="force_rgb",
+                   help="force RGB output")
+    p.add_argument("-fast", action="store_true",
+                   help="low-quality processing (fast DCT, box upsample, "
+                        "1-pass ordered-dither quantization)")
+    p.add_argument("-icc", type=str, default=None, dest="iccfile",
+                   help="extract ICC profile to FILE")
+    p.add_argument("-maxscans", type=int, default=0,
+                   help="abort if the input has more scans than this")
+    p.add_argument("-strict", action="store_true",
+                   help="treat all warnings as fatal")
+    p.add_argument("-maxmemory", type=str, default=None)   # accepted, no-op
+    p.add_argument("-memsrc", action="store_true")         # always memory src
+    p.add_argument("-report", action="store_true")
+    p.add_argument("-verbose", "-debug", action="store_true", dest="verbose")
+    p.add_argument("-version", action="store_true")
     p.add_argument("input", nargs="?", default=None)
     return p
 
@@ -118,12 +136,34 @@ def _write_output(a, img, maxval, density):
 
 
 def main(argv=None):
+    from .._jaxcache import ensure_backend
+    ensure_backend()
     a = build_parser().parse_args(argv)
+    if a.version:
+        from .. import __version__
+        print("mozjpeg_tpu version %s" % __version__, file=sys.stderr)
+        return 0
+    if a.fast:
+        # djpeg.c:285-292: quick-and-dirty processing profile
+        a.dct = "fast"
+        a.nosmooth = True
+        a.onepass = True
+        a.dither = "ordered"
+        if a.colors is None and (a.fmt in ("gif", "gif0")):
+            a.colors = 216
     from ..codec.decoder import decode, decode_scaled
+    from ..native import lib as _nlib
+    _nlib.mj_reset_warnings()
     data = (open(a.input, "rb").read() if a.input
             else sys.stdin.buffer.read())
     from ..codec import marker as _marker
     maxval = (1 << _marker.parse(data).precision) - 1
+    jp0 = _marker.parse(data)
+    if a.maxscans and len(jp0.scans) > a.maxscans:
+        # cdjpeg.c:33-40: abort when the scan count exceeds -maxscans
+        print("Scan number %d exceeds maximum scans (%d)"
+              % (len(jp0.scans), a.maxscans), file=sys.stderr)
+        return 1
     if a.scale:
         num, den = (int(v) for v in a.scale.split("/"))
         # -nosmooth only suppresses fancy upsampling (djpeg.c:366-368);
@@ -150,7 +190,22 @@ def main(argv=None):
         img = decode(data, fancy_upsample=not a.nosmooth,
                      dct_method={"int": "islow", "fast": "ifast",
                                  "float": "float"}[a.dct])
-    if a.crop:
+    if a.skip:
+        # djpeg.c:403-412,718-737: drop rows Y0..Y1 of the (scaled) output
+        try:
+            y0, y1 = (int(v) for v in a.skip.split(","))
+        except ValueError:
+            y0, y1 = -1, -1
+        if y0 < 0 or y1 < 0 or y0 > y1:
+            build_parser().print_usage(sys.stderr)
+            return 1
+        if y1 > img.shape[0] - 1:
+            print("djpeg: skip region exceeds image height %d"
+                  % img.shape[0], file=sys.stderr)
+            return 1
+        import numpy as np
+        img = np.concatenate([img[:y0], img[y1 + 1:]])
+    elif a.crop:
         wh, x, y = a.crop.split("+")
         w, h = (int(v) for v in wh.split("x"))
         x, y = int(x), int(y)
@@ -160,11 +215,31 @@ def main(argv=None):
         img, ax, w2 = decode_cropped(data, x, w,
                                      fancy_upsample=not a.nosmooth)
         img = img[y:y + h]
+    if a.force_rgb and img.ndim == 2:
+        # out_color_space=JCS_RGB on a grayscale image: replicate
+        # (gray_rgb_convert, jdcolor.c)
+        import numpy as np
+        img = np.stack([img] * 3, axis=-1)
     jp = _marker.parse(data)
     # wrbmp only writes pels-per-meter when density_unit is dots/cm
     density = jp.density if jp.density[0] == 2 else None
+    from ..codec.decoder import last_warnings
+    warnings = last_warnings()
+    if a.strict and warnings:
+        # -strict: first warning is fatal (djpeg.c:581, my_emit_message)
+        print("djpeg: corrupt data encountered (warnings treated as "
+              "fatal)", file=sys.stderr)
+        return 1
+    if a.iccfile is not None:
+        # djpeg.c:897-917: extract the ICC profile; warn if absent
+        if jp.icc_profile:
+            open(a.iccfile, "wb").write(jp.icc_profile)
+        else:
+            print("djpeg: no ICC profile data in JPEG file",
+                  file=sys.stderr)
     _write_output(a, img, maxval, density)
-    return 0
+    # djpeg.c:941: exit status 2 when corrupt-data warnings occurred
+    return 2 if warnings else 0
 
 
 if __name__ == "__main__":

@@ -36,6 +36,8 @@ def build_parser():
     p.add_argument("-trim", action="store_true",
                    help="trim partial MCUs (this implementation always "
                         "trims; flag accepted for compatibility)")
+    p.add_argument("-icc", type=str, default=None, dest="iccfile",
+                   help="embed the ICC profile contained in FILE")
     p.add_argument("-maxscans", type=int, default=None)
     p.add_argument("-outfile", type=str, default=None)
     p.add_argument("input", nargs="?", default=None)
@@ -43,8 +45,27 @@ def build_parser():
 
 
 def main(argv=None):
+    from .._jaxcache import ensure_backend
+    ensure_backend()
     a = build_parser().parse_args(argv)
     from ..codec import transcode
+    icc_profile = None
+    if a.iccfile is not None:
+        # jpegtran.c:576-604: read the profile up front; -copy all drops
+        # the source's own ICC markers, -copy icc becomes -copy none
+        try:
+            icc_profile = open(a.iccfile, "rb").read()
+        except OSError:
+            sys.stderr.write("jpegtran: can't open %s\n" % a.iccfile)
+            return 1
+        if not icc_profile:
+            sys.stderr.write("jpegtran: can't determine size of %s\n"
+                             % a.iccfile)
+            return 1
+        if a.copy == "all":
+            a.copy = "all_except_icc"
+        elif a.copy == "icc":
+            a.copy = "none"
     data = (open(a.input, "rb").read() if a.input
             else sys.stdin.buffer.read())
     img = transcode.read_coefficients(data)
@@ -100,7 +121,7 @@ def main(argv=None):
         overshoot_deringing=False,
         arithmetic=a.arithmetic,
     )
-    out = transcode.write_coefficients(img, cfg, a.copy)
+    out = transcode.write_coefficients(img, cfg, a.copy, icc=icc_profile)
     if a.outfile:
         with open(a.outfile, "wb") as f:
             f.write(out)

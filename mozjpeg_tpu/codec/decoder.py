@@ -48,6 +48,7 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     jp.coef_bits / jp.coef_bits_prev -- the progression status table
     (jdphuff.c:126-144), and jp.last_good_imcu_row -- the last input
     iMCU row decoded with sufficient data (jdcoefct.c:233-234)."""
+    lib.mj_reset_warnings()
     max_h, max_v = jp.max_h, jp.max_v
     mcus_x = -(-jp.width // (8 * max_h))
     mcus_y = -(-jp.height // (8 * max_v))
@@ -141,7 +142,15 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     jp.coef_bits = cb_cur if jp.progressive else None
     jp.coef_bits_prev = cb_prev if jp.progressive else None
     jp.last_good_imcu_row = last_good
+    jp.warnings = int(lib.mj_get_warnings())
     return planes
+
+
+def last_warnings() -> int:
+    """Corrupt-data warning count of the most recent Huffman decode
+    (jerror num_warnings): djpeg exits with status 2 when nonzero and
+    treats any warning as fatal under -strict (djpeg.c:581,941)."""
+    return int(lib.mj_get_warnings())
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))

@@ -189,6 +189,7 @@ class ParsedJpeg:
     coef_bits: Optional[np.ndarray] = None
     coef_bits_prev: Optional[np.ndarray] = None
     last_good_imcu_row: int = 0
+    warnings: int = 0            # corrupt-data warning count (jerror)
 
     @property
     def max_h(self):

@@ -572,7 +572,8 @@ def copy_marker_list(jp, option: str = "comments"):
 
 def write_coefficients(ci_img: CoefImage,
                        config: Optional[EncoderConfig] = None,
-                       copy_markers: str = "comments") -> bytes:
+                       copy_markers: str = "comments",
+                       icc: Optional[bytes] = None) -> bytes:
     """Entropy-code coefficient planes into a JPEG (jpeg_write_coefficients
     + the jpegtran output stack: optimize_scans over existing coefficients
     is exactly the jpegrescan use case)."""
@@ -606,6 +607,16 @@ def write_coefficients(ci_img: CoefImage,
     restart = cfg.restart_interval
     from .decoder import _jpeg_colorspace
     extra = copy_marker_list(jp, copy_markers) if copy_markers else None
+    if icc:
+        # jpegtran.c:754-755: jpeg_write_icc_profile runs after the copied
+        # markers, splitting across APP2 chunks (jcicc.c)
+        extra = list(extra or [])
+        n = (len(icc) + marker.ICC_MARKER_PAYLOAD - 1) \
+            // marker.ICC_MARKER_PAYLOAD
+        for i in range(n):
+            extra.append((0xE2, b"ICC_PROFILE\x00" + bytes([i + 1, n])
+                          + icc[i * marker.ICC_MARKER_PAYLOAD:
+                                (i + 1) * marker.ICC_MARKER_PAYLOAD]))
     return _phase_entropy(jp.width, jp.height, geom, planes, qtables,
                           config, cfg, ncomps, restart,
                           _jpeg_colorspace(jp), extra)

@@ -80,6 +80,11 @@ lib.mj_encode_ac_refine.argtypes = lib.mj_encode_ac_first.argtypes
 lib.mj_gen_optimal_table.restype = ctypes.c_long
 lib.mj_gen_optimal_table.argtypes = [i64p, u8p, u8p]
 
+lib.mj_reset_warnings.restype = None
+lib.mj_reset_warnings.argtypes = []
+lib.mj_get_warnings.restype = ctypes.c_long
+lib.mj_get_warnings.argtypes = []
+
 lib.mj_decode_seq.restype = ctypes.c_long
 lib.mj_decode_seq.argtypes = [
     u8p, ctypes.c_long, cpp, ctypes.c_int,

@@ -137,6 +137,16 @@ static inline void encode_block_seq(Tables& T, const int16_t* blk,
 
 }  // namespace
 
+// Corrupt-data warning counter (jerror num_warnings): bumped once per
+// insufficient-data event (JWRN_HIT_MARKER), bad Huffman code
+// (JWRN_HUFF_BAD_CODE), and restart resync (JWRN_MUST_RESYNC), so callers
+// can mirror djpeg's exit-with-warnings / -strict behavior.
+extern "C" {
+long mj_warn_count = 0;
+void mj_reset_warnings(void) { mj_warn_count = 0; }
+long mj_get_warnings(void) { return mj_warn_count; }
+}
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -550,7 +560,10 @@ struct BitReader {
     if (nbits < n) fill();
     // jdhuff fill_bit_buffer: a request that real data can't satisfy
     // warns once and zero-fills (entropy->insufficient_data)
-    if (n > real_bits) insufficient = true;
+    if (n > real_bits && !insufficient) {
+      insufficient = true;
+      mj_warn_count++;
+    }
     real_bits = real_bits >= n ? real_bits - n : 0;
     int v = (int)(acc >> (64 - n));
     acc <<= n;
@@ -576,7 +589,10 @@ struct BitReader {
         // process_restart resets the out-of-data flag only when a real
         // RSTn was consumed (jdhuff.c:537-540 via unread_marker == 0)
         if (data[q] >= 0xD0 && data[q] <= 0xD7) insufficient = false;
-        else { saw_marker = true; marker_pos = (int)(q - 1); pos = q - 1; }
+        else {
+          mj_warn_count++;  // JWRN_MUST_RESYNC
+          saw_marker = true; marker_pos = (int)(q - 1); pos = q - 1;
+        }
         return data[q];
       }
       p++;  // resync past garbage
@@ -606,7 +622,7 @@ static inline int huff_decode(BitReader& br, const DecTables& t, int tbl) {
     l++;
     // jpeg_huff_decode: bad code warns and fakes a zero (jdhuff.c) so
     // corrupt/truncated streams keep decoding like djpeg does
-    if (l > 16) return 0;
+    if (l > 16) { mj_warn_count++; return 0; }
   }
   return vals[valptr[l] + (code - mincode[l])];
 }

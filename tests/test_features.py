@@ -1097,3 +1097,112 @@ class TestBufferedImage:
         bi = decoder.BufferedImage(data)
         assert bi.num_scans == 1 and not bi.progressive
         assert np.array_equal(bi.render_pass(1), decoder.decode(data))
+
+
+class TestDjpegAdvancedFlags:
+    """djpeg -skip / -rgb / -maxscans / -strict / -icc / exit codes,
+    byte-exact and exit-code-exact vs the reference binary."""
+
+    @pytest.fixture(scope="class")
+    def jpgs(self, ref_tools, tmp_path_factory):
+        d = tmp_path_factory.mktemp("dflags")
+        b = str(d / "b.jpg")
+        run_cjpeg(["-quality", "75", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), b)
+        g = str(d / "g.jpg")
+        run_cjpeg(["-quality", "75", "-revert", "-baseline", "-grayscale"],
+                  corpus("testorig.ppm"), g)
+        pr = str(d / "p.jpg")
+        run_cjpeg(["-quality", "75", "-revert", "-progressive"],
+                  corpus("testorig.ppm"), pr)
+        return b, g, pr
+
+    def _both(self, src, args, tmp_path, rc_ref=0):
+        from mozjpeg_tpu.cli import djpeg as dj
+        ref = str(tmp_path / "r.ppm")
+        our = str(tmp_path / "o.ppm")
+        rp = subprocess.run([DJPEG, *args, "-outfile", ref, src],
+                            capture_output=True)
+        rc = dj.main([*args, "-outfile", our, src])
+        assert rp.returncode == rc_ref and rc == rc_ref, \
+            (args, rp.returncode, rc)
+        if rc_ref == 0:
+            assert open(our, "rb").read() == open(ref, "rb").read(), args
+
+    def test_skip(self, jpgs, tmp_path):
+        self._both(jpgs[0], ["-skip", "30,68"], tmp_path)
+        self._both(jpgs[2], ["-skip", "0,7"], tmp_path)
+        self._both(jpgs[2], ["-skip", "140,148"], tmp_path)
+
+    def test_skip_scaled(self, jpgs, tmp_path):
+        self._both(jpgs[2], ["-scale", "3/8", "-skip", "10,20"], tmp_path)
+
+    def test_skip_out_of_range(self, jpgs, tmp_path):
+        self._both(jpgs[0], ["-skip", "30,1000"], tmp_path, rc_ref=1)
+
+    def test_rgb_of_grayscale(self, jpgs, tmp_path):
+        self._both(jpgs[1], ["-rgb"], tmp_path)
+        self._both(jpgs[0], ["-rgb"], tmp_path)
+
+    def test_maxscans(self, jpgs, tmp_path):
+        self._both(jpgs[2], ["-maxscans", "3"], tmp_path, rc_ref=1)
+        self._both(jpgs[2], ["-maxscans", "30"], tmp_path)
+
+    def test_truncated_warning_exit_codes(self, jpgs, tmp_path):
+        from mozjpeg_tpu.cli import djpeg as dj
+        trunc = str(tmp_path / "t.jpg")
+        open(trunc, "wb").write(open(jpgs[0], "rb").read()[:2500])
+        ref = str(tmp_path / "r.ppm")
+        our = str(tmp_path / "o.ppm")
+        rp = subprocess.run([DJPEG, "-outfile", ref, trunc],
+                            capture_output=True)
+        rc = dj.main(["-outfile", our, trunc])
+        assert rp.returncode == 2 and rc == 2
+        assert open(our, "rb").read() == open(ref, "rb").read()
+        # -strict turns the warning fatal
+        rp = subprocess.run([DJPEG, "-strict", "-outfile", ref, trunc],
+                            capture_output=True)
+        rc = dj.main(["-strict", "-outfile", our, trunc])
+        assert rp.returncode == 1 and rc == 1
+        # clean file still exits 0 under -strict
+        rc = dj.main(["-strict", "-outfile", our, jpgs[0]])
+        assert rc == 0
+
+    def test_icc_extract(self, jpgs, tmp_path):
+        from mozjpeg_tpu.cli import djpeg as dj
+        # NOTE: reference jpegtran silently drops ICC profiles once the
+        # APP2 segment would exceed ~300 bytes (scan-buffer interaction in
+        # the mozjpeg transcode path), so the oracle profile stays small.
+        icc_src = str(tmp_path / "x.icc")
+        open(icc_src, "wb").write(bytes(range(200)))
+        wicc = str(tmp_path / "wicc.jpg")
+        subprocess.run([JPEGTRAN, "-copy", "all", "-icc", icc_src,
+                        "-outfile", wicc, jpgs[0]], check=True)
+        ref = str(tmp_path / "r.icc")
+        our = str(tmp_path / "o.icc")
+        subprocess.run([DJPEG, "-icc", ref, "-outfile", os.devnull, wicc],
+                       check=True)
+        rc = dj.main(["-icc", our, "-outfile", os.devnull, wicc])
+        assert rc == 0
+        assert open(our, "rb").read() == open(ref, "rb").read()
+
+    def test_icc_large_roundtrip_ours(self, jpgs, tmp_path):
+        # our jpegtran embeds large profiles correctly (where the
+        # reference drops them); reference djpeg must read ours back.
+        from mozjpeg_tpu.cli import jpegtran as jt, djpeg as dj
+        profile = bytes(range(256)) * 40              # 10240 B
+        icc_src = str(tmp_path / "big.icc")
+        open(icc_src, "wb").write(profile)
+        wicc = str(tmp_path / "wbig.jpg")
+        assert jt.main(["-copy", "all", "-icc", icc_src,
+                        "-outfile", wicc, jpgs[0]]) == 0
+        ref = str(tmp_path / "rbig.icc")
+        subprocess.run([DJPEG, "-icc", ref, "-outfile", os.devnull, wicc],
+                       check=True)
+        assert open(ref, "rb").read() == profile
+        our = str(tmp_path / "obig.icc")
+        assert dj.main(["-icc", our, "-outfile", os.devnull, wicc]) == 0
+        assert open(our, "rb").read() == profile
+
+    def test_fast_profile(self, jpgs, tmp_path):
+        self._both(jpgs[0], ["-fast"], tmp_path)
