@@ -62,6 +62,20 @@ def build_parser():
     p.add_argument("-dct", default="int", choices=["int", "fast", "float"])
     p.add_argument("-targa", action="store_true",
                    help="input is Targa (no magic number; cjpeg.c:90)")
+    p.add_argument("-nojfif", action="store_true",
+                   help="do not write JFIF APP0 (cjpeg.c:709-710)")
+    p.add_argument("-quant-baseline", action="store_true",
+                   dest="quant_baseline",
+                   help="force 8-bit quantization entries without "
+                        "disabling multiple scans (cjpeg.c:589-591)")
+    p.add_argument("-memdst", action="store_true",
+                   help="compress to memory; print size, write nothing")
+    p.add_argument("-strict", action="store_true",
+                   help="treat all warnings as fatal")
+    p.add_argument("-maxmemory", type=str, default=None)   # accepted, no-op
+    p.add_argument("-report", action="store_true")
+    p.add_argument("-verbose", "-debug", action="store_true", dest="verbose")
+    p.add_argument("-version", action="store_true")
     p.add_argument("-outfile", type=str, default=None)
     p.add_argument("input", nargs="?", default=None)
     return p
@@ -176,7 +190,8 @@ def config_from_args(a) -> EncoderConfig:
         restart_in_rows=restart_in_rows,
         dc_scan_opt_mode=a.dc_scan_opt,
         quant_tbl_idx=quant_idx,
-        force_baseline=a.baseline,
+        force_baseline=a.baseline or a.quant_baseline,
+        write_jfif=not a.nojfif,
         lambda_log_scale1=l1,
         lambda_log_scale2=l2,
         use_lambda_weight_tbl=use_lambda_tbl,
@@ -208,6 +223,11 @@ def main(argv=None):
     from .._jaxcache import ensure_backend
     ensure_backend()
     a = build_parser().parse_args(argv)
+    if a.version or a.verbose:
+        from .. import __version__
+        print("mozjpeg_tpu version %s" % __version__, file=sys.stderr)
+        if a.version:
+            return 0
     from ..codec.encoder import encode
     if a.precision == 16 and not a.lossless:
         sys.stderr.write("16-bit requires -lossless\n")
@@ -232,6 +252,10 @@ def main(argv=None):
         if density is not None:
             cfg = dataclasses.replace(cfg, density=density)
         out = encode(img, cfg)
+    if a.memdst:
+        # cjpeg.c:1035-1039: memory destination reports size, writes nothing
+        print("Compressed size:  %d bytes" % len(out), file=sys.stderr)
+        return 0
     if a.outfile:
         with open(a.outfile, "wb") as f:
             f.write(out)

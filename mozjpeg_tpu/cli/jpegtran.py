@@ -38,6 +38,19 @@ def build_parser():
                         "trims; flag accepted for compatibility)")
     p.add_argument("-icc", type=str, default=None, dest="iccfile",
                    help="embed the ICC profile contained in FILE")
+    p.add_argument("-grayscale", "-greyscale", action="store_true",
+                   dest="grayscale",
+                   help="reduce to grayscale (omit color data)")
+    p.add_argument("-restart", type=str, default=None,
+                   help="restart interval in MCU rows, or blocks with B")
+    p.add_argument("-scans", type=str, default=None,
+                   help="scan script file")
+    p.add_argument("-strict", action="store_true",
+                   help="treat all warnings as fatal")
+    p.add_argument("-maxmemory", type=str, default=None)   # accepted, no-op
+    p.add_argument("-report", action="store_true")
+    p.add_argument("-verbose", "-debug", action="store_true", dest="verbose")
+    p.add_argument("-version", action="store_true")
     p.add_argument("-maxscans", type=int, default=None)
     p.add_argument("-outfile", type=str, default=None)
     p.add_argument("input", nargs="?", default=None)
@@ -48,6 +61,11 @@ def main(argv=None):
     from .._jaxcache import ensure_backend
     ensure_backend()
     a = build_parser().parse_args(argv)
+    if a.version or a.verbose:
+        from .. import __version__
+        print("mozjpeg_tpu version %s" % __version__, file=sys.stderr)
+        if a.version:
+            return 0
     from ..codec import transcode
     icc_profile = None
     if a.iccfile is not None:
@@ -110,6 +128,23 @@ def main(argv=None):
         src = transcode.read_coefficients(open(a.drop[1], "rb").read())
         img = transcode.drop(img, src, cs.xoff, cs.yoff,
                              trim_requant=a.trim)
+    if a.grayscale:
+        # applied after the geometric transforms: the reference computes
+        # all trim/crop geometry from the source sampling factors and only
+        # drops chroma at write time (transupp.c:2048-2071)
+        img = transcode.to_grayscale(img)
+
+    restart_interval = restart_in_rows = 0
+    if a.restart:
+        # jpegtran.c:359-375: N = MCU rows, NB = MCUs
+        if a.restart.lower().endswith("b"):
+            restart_interval = int(a.restart[:-1])
+        else:
+            restart_in_rows = int(a.restart)
+    scan_script = None
+    if a.scans:
+        from . import rdswitch
+        scan_script = rdswitch.read_scan_script(open(a.scans).read())
 
     profile = Profile.FASTEST if a.revert else Profile.MAX_COMPRESSION
     cfg = EncoderConfig(
@@ -120,14 +155,24 @@ def main(argv=None):
         trellis_quant=False,   # jpegtran never requantizes
         overshoot_deringing=False,
         arithmetic=a.arithmetic,
+        restart_interval=restart_interval,
+        restart_in_rows=restart_in_rows,
+        scan_script=scan_script,
     )
+    warnings = getattr(img.jp, "warnings", 0)
+    if a.strict and warnings:
+        # jpegtran.c:537-538: -strict makes decode warnings fatal
+        sys.stderr.write("jpegtran: corrupt data encountered (warnings "
+                         "treated as fatal)\n")
+        return 1
     out = transcode.write_coefficients(img, cfg, a.copy, icc=icc_profile)
     if a.outfile:
         with open(a.outfile, "wb") as f:
             f.write(out)
     else:
         sys.stdout.buffer.write(out)
-    return 0
+    # jpegtran.c:819-825: exit status 2 when corrupt-data warnings occurred
+    return 2 if warnings else 0
 
 
 if __name__ == "__main__":

@@ -63,6 +63,8 @@ class EncoderConfig:
     # JFIF density (unit, X, Y): unit 0=aspect, 1=dpi, 2=dots/cm;
     # BMP inputs propagate pels-per-meter here (rdbmp.c:515-519)
     density: tuple = (0, 1, 1)
+    # cjpeg -nojfif: suppress the JFIF APP0 marker (cjpeg.c:709-710)
+    write_jfif: bool = True
 
     # quantization
     quant_tbl_idx: Optional[int] = None     # None = profile default (3 or 0)
@@ -121,6 +123,7 @@ class EncoderConfig:
             icc=self.icc,
             dc_scan_opt_mode=self.dc_scan_opt_mode,
             density=self.density,
+            write_jfif=self.write_jfif,
             quant_tbl_idx=(self.quant_tbl_idx
                            if self.quant_tbl_idx is not None
                            else (3 if maxc else 0)),
@@ -163,6 +166,7 @@ class ResolvedConfig:
     restart_in_rows: int
     icc: Optional[bytes]
     density: tuple
+    write_jfif: bool
     dc_scan_opt_mode: int
     quant_tbl_idx: int
     force_baseline: bool

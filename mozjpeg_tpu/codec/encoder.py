@@ -168,7 +168,8 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
              com: Optional[bytes] = None,
              multi_dqt: bool = True, precision: int = 8,
              cs: str = "ycbcr", qt_slots=None,
-             extra_markers=None, density=(0, 1, 1)) -> bytes:
+             extra_markers=None, density=(0, 1, 1),
+             write_jfif: bool = True) -> bytes:
     """Write markers + scans into the final JPEG byte stream."""
     _, _, comps = geom
     comp_ids = _CS_INFO[cs][2]
@@ -179,7 +180,8 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
     # JFIF only for YCbCr/grayscale; Adobe APP14 flags RGB/CMYK/YCCK
     # (jcmarker.c:649-663, jcparam.c:600-638)
     if cs in ("ycbcr", "grayscale"):
-        w.jfif_app0(unit=density[0], xd=density[1], yd=density[2])
+        if write_jfif:
+            w.jfif_app0(unit=density[0], xd=density[1], yd=density[2])
     else:
         w.adobe_app14(2 if cs == "ycck" else 0)
     if icc:
@@ -571,7 +573,8 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
                     multi_dqt=config.profile != Profile.FASTEST,
                     precision=cfg.precision, cs=cs,
                     qt_slots=_qt_slots(cfg, cs, ncomps),
-                    extra_markers=extra_markers, density=cfg.density)
+                    extra_markers=extra_markers, density=cfg.density,
+                    write_jfif=cfg.write_jfif)
 
 
 
@@ -609,8 +612,9 @@ def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
     w = marker.MarkerWriter()
     w.soi()
     if cs in ("ycbcr", "grayscale"):
-        w.jfif_app0(unit=cfg.density[0], xd=cfg.density[1],
-                    yd=cfg.density[2])
+        if cfg.write_jfif:
+            w.jfif_app0(unit=cfg.density[0], xd=cfg.density[1],
+                        yd=cfg.density[2])
     else:
         w.adobe_app14(2 if cs == "ycck" else 0)
     for code, payload in (extra_markers or ()):

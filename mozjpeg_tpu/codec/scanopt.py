@@ -237,7 +237,9 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
     # --- final assembly (display order) ---
     out = marker.MarkerWriter()
     out.soi()
-    out.jfif_app0(unit=cfg.density[0], xd=cfg.density[1], yd=cfg.density[2])
+    if cfg.write_jfif:
+        out.jfif_app0(unit=cfg.density[0], xd=cfg.density[1],
+                      yd=cfg.density[2])
     for code, payload in (extra_markers or ()):
         out.segment(code, payload)
     min_Al = min(best_Al_luma, best_Al_chroma)

@@ -543,6 +543,26 @@ TRANSFORMS = {
 }
 
 
+def to_grayscale(ci_img: CoefImage) -> CoefImage:
+    """jpegtran -grayscale (transupp.c:2048-2071): keep only the
+    full-resolution Y component and discard chroma coefficients; the Y
+    quant slot is preserved. Single-component sources just get their
+    sampling factors forced to 1x1 (transupp.c:2072-2079)."""
+    import copy
+    jp = copy.deepcopy(ci_img.jp)
+    c0 = jp.components[0]
+    if not (len(jp.components) in (1, 3)
+            and c0.h == jp.max_h and c0.v == jp.max_v):
+        raise ValueError("grayscale conversion not implemented for this "
+                         "colorspace (JERR_CONVERSION_NOTIMPL)")
+    if c0.quant_tbl != 0:
+        # the writer emits grayscale with quant slot 0; remap the Y table
+        jp.qtables[0] = jp.qtables[c0.quant_tbl]
+    c0 = dataclasses.replace(c0, h=1, v=1, quant_tbl=0)
+    jp.components = [c0]
+    return CoefImage(jp, [ci_img.planes[0]])
+
+
 def copy_marker_list(jp, option: str = "comments"):
     """Select saved COM/APPn markers per jpegtran -copy semantics
     (transupp.c:2346-2392 jcopy_markers_execute); JFIF APP0 and Adobe
@@ -604,7 +624,8 @@ def write_coefficients(ci_img: CoefImage,
     qtables = [jp.qtables.get(0, np.ones((8, 8), np.uint16)),
                jp.qtables.get(1, jp.qtables.get(0,
                                                 np.ones((8, 8), np.uint16)))]
-    restart = cfg.restart_interval
+    from .encoder import _restart_interval
+    restart = _restart_interval(cfg, mcus_x)
     from .decoder import _jpeg_colorspace
     extra = copy_marker_list(jp, copy_markers) if copy_markers else None
     if icc:

@@ -687,6 +687,35 @@ class TestCLI:
         assert open(out, "rb").read() == \
             open(str(tmp_path / "ref180.jpg"), "rb").read()
 
+    def test_cjpeg_nojfif_quant_baseline(self, ref_tools, tmp_path):
+        """cjpeg -nojfif and -quant-baseline (cjpeg.c:589-591,709-710)."""
+        from mozjpeg_tpu.cli import cjpeg as cli
+        for flags in (["-nojfif"], ["-quant-baseline", "-quality", "25"]):
+            out = str(tmp_path / "n.jpg")
+            cli.main(["-revert", "-baseline", *flags,
+                      "-outfile", out, corpus("testorig.ppm")])
+            golden = run_cjpeg(["-revert", "-baseline", *flags],
+                               corpus("testorig.ppm"), str(tmp_path / "g.jpg"))
+            assert open(out, "rb").read() == golden
+
+    def test_jpegtran_grayscale_restart_scans(self, ref_tools, tmp_path):
+        """jpegtran -grayscale, -restart N/Nb, -scans (jpegtran.c:187-400)."""
+        from mozjpeg_tpu.cli import jpegtran as cli
+        src = str(tmp_path / "t.jpg")
+        run_cjpeg(["-quality", "75", "-revert", "-baseline"],
+                  corpus("testorig.ppm"), src)
+        cases = [["-grayscale"], ["-restart", "2"], ["-restart", "3b"],
+                 ["-rotate", "90", "-grayscale"],
+                 ["-scans", "/root/reference/testimages/test.scan"]]
+        for extra in cases:
+            out = str(tmp_path / "o.jpg")
+            cli.main(["-revert", *extra, "-outfile", out, src])
+            subprocess.run([ref_tools["jpegtran"], "-revert", *extra,
+                            "-outfile", str(tmp_path / "r.jpg"), src],
+                           check=True)
+            assert open(out, "rb").read() == \
+                open(str(tmp_path / "r.jpg"), "rb").read(), extra
+
 
 class TestICC:
     def test_icc_roundtrip(self, testorig):
