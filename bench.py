@@ -38,6 +38,12 @@ def load_baseline():
 
 
 def main():
+    # A dead TPU tunnel makes backend init hang forever rather than raise,
+    # and the codec modules build device constants at import time — so probe
+    # the backend (subprocess + timeout, CPU fallback) before importing them.
+    from mozjpeg_tpu._jaxcache import ensure_backend
+    ensure_backend(probe_timeout=float(os.environ.get("BENCH_PROBE_S", "90")))
+
     from mozjpeg_tpu.utils import ppm
     from mozjpeg_tpu import encode, EncoderConfig
 

@@ -34,6 +34,8 @@ def build_parser():
                    help=argparse.SUPPRESS)
     p.add_argument("-notrellis", action="store_true")
     p.add_argument("-notrellis-dc", action="store_true", dest="notrellis_dc")
+    p.add_argument("-trellis-dc", action="store_false", dest="notrellis_dc",
+                   help="enable DC trellis optimization (default)")
     p.add_argument("-trellis-dc-ver-weight", type=float, default=0.0,
                    dest="trellis_dc_ver_weight")
     p.add_argument("-noovershoot", action="store_true")
