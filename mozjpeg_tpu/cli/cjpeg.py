@@ -253,7 +253,20 @@ def main(argv=None):
             cfg = dataclasses.replace(cfg, grayscale=True)
         if density is not None:
             cfg = dataclasses.replace(cfg, density=density)
-        out = encode(img, cfg)
+        # -report: per-pass progress like cdjpeg.c:29-59 progress_monitor;
+        # -verbose: SCAN trace lines like jcmaster.c:747-754
+        progress_fn = None
+        if a.report:
+            def progress_fn(done, total, desc):
+                sys.stderr.write("\rPass %d/%d: 100%% " % (done, total))
+                sys.stderr.flush()
+        trace_fn = None
+        if a.verbose:
+            def trace_fn(msg):
+                sys.stderr.write(msg + "\n")
+        out = encode(img, cfg, progress=progress_fn, trace=trace_fn)
+        if a.report:
+            sys.stderr.write("\n")
     if a.memdst:
         # cjpeg.c:1035-1039: memory destination reports size, writes nothing
         print("Compressed size:  %d bytes" % len(out), file=sys.stderr)

@@ -15,7 +15,7 @@ import numpy as np
 from .. import consts
 from ..entropy import encode as entenc
 from ..entropy.huffman import HuffTable
-from . import marker, pipeline, scans
+from . import marker, pipeline, report, scans
 from .config import EncoderConfig, Profile
 
 STD_TABLES = {
@@ -559,6 +559,7 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
         script = scans.baseline_script(ncomps)
 
     results = []
+    report.add_passes(len(script))
     for scan in script:
         sg = entenc.ScanGeometry(scan, geom, planes)
         r = scan_restart_interval(cfg, scan, geom, ncomps)
@@ -568,6 +569,7 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
             dct_, act_ = _scan_tables_std(ncomps, cs)
             results.append(encode_scan_fixed(sg, dc_tbls, ac_tbls, dct_,
                                              act_, r))
+        report.pass_done("scan %d-%d" % (scan.Ss, scan.Se))
     return assemble(width, height, geom, qtables, results, restart,
                     progressive, ncomps,
                     multi_dqt=config.profile != Profile.FASTEST,
@@ -660,17 +662,29 @@ def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
 
 
 def encode(image: np.ndarray, config: Optional[EncoderConfig] = None,
-           **overrides) -> bytes:
-    """Encode an RGB (H, W, 3) or grayscale (H, W) uint8 image to JPEG."""
-    return encode_many([image], config, **overrides)[0]
+           progress=None, trace=None, **overrides) -> bytes:
+    """Encode an RGB (H, W, 3) or grayscale (H, W) uint8 image to JPEG.
+
+    progress(completed, total, desc): per-pass callback (the
+    jpeg_progress_mgr analog, cdjpeg.c:29-59); trace(msg): trace-message
+    stream (cinfo->err->trace_level analog, jcmaster.c:747-754).
+    """
+    return encode_many([image], config, progress=progress, trace=trace,
+                       **overrides)[0]
 
 
 def encode_many(images, config: Optional[EncoderConfig] = None,
-                **overrides):
+                progress=None, trace=None, **overrides):
     """Encode a list of images with a software pipeline: device programs for
     image i+1 are queued (JAX async dispatch) while the host entropy-codes
     image i; all transfers are single packed arrays. Same-shape groups run
     fully batched: one dispatch and one transfer each way for the group."""
+    with report.reporting(progress, trace):
+        return _encode_many(images, config, **overrides)
+
+
+def _encode_many(images, config: Optional[EncoderConfig] = None,
+                 **overrides):
     import numpy as _np
     from . import pipeline_t
     if len(images) > 1:
@@ -688,15 +702,19 @@ def encode_many(images, config: Optional[EncoderConfig] = None,
     out = [None] * len(images)
     states = []
     resolved = [_resolve(img, config, overrides) for img in images]
+    report.add_passes(sum(1 + (1 if r[1].trellis_quant else 0)
+                          for r in resolved))
     # stage 1: dispatch all device pipelines
     for img, (cfg_o, cfg, cs, ncomps, samp, qt) in zip(images, resolved):
         geom, comp_res, small = _phase_p1(img, cfg, samp, qt, cs)
         states.append({"geom": geom, "comp_res": comp_res, "small": small})
+        report.pass_done("main")
     # stage 2: trellis dispatch (one host sync per image for norms/hists)
     for st, (cfg_o, cfg, cs, ncomps, samp, qt) in zip(states, resolved):
         if cfg.trellis_quant:
             finals = _phase_trellis(st["geom"], st["comp_res"], st["small"],
                                     cfg, qt, cs)
+            report.pass_done("trellis")
         else:
             finals = tuple(r[0] for r in st["comp_res"])
         st["flat"] = _phase_pack(st["geom"], finals)

@@ -19,7 +19,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..entropy import encode as entenc
-from . import marker, scans
+from . import marker, report, scans
 from .scans import ScanInfo
 
 AL_MAX_LUMA = scans.AL_MAX_LUMA          # 3
@@ -139,7 +139,9 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
 
     sizes: Dict[int, int] = {}
     bufs: Dict[int, bytes] = {}
+    used_scans: Dict[int, ScanInfo] = {}
     last_dri = 0
+    report.add_passes(num_scans)
 
     best_Al_luma = 0
     best_Al_chroma = 0
@@ -169,7 +171,9 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
                  emit_dri=(r != last_dri))
         last_dri = r if r != last_dri else last_dri
         bufs[sn] = buf
+        used_scans[sn] = scan
         sizes[sn] = len(buf) - (len(frame_header) if sn == 0 else 0)
+        report.pass_done("candidate scan %d/%d" % (sn + 1, num_scans))
         nxt = sn + 1
 
         # --- selection state machine (select_scans) ---
@@ -273,6 +277,10 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
             order += [cbase + 6 * Al + 4, cbase + 6 * Al + 5]
 
     for idx in order:
+        # scan-size trace at the reference's copy_buffer point
+        # (jcmaster.c:747-754), with the Al actually used during emission
+        s = used_scans[idx]
+        report.trace_scan(s.comps, s.Ss, s.Se, s.Ah, s.Al)
         out.raw(bufs[idx])
     out.eoi()
     return out.bytes()

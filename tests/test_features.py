@@ -698,6 +698,29 @@ class TestCLI:
                                corpus("testorig.ppm"), str(tmp_path / "g.jpg"))
             assert open(out, "rb").read() == golden
 
+    def test_progress_and_scan_trace(self, ref_tools, tmp_path, testorig):
+        """encode(progress=, trace=): the jpeg_progress_mgr / trace_level
+        analog; SCAN lines must match the reference's -verbose output
+        (jcmaster.c:747-754)."""
+        from mozjpeg_tpu.codec.encoder import encode
+        from mozjpeg_tpu.codec.config import EncoderConfig
+        events, lines = [], []
+        out = encode(testorig, EncoderConfig(quality=75),
+                     progress=lambda c, t, d: events.append((c, t, d)),
+                     trace=lines.append)
+        golden = run_cjpeg(["-quality", "75"], corpus("testorig.ppm"),
+                           str(tmp_path / "g.jpg"))
+        assert out == golden          # hooks must not change the bytes
+        assert events and events[0][2] == "main"
+        assert all(c <= t for c, t, _ in events)
+        ref = subprocess.run(
+            [ref_tools["cjpeg"], "-verbose", "-verbose", "-quality", "75",
+             "-outfile", str(tmp_path / "v.jpg"), corpus("testorig.ppm")],
+            capture_output=True, text=True)
+        ref_scans = [ln for ln in ref.stderr.splitlines()
+                     if ln.startswith("SCAN")]
+        assert [ln for ln in lines if ln.startswith("SCAN")] == ref_scans
+
     def test_jpegtran_grayscale_restart_scans(self, ref_tools, tmp_path):
         """jpegtran -grayscale, -restart N/Nb, -scans (jpegtran.c:187-400)."""
         from mozjpeg_tpu.cli import jpegtran as cli
