@@ -97,6 +97,11 @@ class EncoderConfig:
     # custom scan script: list of (comps tuple, Ss, Se, Ah, Al)
     scan_script: Optional[Sequence] = None
 
+    # emit sequential-scan entropy data with the on-device restart-parallel
+    # bit packer (ops/bitpack.py) instead of the serial host engine;
+    # byte-identical output (no reference analog — SURVEY.md §2.6)
+    device_entropy: bool = False
+
     def resolved(self) -> "ResolvedConfig":
         if self.precision not in (8, 12):
             raise ValueError(
@@ -148,6 +153,7 @@ class EncoderConfig:
                                  else maxc),
             dct_method=self.dct_method,
             scan_script=self.scan_script,
+            device_entropy=self.device_entropy,
         )
 
 
@@ -187,3 +193,4 @@ class ResolvedConfig:
     overshoot_deringing: bool
     dct_method: DCTMethod
     scan_script: Optional[Sequence]
+    device_entropy: bool

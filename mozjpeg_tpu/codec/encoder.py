@@ -123,8 +123,34 @@ class ScanResult:
         self.restart = restart        # this scan's restart interval
 
 
+def _emit_scan_device(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
+                      dc_tables, ac_tables, restart: int):
+    """Emit a sequential scan's entropy data with the on-device
+    restart-parallel bit packer (ops/bitpack.py); byte-identical to the
+    serial host encoder. Returns None when a needed table is absent."""
+    from ..entropy.huffman import derive_codes
+    from ..ops import bitpack
+    dc_codes, ac_codes, planes, geoms = [], [], [], []
+    for ci, h, v in sg.entries:
+        dt = dc_tables.get(dc_tbls.get(ci, 0))
+        at = ac_tables.get(ac_tbls.get(ci, 0))
+        if dt is None or at is None:
+            return None
+        dc_codes.append(derive_codes(dt))
+        ac_codes.append(derive_codes(at))
+        planes.append(sg.planes[ci])
+        geoms.append((h, v))
+    return bitpack.encode_scan_bitpar(planes, geoms, sg.mcus_x, sg.mcus_y,
+                                      restart, dc_codes, ac_codes)
+
+
+def _device_emit_ok(sg: entenc.ScanGeometry) -> bool:
+    scan = sg.scan
+    return scan.Ss == 0 and scan.Se == 63 and scan.Ah == 0 and scan.Al == 0
+
+
 def encode_scan_optimal(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
-                        restart: int) -> ScanResult:
+                        restart: int, device: bool = False) -> ScanResult:
     """Gather stats, build optimal tables, emit the scan."""
     scan = sg.scan
     _, dcc, acc = entenc.encode_scan(sg, dc_tbls, ac_tbls, {}, {},
@@ -143,21 +169,32 @@ def encode_scan_optimal(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
             t = ac_tbls[ci]
             if t not in ac_tables and acc[t].any():
                 ac_tables[t] = entenc.gen_optimal_table(acc[t])
-    data, _, _ = entenc.encode_scan(sg, dc_tbls, ac_tbls, dc_tables,
-                                    ac_tables, restart, gather=False)
+    data = None
+    if device and _device_emit_ok(sg):
+        data = _emit_scan_device(sg, dc_tbls, ac_tbls, dc_tables,
+                                 ac_tables, restart)
+    if data is None:
+        data, _, _ = entenc.encode_scan(sg, dc_tbls, ac_tbls, dc_tables,
+                                        ac_tables, restart, gather=False)
     return ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
                       restart)
 
 
 def encode_scan_fixed(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
-                      dc_tables, ac_tables, restart: int) -> ScanResult:
+                      dc_tables, ac_tables, restart: int,
+                      device: bool = False) -> ScanResult:
     scan = sg.scan
     used_dc = {dc_tbls[ci]: dc_tables[dc_tbls[ci]] for ci in scan.comps
                if scan.Ss == 0 and scan.Ah == 0 and dc_tbls[ci] in dc_tables}
     used_ac = {ac_tbls[ci]: ac_tables[ac_tbls[ci]] for ci in scan.comps
                if scan.Se > 0 and ac_tbls[ci] in ac_tables}
-    data, _, _ = entenc.encode_scan(sg, dc_tbls, ac_tbls, dc_tables,
-                                    ac_tables, restart, gather=False)
+    data = None
+    if device and _device_emit_ok(sg):
+        data = _emit_scan_device(sg, dc_tbls, ac_tbls, dc_tables,
+                                 ac_tables, restart)
+    if data is None:
+        data, _, _ = entenc.encode_scan(sg, dc_tbls, ac_tbls, dc_tables,
+                                        ac_tables, restart, gather=False)
     return ScanResult(scan, data, used_dc, used_ac, dc_tbls, ac_tbls,
                       restart)
 
@@ -560,15 +597,17 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
 
     results = []
     report.add_passes(len(script))
+    dev = cfg.device_entropy and cfg.precision == 8
     for scan in script:
         sg = entenc.ScanGeometry(scan, geom, planes)
         r = scan_restart_interval(cfg, scan, geom, ncomps)
         if cfg.optimize_coding or progressive:
-            results.append(encode_scan_optimal(sg, dc_tbls, ac_tbls, r))
+            results.append(encode_scan_optimal(sg, dc_tbls, ac_tbls, r,
+                                               device=dev))
         else:
             dct_, act_ = _scan_tables_std(ncomps, cs)
             results.append(encode_scan_fixed(sg, dc_tbls, ac_tbls, dct_,
-                                             act_, r))
+                                             act_, r, device=dev))
         report.pass_done("scan %d-%d" % (scan.Ss, scan.Se))
     return assemble(width, height, geom, qtables, results, restart,
                     progressive, ncomps,

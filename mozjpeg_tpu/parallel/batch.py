@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import color, dct, layout, quant, sample, symbols
 from ..codec import pipeline
@@ -74,9 +77,16 @@ def make_batch_encode_step(mesh: Mesh, height: int, width: int,
 
 
 def encode_batch(images: np.ndarray, quality: float = 75.0,
-                 mesh: Mesh = None) -> List[bytes]:
+                 mesh: Mesh = None, restart_interval: int = 0,
+                 device_entropy: bool = False) -> List[bytes]:
     """Encode a batch of same-shape RGB images with shared optimal tables,
-    sharded over the mesh. Returns per-image baseline JPEG bytes."""
+    sharded over the mesh. Returns per-image baseline JPEG bytes.
+
+    device_entropy=True packs every image's bitstream on device with the
+    restart-parallel packer (ops/bitpack.py): each restart segment is an
+    independent bit stream packed in parallel, the host only stitches —
+    the full SURVEY.md §2.6 flow (shard → psum histograms → shared
+    tables → per-segment device pack → host concat)."""
     from ..codec import marker
     from ..codec.encoder import make_qtables, assemble, ScanResult
     from ..codec.config import EncoderConfig, Profile
@@ -113,12 +123,26 @@ def encode_batch(images: np.ndarray, quality: float = 75.0,
     out = []
     scan = baseline_script(3)[0]
     geom = (mcus_x, mcus_y, comps)
+    ri = restart_interval
+    if device_entropy:
+        from ..entropy.huffman import derive_codes
+        from ..ops import bitpack
+        codes = {k: derive_codes(t) for k, t in dc_tables.items()}
+        acodes = {k: derive_codes(t) for k, t in ac_tables.items()}
     for i in range(b):
-        pl = [np.asarray(planes[ci][i]) for ci in range(3)]
-        sg = entenc.ScanGeometry(scan, geom, pl)
-        data, _, _ = entenc.encode_scan(sg, dc_tbls, ac_tbls, dc_tables,
-                                        ac_tables, 0, gather=False)
-        sr = ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls)
-        out.append(assemble(w, h, geom, qt, [sr], 0, False, 3,
+        if device_entropy:
+            data = bitpack.encode_scan_bitpar(
+                [planes[ci][i] for ci in range(3)],
+                [(g.h, g.v) for g in comps], mcus_x, mcus_y, ri,
+                [codes[dc_tbls[ci]] for ci in range(3)],
+                [acodes[ac_tbls[ci]] for ci in range(3)])
+        else:
+            pl = [np.asarray(planes[ci][i]) for ci in range(3)]
+            sg = entenc.ScanGeometry(scan, geom, pl)
+            data, _, _ = entenc.encode_scan(sg, dc_tbls, ac_tbls, dc_tables,
+                                            ac_tables, ri, gather=False)
+        sr = ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
+                        restart=ri)
+        out.append(assemble(w, h, geom, qt, [sr], ri, False, 3,
                             multi_dqt=False))
     return out
