@@ -34,8 +34,7 @@ def build_parser():
                                      "all_except_icc"], default="comments")
     p.add_argument("-perfect", action="store_true")
     p.add_argument("-trim", action="store_true",
-                   help="trim partial MCUs (this implementation always "
-                        "trims; flag accepted for compatibility)")
+                   help="drop non-transformable edge blocks")
     p.add_argument("-icc", type=str, default=None, dest="iccfile",
                    help="embed the ICC profile contained in FILE")
     p.add_argument("-grayscale", "-greyscale", action="store_true",
