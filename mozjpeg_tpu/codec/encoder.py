@@ -479,11 +479,13 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
                         for ci in range(len(comp_res))]
                 packed = jnp.asarray(trellis.pack_trellis_inputs(
                     lams, ac_sis, dc_sis, qtblzz))
+                upal, uint = trellis.ac_impl_flags(cfg.precision)
                 run = trellis.make_trellis_all_t(
                     tuple(comps), None, ((ss, se),),
                     cfg.trellis_quant_dc and bi_ == 0, tuple(ncands),
                     precision=cfg.precision, eob_opt=cfg.trellis_eob_opt,
-                    delta_w=float(cfg.trellis_delta_dc_weight))
+                    delta_w=float(cfg.trellis_delta_dc_weight),
+                    use_pallas=upal, interpret=uint)
                 cur = run(raws, cur, packed)
         finals = cur
     else:
@@ -492,11 +494,13 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
             for ci in range(len(comp_res))]
         packed = jnp.asarray(trellis.pack_trellis_inputs(
             lams, ac_sis, dc_sis, qtblzz))
+        upal, uint = trellis.ac_impl_flags(cfg.precision)
         run = trellis.make_trellis_all_t(
             tuple(comps), None, ((1, 63),), cfg.trellis_quant_dc,
             tuple(ncands), precision=cfg.precision,
             eob_opt=cfg.trellis_eob_opt,
-            delta_w=float(cfg.trellis_delta_dc_weight))
+            delta_w=float(cfg.trellis_delta_dc_weight),
+            use_pallas=upal, interpret=uint)
         finals = run(raws, tuple(r[0] for r in comp_res), packed)
         for _ in range(max(1, cfg.trellis_num_loops) - 1):
             finals = run(raws, finals, packed)
@@ -811,11 +815,13 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
             ncands.append(trellis.get_num_dc_candidates(int(qz[0])))
         packed = jnp.asarray(trellis.pack_trellis_inputs(
             lams, ac_sis, dc_sis, qtblzz))
+        upal, uint = trellis.ac_impl_flags(cfg.precision)
         run = trellis.make_trellis_all_t(tuple(comps), None, tuple(bands),
                                          cfg.trellis_quant_dc,
                                          tuple(ncands), batch=b,
                                          precision=cfg.precision,
-                                         eob_opt=cfg.trellis_eob_opt)
+                                         eob_opt=cfg.trellis_eob_opt,
+                                         use_pallas=upal, interpret=uint)
         finals = run(tuple(m[1] for m in merged),
                      tuple(m[0] for m in merged), packed)
         for _ in range(max(1, cfg.trellis_num_loops) - 1):

@@ -618,16 +618,20 @@ def _trellis_dc_t(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
 @functools.lru_cache(maxsize=64)
 def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
                        batch: int = 1, precision: int = 8,
-                       eob_opt: bool = False, delta_w: float = 0.0):
+                       eob_opt: bool = False, delta_w: float = 0.0,
+                       use_pallas: bool = False, interpret: bool = False):
     """Build a single jitted program running trellis for every component
     (cached per configuration — a fresh closure per call would recompile).
 
     geoms: tuple of CompGeom; bands: ((Ss, Se), ...) static; ncands:
-    per-comp DC candidate counts (static).
+    per-comp DC candidate counts (static). use_pallas selects the VMEM-
+    resident Pallas kernel for the AC DP (8-bit precision only; see
+    ac_impl_flags) — identical outputs either way.
     """
     geoms = tuple(geoms)
     kmax = precision + 2           # NBITS((1 << max_coef_bits) - 1)
     maxq = (1 << (precision + 2)) - 1
+    use_pallas = use_pallas and precision == 8
 
     nlam = [batch * g.bh * g.bw for g in geoms]
 
@@ -654,10 +658,17 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
             new_q = qs[ci]
             lam = lams[ci]
             for (ss, se) in bands:
-                new_q = _trellis_ac_t(raw, new_q, qtbl_zzs[ci],
-                                      ac_sis[ci], lam, ss, se,
-                                      kmax=kmax, maxq=maxq, bw=g.bw,
-                                      eob_opt=eob_opt)
+                if use_pallas:
+                    lut = rate_lut_dev(ac_sis[ci], ss, se, kmax)
+                    new_q = _trellis_ac_pallas(raw, new_q, qtbl_zzs[ci],
+                                               lut, ac_sis[ci], lam, ss, se,
+                                               bw=g.bw, eob_opt=eob_opt,
+                                               interpret=interpret)
+                else:
+                    new_q = _trellis_ac_t(raw, new_q, qtbl_zzs[ci],
+                                          ac_sis[ci], lam, ss, se,
+                                          kmax=kmax, maxq=maxq, bw=g.bw,
+                                          eob_opt=eob_opt)
             if dc_on:
                 q0 = qtbl_zzs[ci][0]
                 ltbl0 = (1.0 / (qtbl_zzs[ci][0].astype(jnp.float32)
@@ -762,20 +773,79 @@ def pack_trellis_inputs(lams, ac_sis, dc_sis, qtbl_zzs) -> np.ndarray:
     return np.concatenate(parts)
 
 
-def _trellis_ac_pallas(raw, qcoef, qtbl_zz, rate_luts, ac_si, lam,
-                       Ss: int, Se: int, n_img: int, interpret=False):
-    """AC trellis via the Pallas DP kernel + XLA EOB/walk tail.
+def rate_lut_dev(ac_si, Ss: int, Se: int, kmax: int):
+    """Device-side (run,size) rate LUT for the Pallas DP.
 
-    Same exact semantics as _trellis_ac_t. n_img must be a multiple of
-    pallas LANES (caller pads per image with zero blocks — qval 0 rows are
-    inert). ac_si (B, 256) used only for the EOB length here; rates come
-    from rate_luts.
-    """
+    ac_si (B, 256) int32 code lengths -> (B, 64_j, kmax*64_i) f32 where
+    [b, j, k*64+i] = ehufsi[16*(run&15) + k+1] + (k+1) + (run>>4)*zrl_len
+    for run = i-1-j, and BIG wherever the j->i transition with bit-length
+    k+1 is invalid (code length 0, run>=16 without a ZRL code, j >= i, or
+    outside the band) -- the same table build_rate_lut constructs on host
+    (ops/pallas_trellis.py), as one gather so it runs inside the jit."""
+    ac_si_f = ac_si.astype(jnp.float32)                  # (B, 256)
+    jj = jnp.arange(64)[:, None, None]                   # j (prev nonzero)
+    kk = jnp.arange(kmax)[None, :, None]                 # k (bit length-1)
+    ii = jnp.arange(64)[None, None, :]                   # i (this position)
+    r = ii - 1 - jj                                      # (64, 1, 64)
+    valid = (ii >= Ss) & (ii <= Se) & (jj >= Ss - 1) & (r >= 0)
+    sym = 16 * (r & 15) + kk + 1                         # (64, kmax, 64)
+    cl = ac_si_f[:, sym]                                 # (B, 64, kmax, 64)
+    zrl = ac_si_f[:, 0xF0][:, None, None, None]          # (B, 1, 1, 1)
+    rb = (r >> 4).astype(jnp.float32)[None] * zrl
+    ok = valid[None] & (cl > 0) & ((r < 16)[None] | (zrl > 0))
+    lut = jnp.where(ok, (cl + (kk + 1).astype(jnp.float32)[None]) + rb, BIG)
+    return lut.reshape(ac_si.shape[0], 64, kmax * 64)
+
+
+def ac_impl_flags(precision: int):
+    """(use_pallas, interpret) for the AC trellis DP.
+
+    Defaults to the Pallas kernel on real TPU backends at 8-bit precision
+    (the kernel is KMAX=10/maxq=1023 specific); MJ_TRELLIS_PALLAS=0 forces
+    the XLA scan formulation, =1 forces Pallas (interpret mode off-TPU,
+    for testing)."""
+    import os
+    env = os.environ.get("MJ_TRELLIS_PALLAS", "auto").lower()
+    if env in ("0", "false", "off"):
+        return (False, False)
+    backend = jax.default_backend()
+    if env in ("1", "true", "on", "interpret"):
+        return (precision == 8, backend != "tpu")
+    return (precision == 8 and backend == "tpu", False)
+
+
+def _trellis_ac_pallas(raw, qcoef, qtbl_zz, rate_luts, ac_si, lam,
+                       Ss: int, Se: int, bw: int = 0,
+                       eob_opt: bool = False, interpret: bool = False):
+    """AC trellis via the Pallas DP kernel + the same XLA EOB/walk tail as
+    _trellis_ac_t (exact-identical semantics, 8-bit precision only).
+
+    raw/qcoef (64, N) image-major with N = B*n_img; per-image block counts
+    are padded on the fly to the kernel LANES multiple (all-zero columns
+    are inert: qval 0 rows never win and out-of-band copy-through restores
+    qcoef)."""
     from ..ops import pallas_trellis as pt
     N = raw.shape[1]
     B = ac_si.shape[0]
+    n_img = N // B
+    lanes = pt.LANES
+    n_pad = -(-n_img // lanes) * lanes
+
+    raw_p, lam_p = raw, lam
+    if n_pad != n_img:
+        raw_p = jnp.pad(raw.reshape(64, B, n_img),
+                        ((0, 0), (0, 0), (0, n_pad - n_img))) \
+            .reshape(64, B * n_pad)
+        lam_p = jnp.pad(lam.reshape(B, n_img),
+                        ((0, 0), (0, n_pad - n_img))).reshape(-1)
     acc, run_start, best_val, qval, azd = pt.trellis_ac_dp_pallas(
-        raw, qtbl_zz, rate_luts, lam, Ss, Se, n_img, interpret)
+        raw_p, qtbl_zz, rate_luts, lam_p, Ss, Se, n_pad, interpret)
+    if n_pad != n_img:
+        def unpad(a):
+            return a.reshape(64, B, n_pad)[:, :, :n_img].reshape(64, N)
+        acc, run_start, best_val, qval, azd = (
+            unpad(acc), unpad(run_start), unpad(best_val), unpad(qval),
+            unpad(azd))
 
     pos = jnp.arange(64)[:, None]
     in_band = (pos >= Ss) & (pos <= Se)
@@ -785,9 +855,9 @@ def _trellis_ac_pallas(raw, qcoef, qtbl_zz, rate_luts, ac_si, lam,
     ac_si_f = ac_si.astype(jnp.float32)
 
     azd_Se = azd[Se]
-    eob_len = jnp.repeat(ac_si_f[:, 0], n_img)[None, :]
-    end_cost = ((acc + azd_Se[None, :]) - azd) \
-        + jnp.where(pos < Se, eob_len, 0.0)
+    eob_len = jnp.repeat(ac_si_f[:, 0], n_img)[None, :]  # (1, N)
+    end_wo_eob = (acc + azd_Se[None, :]) - azd           # cost without EOB
+    end_cost = end_wo_eob + jnp.where(pos < Se, eob_len, 0.0)
     end_cost = jnp.where(j_nonzero, end_cost, BIG)
     end_cost = end_cost.at[Ss - 1].set(azd_Se + eob_len[0])
     last_idx = jnp.argmin(end_cost, axis=0).astype(jnp.int32)
@@ -808,9 +878,6 @@ def _trellis_ac_pallas(raw, qcoef, qtbl_zz, rate_luts, ac_si, lam,
     out = jnp.where(in_band, new_band, qcoef)
     if not eob_opt:
         return out
-    # --- trellis_eob_opt (jcdctmgr.c:981-996,1224-1297): a second DP over
-    # whole blocks per block row, replacing trailing/isolated nonzero
-    # blocks by progressive EOB runs when cheaper ---
     czero = azd_Se                                       # (N,) all-zero cost
     skip = jnp.take_along_axis(
         end_wo_eob.at[Ss - 1].set(azd_Se), last_idx[None, :], axis=0)[0]
@@ -824,62 +891,6 @@ def _trellis_ac_pallas(raw, qcoef, qtbl_zz, rate_luts, ac_si, lam,
     keep_blk = keep_blk.reshape(-1)                       # (N,)
     return jnp.where(in_band & ~keep_blk[None, :],
                      jnp.int16(0), out)
-
-
-def _eob_block_dp(czero, skip, has_eob, ac_si_f):
-    """Block-level EOB-run DP over each block row (R rows, L blocks).
-
-    Mirrors jcdctmgr.c:1224-1297 exactly: float adds in C's order, first
-    minimum wins, EOBn cost = ehufsi[16*nbits] + nbits."""
-    R, L = czero.shape
-    iidx = jnp.arange(L + 1)
-
-    def eobrun_cost(run):
-        nb = jnp.where(run > 0,
-                       32 - jax.lax.clz(jnp.maximum(run, 1)), 0)
-        return jnp.take_along_axis(ac_si_f, 16 * nb, axis=1) \
-            + nb.astype(jnp.float32)
-
-    def step(carry, b):
-        azbc, abc, req, brs = carry
-        azbc_b = azbc[:, b]                              # azbc[bi]
-        azbc = azbc.at[:, b + 1].set(azbc_b + czero[:, b])
-        req_i = req                                      # (R, L+1)
-        run = (b - iidx)[None, :] + req_i                # zero_block_run
-        # C order: cost = skip; += azbc[bi]; -= azbc[i]; += abc[i]; += rate
-        cost = (((skip[:, b][:, None] + azbc_b[:, None])
-                 - azbc[:, : L + 1]) + abc) + eobrun_cost(run)
-        valid = ((iidx <= b)[None, :] & (req_i != 2)
-                 & (has_eob[:, b] != 2)[:, None])
-        cost = jnp.where(valid, cost, BIG)
-        arg = jnp.argmin(cost, axis=1).astype(jnp.int32)
-        best = jnp.take_along_axis(cost, arg[:, None], axis=1)[:, 0]
-        nz = has_eob[:, b] != 2
-        abc = abc.at[:, b + 1].set(jnp.where(nz, best, BIG))
-        brs = brs.at[:, b].set(jnp.where(nz, arg, 0))
-        req = req.at[:, b + 1].set(has_eob[:, b])
-        return (azbc, abc, req, brs), None
-
-    azbc0 = jnp.zeros((R, L + 1), jnp.float32)
-    abc0 = jnp.zeros((R, L + 1), jnp.float32)
-    req0 = jnp.zeros((R, L + 1), jnp.int32)
-    brs0 = jnp.zeros((R, L), jnp.int32)
-    (azbc, abc, req, brs), _ = jax.lax.scan(
-        step, (azbc0, abc0, req0, brs0), jnp.arange(L))
-
-    # final EOB-run to the end of the row (jcdctmgr.c:1258-1276)
-    run = (L - iidx)[None, :] + req
-    fcost = (azbc[:, L][:, None] - azbc) + eobrun_cost(run)
-    fcost = jnp.where(req != 2, fcost, BIG)
-    last = jnp.argmin(fcost, axis=1).astype(jnp.int32) - 1  # last_block
-
-    def walk(lb, b):
-        kept = b == lb
-        lb = jnp.where(kept, brs[:, b] - 1, lb)
-        return lb, kept
-
-    _, kept_rev = jax.lax.scan(walk, last, jnp.arange(L - 1, -1, -1))
-    return jnp.flip(jnp.moveaxis(kept_rev, 0, 1), axis=1)  # (R, L)
 
 
 # ---------------------------------------------------------------------------

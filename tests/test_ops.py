@@ -172,3 +172,66 @@ def test_quality_scaling():
     assert consts.quality_scaling(25) == 200
     q75 = consts.scale_quant_table(consts.STD_LUMINANCE_QUANT_TBL[0], 50)
     assert q75[0] == 8  # (16*50+50)//100
+
+
+def _rand_ac_si(rng, zrl_zero=False):
+    """Plausible per-image AC code-length table: lengths 2..16, a few
+    unassigned symbols (length 0) to exercise invalid-code masking."""
+    si = rng.integers(2, 17, size=256).astype(np.int32)
+    si[rng.integers(0, 256, size=20)] = 0
+    si[0x00] = int(rng.integers(2, 10))      # EOB always assigned
+    si[0xF0] = 0 if zrl_zero else int(rng.integers(4, 12))
+    return si
+
+
+@pytest.mark.parametrize("n_img,band,eob_opt",
+                         [(512, (1, 8), False), (300, (1, 13), True)])
+def test_trellis_ac_pallas_matches_xla(n_img, band, eob_opt):
+    """Pallas AC-DP kernel (interpret mode on CPU) is bit-identical to the
+    XLA lax.scan formulation, including the LANES padding path and the
+    eob_opt block DP tail. Narrow bands keep the fully-unrolled kernel's
+    CPU interpret-mode compile fast; full-band equivalence is covered by
+    the golden tests when MJ_TRELLIS_PALLAS=1 on a TPU backend."""
+    from mozjpeg_tpu.codec import trellis
+
+    rng = np.random.default_rng(7)
+    B = 2
+    bw = 50 if eob_opt else 64               # blocks per row
+    assert n_img % bw == 0 or not eob_opt
+    N = B * n_img
+    qtbl = np.clip(rng.integers(1, 100, size=64), 1, 255).astype(np.int32)
+    raw = rng.integers(-12000, 12000, size=(64, N)).astype(np.int32)
+    # sprinkle zeros so many blocks have short runs / early EOBs
+    raw[rng.random(size=raw.shape) < 0.6] = 0
+    qcoef = rng.integers(-50, 50, size=(64, N)).astype(np.int16)
+    ac_si = np.stack([_rand_ac_si(rng), _rand_ac_si(rng, zrl_zero=True)])
+    lam = (rng.random(N).astype(np.float32) * 4.0 + 0.01)
+
+    Ss, Se = band
+    kw = dict(bw=bw, eob_opt=eob_opt)
+    ref = np.asarray(trellis._trellis_ac_t(
+        jnp.asarray(raw), jnp.asarray(qcoef), jnp.asarray(qtbl),
+        jnp.asarray(ac_si), jnp.asarray(lam), Ss, Se,
+        kmax=10, maxq=1023, **kw))
+    lut = trellis.rate_lut_dev(jnp.asarray(ac_si), Ss, Se, 10)
+    got = np.asarray(trellis._trellis_ac_pallas(
+        jnp.asarray(raw), jnp.asarray(qcoef), jnp.asarray(qtbl),
+        lut, jnp.asarray(ac_si), jnp.asarray(lam), Ss, Se,
+        interpret=True, **kw))
+    assert got.dtype == ref.dtype
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_rate_lut_dev_matches_host():
+    """Device-side rate LUT builder equals the host builder."""
+    from mozjpeg_tpu.codec import trellis
+    from mozjpeg_tpu.ops import pallas_trellis as pt
+
+    rng = np.random.default_rng(3)
+    ac_si = np.stack([_rand_ac_si(rng), _rand_ac_si(rng, zrl_zero=True)])
+    for (ss, se) in [(1, 63), (1, 8), (9, 63)]:
+        dev = np.asarray(trellis.rate_lut_dev(jnp.asarray(ac_si),
+                                              ss, se, pt.KMAX))
+        host = np.stack([pt.build_rate_lut(ac_si[b], ss, se)
+                         for b in range(ac_si.shape[0])])
+        np.testing.assert_array_equal(dev, host)
