@@ -169,6 +169,40 @@ def _render_plane(zz, qtbl, bh: int, bw: int, ch: int, cw: int,
     return plane[:ch, :cw]
 
 
+def decode_raw_planes(data: bytes):
+    """jpeg_read_raw_data semantics (jdapistd.c, raw_data_out=TRUE): decode
+    to per-component sample planes at sampling-grid-padded dims with no
+    upsampling or color conversion. -> (planes, width, height, samp) where
+    planes[i] is (ph, pw) uint8 and samp the (h, v) factors."""
+    jp = marker.parse(data)
+    if jp.arithmetic:
+        from . import arith
+        planes = arith.decode_coefficients_arith(jp, data)
+    else:
+        planes = decode_coefficients(jp, data)
+    max_h, max_v = jp.max_h, jp.max_v
+    pw0 = -(-jp.width // max_h) * max_h
+    ph0 = -(-jp.height // max_v) * max_v
+    out = []
+    samp = []
+    for ci, c in enumerate(jp.components):
+        pw = pw0 * c.h // max_h
+        ph = ph0 * c.v // max_v
+        cw = -(-jp.width * c.h // max_h)
+        ch = -(-jp.height * c.v // max_v)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        qt = jp.scan_qtables[0].get(c.quant_tbl,
+                                    jp.qtables.get(c.quant_tbl))
+        pl = np.asarray(_render_plane(
+            jnp.asarray(planes[ci][:bh, :bw]), jnp.asarray(qt),
+            bh, bw, min(ph, bh * 8), min(pw, bw * 8), jp.precision))
+        full = np.zeros((ph, pw), np.uint8)
+        full[:pl.shape[0], :pl.shape[1]] = pl
+        out.append(full)
+        samp.append((c.h, c.v))
+    return out, jp.width, jp.height, samp
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def _upsample_color(y, cb, cr, mode: str, height: int, width: int,
                     precision: int = 8, hexp: int = 1, vexp: int = 1):

@@ -456,33 +456,14 @@ class TJ:
         """tj3DecompressToYUV8 (jpeg_read_raw_data): component planes at
         tjPlaneWidth/Height dims -- the sampling-grid padding carries the
         decoded block-edge samples."""
-        from .codec import marker
-        from .codec.decoder import decode_coefficients, _render_plane
-        import jax.numpy as jnp
-        jp = marker.parse(jpeg)
-        if jp.arithmetic:
-            from .codec import arith
-            planes = arith.decode_coefficients_arith(jp, jpeg)
-        else:
-            planes = decode_coefficients(jp, jpeg)
-        max_h, max_v = jp.max_h, jp.max_v
-        pw0 = -(-jp.width // max_h) * max_h
-        ph0 = -(-jp.height // max_v) * max_v
+        from .codec.decoder import decode_raw_planes
+        planes, _, _, _ = decode_raw_planes(jpeg)
         out = bytearray()
-        for ci, c in enumerate(jp.components):
-            pw = pw0 * c.h // max_h
-            ph = ph0 * c.v // max_v
-            cw = -(-jp.width * c.h // max_h)
-            ch = -(-jp.height * c.v // max_v)
-            bw, bh = -(-cw // 8), -(-ch // 8)
-            qt = jp.scan_qtables[0].get(c.quant_tbl,
-                                        jp.qtables.get(c.quant_tbl))
-            pl = np.asarray(_render_plane(
-                jnp.asarray(planes[ci][:bh, :bw]), jnp.asarray(qt),
-                bh, bw, min(ph, bh * 8), min(pw, bw * 8), jp.precision))
+        for pl in planes:
+            ph, pw = pl.shape
             stride = -(-pw // align) * align
             row = np.zeros((ph, stride), np.uint8)
-            row[:pl.shape[0], :pl.shape[1]] = pl
+            row[:, :pw] = pl
             out += row.tobytes()
         return bytes(out)
 

@@ -1258,3 +1258,61 @@ class TestDjpegAdvancedFlags:
 
     def test_fast_profile(self, jpgs, tmp_path):
         self._both(jpgs[0], ["-fast"], tmp_path)
+
+
+class TestYuvTools:
+    """yuvjpeg/jpegyuv raw-I420 shims (yuvjpeg.c, jpegyuv.c) byte-exact vs
+    the reference tools built from the same sources."""
+
+    @pytest.fixture(scope="class")
+    def yuv_tools(self, ref_tools):
+        import shutil
+        build = os.path.dirname(ref_tools["cjpeg"])
+        tools = {}
+        for name in ("yuvjpeg", "jpegyuv"):
+            path = os.path.join(build, name)
+            if not os.path.exists(path):
+                rc = subprocess.run(
+                    ["gcc", "-O2", "/root/reference/%s.c" % name,
+                     "-I/root/reference", "-I" + build, "-o", path,
+                     "-L" + build, "-ljpeg", "-Wl,-rpath,$ORIGIN"],
+                    capture_output=True)
+                if rc.returncode != 0 or not os.path.exists(path):
+                    pytest.skip("cannot build reference %s" % name)
+            tools[name] = path
+        return tools
+
+    @pytest.mark.parametrize("w,h", [(768, 512), (175, 101)])
+    def test_roundtrip_parity(self, ref_tools, yuv_tools, tmp_path, w, h):
+        from mozjpeg_tpu.cli import jpegyuv, yuvjpeg
+        src = str(tmp_path / "s.jpg")
+        big = ppm.read(corpus("kodak_like_768x512_1.ppm"))[:h, :w]
+        ppm.write(str(tmp_path / "s.ppm"), big)
+        run_cjpeg(["-quality", "75"], str(tmp_path / "s.ppm"), src)
+
+        # jpegyuv: raw 4:2:0 planes out
+        ref_yuv = str(tmp_path / "r.yuv")
+        subprocess.run([yuv_tools["jpegyuv"], src, ref_yuv], check=True)
+        ours_yuv = str(tmp_path / "o.yuv")
+        assert jpegyuv.main([src, ours_yuv]) == 0
+        assert open(ours_yuv, "rb").read() == open(ref_yuv, "rb").read()
+
+        # yuvjpeg: full mozjpeg default encode from raw planes
+        ref_jpg = str(tmp_path / "r.jpg")
+        subprocess.run([yuv_tools["yuvjpeg"], "60", "%dx%d" % (w, h),
+                        ref_yuv, ref_jpg], check=True)
+        ours_jpg = str(tmp_path / "o.jpg")
+        assert yuvjpeg.main(["60", "%dx%d" % (w, h), ref_yuv,
+                             ours_jpg]) == 0
+        assert open(ours_jpg, "rb").read() == open(ref_jpg, "rb").read()
+
+    def test_bad_args(self, tmp_path):
+        from mozjpeg_tpu.cli import jpegyuv, yuvjpeg
+        assert yuvjpeg.main([]) == 1
+        assert yuvjpeg.main(["101", "8x8", "x", "y"]) == 1
+        assert yuvjpeg.main(["75", "8x", "x", "y"]) == 1
+        assert jpegyuv.main([]) == 1
+        bad = str(tmp_path / "bad.yuv")
+        open(bad, "wb").write(b"12345")
+        assert yuvjpeg.main(["75", "8x8", bad,
+                             str(tmp_path / "o.jpg")]) == 1
