@@ -127,7 +127,9 @@ def encode_scan_arith(scan, geom, planes, dc_tbls, ac_tbls,
 
 def decode_coefficients_arith(jp, data: bytes) -> List[np.ndarray]:
     """Entropy-decode an arithmetic-coded JPEG's scans."""
+    from . import marker as _marker
     from .pipeline import CompGeom
+    _marker.validate_decodable(jp)
     max_h, max_v = jp.max_h, jp.max_v
     mcus_x = -(-jp.width // (8 * max_h))
     mcus_y = -(-jp.height // (8 * max_v))

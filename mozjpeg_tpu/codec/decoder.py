@@ -48,6 +48,7 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     jp.coef_bits / jp.coef_bits_prev -- the progression status table
     (jdphuff.c:126-144), and jp.last_good_imcu_row -- the last input
     iMCU row decoded with sufficient data (jdcoefct.c:233-234)."""
+    marker.validate_decodable(jp)
     lib.mj_reset_warnings()
     max_h, max_v = jp.max_h, jp.max_v
     mcus_x = -(-jp.width // (8 * max_h))

@@ -84,10 +84,13 @@ def encode_lossless(image: np.ndarray, predictor: int = 1,
 
 
 def decode_lossless(jp: marker.ParsedJpeg, data: bytes) -> np.ndarray:
+    marker.validate_decodable(jp)
     scan = jp.scans[0]
     predictor = scan.Ss
     pt = scan.Al
     ncomp = len(jp.components)
+    if sorted(scan.comp_indices) != list(range(ncomp)):
+        raise ValueError("lossless scan must cover all components")
     h, w = jp.height, jp.width
     planes = [np.zeros((h, w), np.uint16) for _ in range(ncomp)]
     ptrs = (ctypes.c_void_p * ncomp)(*[p.ctypes.data for p in planes])

@@ -200,6 +200,54 @@ class ParsedJpeg:
         return max(c.v for c in self.components)
 
 
+def validate_decodable(jp: "ParsedJpeg"):
+    """Structural checks the reference enforces before decoding starts
+    (jdmarker.c get_sof/get_sos, jdinput.c initial_setup): a frame header,
+    at least one scan, sane dimensions and sampling factors, and a quant
+    table for every component. Raises ValueError like every other
+    malformed-stream rejection."""
+    if not jp.components:
+        raise ValueError("no SOF marker before SOS/EOI")
+    if not jp.scans:
+        raise ValueError("no SOS marker found")
+    if jp.width <= 0 or jp.height <= 0:
+        raise ValueError("empty JPEG image (DNL not supported)")
+    if jp.precision not in (8, 12, 16):
+        raise ValueError("unsupported data precision %d" % jp.precision)
+    if len(jp.components) > 10:                  # MAX_COMPONENTS
+        raise ValueError("too many components: %d" % len(jp.components))
+    for c in jp.components:
+        if not (1 <= c.h <= 4 and 1 <= c.v <= 4):
+            raise ValueError("bogus sampling factors %dx%d" % (c.h, c.v))
+        if jp.lossless:
+            continue                             # lossless has no DQT
+        qt = jp.scan_qtables[0].get(c.quant_tbl,
+                                    jp.qtables.get(c.quant_tbl))
+        if qt is None:
+            raise ValueError("quantization table 0x%02x was not defined"
+                             % c.quant_tbl)
+    cids = [c.cid for c in jp.components]
+    if len(set(cids)) != len(cids):
+        raise ValueError("duplicate component IDs in frame header")
+    for sc in jp.scans:
+        ss, se, ah, al = sc.Ss, sc.Se, sc.Ah, sc.Al
+        if jp.lossless:
+            # Ss = predictor 1..7, Al = point transform (jdlossls.c)
+            if not (1 <= ss <= 7) or se != 0 or ah != 0 \
+                    or al >= jp.precision:
+                raise ValueError("invalid lossless scan parameters")
+        elif jp.progressive:
+            # per_scan_setup / jdphuff.c:96-124 progression checks
+            if ss > 63 or se > 63 or ah > 13 or al > 13 \
+                    or (ss == 0 and se != 0) \
+                    or (ss != 0 and (se < ss or len(sc.comp_indices) != 1)):
+                raise ValueError("invalid progression parameters "
+                                 "Ss=%d Se=%d Ah=%d Al=%d" % (ss, se, ah, al))
+        else:
+            if ss != 0 or se != 63 or ah != 0 or al != 0:
+                raise ValueError("invalid sequential scan parameters")
+
+
 def _find_next_marker(data: bytes, pos: int) -> int:
     """Scan forward to the next real marker (FF xx, xx not 0/FF pad)."""
     n = len(data)
@@ -218,7 +266,18 @@ def _find_next_marker(data: bytes, pos: int) -> int:
 
 
 def parse(data: bytes) -> ParsedJpeg:
-    """Parse all markers + record per-scan entropy-data extents."""
+    """Parse all markers + record per-scan entropy-data extents.
+
+    Malformed field reads (a segment whose declared contents overrun its
+    actual payload) surface as ValueError, the reference's ERREXIT on
+    bogus marker lengths (jdmarker.c JERR_BAD_LENGTH)."""
+    try:
+        return _parse(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError("corrupt JPEG: truncated marker segment") from e
+
+
+def _parse(data: bytes) -> ParsedJpeg:
     jp = ParsedJpeg()
     htables: Dict[Tuple[int, int], HuffTable] = {}
     n = len(data)
@@ -249,6 +308,8 @@ def parse(data: bytes) -> ParsedJpeg:
             while i < len(seg):
                 pq = seg[i] >> 4
                 tq = seg[i] & 15
+                if pq > 1 or tq > 3:             # JERR_DQT_INDEX
+                    raise ValueError("bogus DQT index %d" % seg[i])
                 i += 1
                 if pq:
                     q = np.frombuffer(seg[i:i + 128], dtype=">u2").astype(
@@ -266,6 +327,8 @@ def parse(data: bytes) -> ParsedJpeg:
             while i < len(seg):
                 tc = seg[i] >> 4
                 th = seg[i] & 15
+                if tc > 1 or th > 3:             # JERR_DHT_INDEX
+                    raise ValueError("bogus DHT index %d" % seg[i])
                 i += 1
                 bits = np.zeros(17, dtype=np.uint8)
                 bits[1:17] = np.frombuffer(seg[i:i + 16], dtype=np.uint8)
@@ -291,14 +354,23 @@ def parse(data: bytes) -> ParsedJpeg:
             jp.restart_interval = (seg[0] << 8) | seg[1]
         elif m == SOS:
             ns = seg[0]
+            if not 1 <= ns <= 4:                 # MAX_COMPS_IN_SCAN
+                raise ValueError("bogus component count %d in SOS" % ns)
             comp_indices = []
             dc_tbls: Dict[int, int] = {}
             ac_tbls: Dict[int, int] = {}
             for c in range(ns):
                 cid = seg[1 + c * 2]
                 tt = seg[2 + c * 2]
-                idx = next(i for i, fc in enumerate(jp.components)
-                           if fc.cid == cid)
+                # JERR_BAD_COMPONENT_ID (jdmarker.c get_sos): the scan
+                # names a component the frame header never declared
+                idx = next((i for i, fc in enumerate(jp.components)
+                            if fc.cid == cid), None)
+                if idx is None:
+                    raise ValueError(
+                        "Invalid component ID %d in SOS parameters" % cid)
+                if (tt >> 4) > 3 or (tt & 15) > 3:
+                    raise ValueError("bogus Huffman table index in SOS")
                 jp.components[idx].dc_tbl = tt >> 4
                 jp.components[idx].ac_tbl = tt & 15
                 dc_tbls[idx] = tt >> 4
