@@ -191,9 +191,13 @@ def _pack_segments(planes, dc_tab, ac_tab, geoms, mcus_x, mcus_y,
 
 
 def _finish_segments(words: np.ndarray, bits: np.ndarray,
-                     restart: bool) -> bytes:
+                     restart: bool, rst_offset: int = 0,
+                     trailing_rst: bool = False) -> bytes:
     """Host finishing: trim, 1-pad to byte boundary, 0xFF-stuff, join
-    with RSTn markers (BitWriter flush/restart semantics)."""
+    with RSTn markers (BitWriter flush/restart semantics). rst_offset
+    shifts the modulo-8 RST numbering and trailing_rst appends a marker
+    after the final segment -- both for stitching a shard's segments
+    into a larger scan (SURVEY.md §2.6 restart-parallel stitching)."""
     out = []
     S = words.shape[0]
     for s in range(S):
@@ -212,14 +216,16 @@ def _finish_segments(words: np.ndarray, bits: np.ndarray,
             stuffed = np.insert(a, idx + 1, 0)
             seg = stuffed.tobytes()
         out.append(seg)
-        if restart and s != S - 1:
-            out.append(bytes([0xFF, 0xD0 + (s & 7)]))
+        if restart and (s != S - 1 or trailing_rst):
+            out.append(bytes([0xFF, 0xD0 + ((s + rst_offset) & 7)]))
     return b"".join(out)
 
 
 def encode_scan_bitpar(planes: Sequence, geoms: Sequence[Tuple[int, int]],
                        mcus_x: int, mcus_y: int, restart: int,
-                       dc_tables: List, ac_tables: List) -> bytes:
+                       dc_tables: List, ac_tables: List,
+                       rst_offset: int = 0,
+                       trailing_rst: bool = False) -> bytes:
     """Baseline sequential interleaved scan, bit-packed on device per
     restart segment.  planes: per-comp (bh_pad, bw_pad, 64) zigzag
     coefficient arrays (device or host); dc_tables/ac_tables: per-comp
@@ -240,4 +246,4 @@ def encode_scan_bitpar(planes: Sequence, geoms: Sequence[Tuple[int, int]],
         jnp.asarray(dc_tab), jnp.asarray(ac_tab),
         tuple(geoms), mcus_x, mcus_y, r, nwords)
     return _finish_segments(np.asarray(words), np.asarray(bits),
-                            restart > 0)
+                            restart > 0, rst_offset, trailing_rst)

@@ -70,6 +70,22 @@ def dc_histogram_interleaved(plane: jnp.ndarray, h: int, v: int,
     return hist.at[size].add(1)
 
 
+def dc_histogram_restart(plane: jnp.ndarray, h: int, v: int,
+                         mcus_x: int, mcus_y: int, r: int) -> jnp.ndarray:
+    """dc_histogram_interleaved with the predictor reset every r MCUs
+    (restart intervals, jchuff.c emit_restart: last_dc_val zeroed)."""
+    dc = plane[:, :, 0].astype(jnp.int32)
+    m = dc.reshape(mcus_y, v, mcus_x, h)
+    seq = jnp.transpose(m, (0, 2, 1, 3)).reshape(-1)
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), seq[:-1]])
+    bpm = h * v
+    idx = jnp.arange(seq.shape[0])
+    prev = jnp.where((idx % (r * bpm)) == 0, 0, prev)
+    size = _nbits(jnp.abs(seq - prev))
+    hist = jnp.zeros(256, jnp.int32)
+    return hist.at[size].add(1)
+
+
 def dc_histogram_single(plane: jnp.ndarray, bw: int, bh: int) -> jnp.ndarray:
     """DC histogram for a non-interleaved scan (raster over real blocks)."""
     dc = plane[:bh, :bw, 0].astype(jnp.int32).reshape(-1)

@@ -44,3 +44,52 @@ def test_batch_encode_sharded(tmp_path):
     # determinism: same batch encodes identically
     outs2 = pbatch.encode_batch(imgs, quality=75)
     assert outs == outs2
+
+
+class TestRowSharded:
+    """iMCU-row sharding of one image over the mesh (parallel/rows.py):
+    byte-exact vs the single-device encoder with the same restart config."""
+
+    def _single(self, im, q, rr):
+        import mozjpeg_tpu as mj
+        from mozjpeg_tpu.codec.config import EncoderConfig, Profile
+        return mj.encode(im, EncoderConfig(
+            quality=q, profile=Profile.FASTEST, progressive=False,
+            optimize_coding=True, optimize_scans=False, trellis_quant=False,
+            overshoot_deringing=False, restart_in_rows=rr))
+
+    @pytest.mark.parametrize("h,w,q,rr", [
+        (256, 256, 75, 1),      # 16 iMCU rows over 8 devices
+        (250, 200, 85, 1),      # odd height: dummy rows + chroma row fix
+        (256, 100, 75, 2),      # restart every 2 rows, dummy columns
+        (244, 333, 60, 1),      # even-but-unaligned height (chroma pad)
+    ])
+    def test_byte_exact(self, h, w, q, rr):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        from mozjpeg_tpu.parallel import rows
+        rng = np.random.default_rng(3)
+        yy, xx = np.mgrid[0:h, 0:w]
+        im = np.stack([(yy * 3 + xx) % 256, (yy + xx * 2) % 256,
+                       (yy * 2 + xx * 5) % 256], axis=-1).astype(np.uint8)
+        im = np.clip(im.astype(int)
+                     + rng.integers(-8, 8, im.shape), 0, 255).astype(np.uint8)
+        out = rows.encode_row_sharded(im, quality=q, restart_rows=rr)
+        assert out == self._single(im, q, rr)
+
+    def test_djpeg_decodes(self, tmp_path):
+        if not have_reference():
+            pytest.skip("reference not built")
+        from mozjpeg_tpu.parallel import rows
+        yy, xx = np.mgrid[0:128, 0:160]
+        im = np.repeat((((yy + xx) // 2) % 256).astype(np.uint8)[..., None],
+                       3, axis=-1)
+        data = rows.encode_row_sharded(im, quality=90)
+        p = tmp_path / "r.jpg"
+        p.write_bytes(data)
+        o = tmp_path / "r.ppm"
+        r = subprocess.run([DJPEG, "-outfile", str(o), str(p)],
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr
+        dec = ppm.read(str(o))
+        assert np.abs(dec.astype(int) - im.astype(int)).mean() < 6.0
