@@ -56,6 +56,8 @@ def main(argv=None):
     p.add_argument("-json", action="store_true", dest="as_json")
     a = p.parse_args(argv)
 
+    from mozjpeg_tpu._jaxcache import ensure_backend
+    ensure_backend()
     from mozjpeg_tpu import encode, decode, EncoderConfig, Profile
     from mozjpeg_tpu.utils import ppm
 

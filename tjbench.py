@@ -27,9 +27,15 @@ def main(argv=None):
     p.add_argument("-scale", default=None)
     p.add_argument("-reps", type=int, default=8)
     p.add_argument("-warmup", type=int, default=2)
+    p.add_argument("-tile", action="store_true",
+                   help="decompose into tiles at 8x8..128x128 granularity "
+                        "via lossless crop transforms and decode each "
+                        "(tjbench.c decompTest tile modes)")
     p.add_argument("-json", action="store_true", dest="as_json")
     a = p.parse_args(argv)
 
+    from mozjpeg_tpu._jaxcache import ensure_backend
+    ensure_backend()
     from mozjpeg_tpu import turbojpeg as tj
     from mozjpeg_tpu.utils import ppm
     import numpy as np
@@ -70,6 +76,39 @@ def main(argv=None):
         "compress_mps": round(comp_mps, 3),
         "decompress_mps": round(dec_mps, 3),
     }
+    if a.tile:
+        full = t.decompress(data)
+        tiles = []
+        imw = 16 if a.subsamp in ("420", "422") else 8
+        imh = 16 if a.subsamp == "420" else 8
+        sizes = []
+        for tw in (8, 16, 32, 64, 128):
+            mw, mh = max(tw, imw), max(tw, imh)
+            if (mw, mh) not in sizes:
+                sizes.append((mw, mh))
+        # note: 420/422 tiles are not pixel-identical to the full decode at
+        # tile boundaries (chroma upsampling loses its neighbor context,
+        # same as reference tiled decompression); 444/gray tiles are exact.
+        for mw, mh in sizes:
+            t0 = time.perf_counter()
+            out = np.zeros_like(full)
+            ntiles = 0
+            for y in range(0, h, mh):
+                for x in range(0, w, mw):
+                    cw = min(mw, w - x)
+                    ch2 = min(mh, h - y)
+                    piece = t.transform(data, crop=(x, y, cw, ch2))
+                    out[y:y + ch2, x:x + cw] = t.decompress(piece)
+                    ntiles += 1
+            dt = time.perf_counter() - t0
+            ok = bool((out == full).all())
+            res["tile_%dx%d" % (mw, mh)] = {
+                "tiles": ntiles, "mps": round(mp / dt, 3), "exact": ok}
+            if not a.as_json:
+                print("Tile %3dx%-3d --> %8.3f MP/s   (%d tiles%s)"
+                      % (mw, mh, mp / dt, ntiles,
+                         "" if ok else ", PIXEL MISMATCH"))
+
     if a.as_json:
         print(json.dumps(res))
     else:
