@@ -1316,3 +1316,49 @@ class TestYuvTools:
         open(bad, "wb").write(b"12345")
         assert yuvjpeg.main(["75", "8x8", bad,
                              str(tmp_path / "o.jpg")]) == 1
+
+
+class TestCorpusJobs:
+    """Resumable corpus jobs (utils/jobs.py) — the checkpoint/resume and
+    failure-isolation analog of the reference's suspension + setjmp
+    recovery (SURVEY.md §5)."""
+
+    def test_run_resume_and_quarantine(self, tmp_path):
+        from mozjpeg_tpu.utils import jobs, ppm as _ppm
+        rng = np.random.default_rng(0)
+        ins = []
+        for i in range(5):
+            p = str(tmp_path / ("img%d.ppm" % i))
+            im = (rng.integers(0, 256, (32, 40, 3))).astype(np.uint8)
+            _ppm.write(p, im)
+            ins.append(p)
+        bad = str(tmp_path / "bad.ppm")
+        open(bad, "wb").write(b"P6 notanimage")
+        ins.append(bad)
+        unk = str(tmp_path / "weird.xyz")
+        open(unk, "wb").write(b"???")
+        ins.append(unk)
+
+        out = str(tmp_path / "out")
+        recs = jobs.run_corpus_job(ins, out, batch_size=3)
+        assert len(recs) == 7
+        by = {r["input"]: r for r in recs}
+        assert all(by[p]["status"] == "done" for p in ins[:5])
+        assert by[bad]["status"] == "error"
+        assert by[unk]["status"] == "error"
+        for p in ins[:5]:
+            assert os.path.getsize(by[p]["output"]) == by[p]["bytes"]
+
+        # resume: done inputs skip (manifest grows by retried errors only)
+        n0 = len(open(os.path.join(out, "manifest.jsonl")).readlines())
+        recs2 = jobs.run_corpus_job(ins, out, batch_size=3)
+        n1 = len(open(os.path.join(out, "manifest.jsonl")).readlines())
+        assert n1 - n0 == 2            # the two error records retried
+        assert [r["status"] for r in recs2] == [r["status"] for r in recs]
+
+        # touched input re-encodes
+        _ppm.write(ins[0], (rng.integers(0, 256, (32, 40, 3))).astype(np.uint8))
+        os.utime(ins[0], (1, 1))
+        jobs.run_corpus_job(ins, out, batch_size=3)
+        n2 = len(open(os.path.join(out, "manifest.jsonl")).readlines())
+        assert n2 - n1 == 3            # re-encoded img0 + 2 errors
