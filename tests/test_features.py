@@ -1362,3 +1362,46 @@ class TestCorpusJobs:
         jobs.run_corpus_job(ins, out, batch_size=3)
         n2 = len(open(os.path.join(out, "manifest.jsonl")).readlines())
         assert n2 - n1 == 3            # re-encoded img0 + 2 errors
+
+
+class TestCropSweep:
+    """croptest.in analog: djpeg -crop over every sampling layout must
+    match the reference djpeg byte-for-byte, including unaligned offsets
+    (the reference test only sweeps iMCU-aligned x; we include unaligned)."""
+
+    @pytest.fixture(scope="class")
+    def sources(self, ref_tools, tmp_path_factory):
+        td = tmp_path_factory.mktemp("cropsrc")
+        src = ppm.read(corpus("testorig.ppm"))[:77, :96]
+        sp = str(td / "s.ppm")
+        ppm.write(sp, src)
+        out = {}
+        for prog in ("", "-progressive"):
+            for name, flags in {"GRAY": ["-grayscale"],
+                                "420": ["-sample", "2x2"],
+                                "422": ["-sample", "2x1"],
+                                "440": ["-sample", "1x2"],
+                                "444": ["-sample", "1x1"]}.items():
+                p = str(td / ("%s%s.jpg" % (name, prog)))
+                args = ["-revert"] + ([prog] if prog else []) + flags
+                subprocess.run([ref_tools["cjpeg"]] + args
+                               + ["-outfile", p, sp], check=True)
+                out[(name, prog)] = p
+        return out
+
+    @pytest.mark.parametrize("spec", ["64x17+16+3", "49x8+21+0",
+                                      "30x30+5+40"])
+    @pytest.mark.parametrize("prog", ["", "-progressive"])
+    def test_byte_exact_vs_reference(self, ref_tools, sources, tmp_path,
+                                     spec, prog):
+        from mozjpeg_tpu.cli import djpeg as cli
+        for samp in ("GRAY", "420", "422", "440", "444"):
+            jpg = sources[(samp, prog)]
+            ref = str(tmp_path / "r.ppm")
+            subprocess.run([ref_tools["djpeg"], "-crop", spec,
+                            "-outfile", ref, jpg], check=True)
+            ours = str(tmp_path / "o.ppm")
+            assert cli.main(["-crop", spec, "-outfile", ours, jpg]) in (0,
+                                                                        None)
+            assert open(ours, "rb").read() == open(ref, "rb").read(), \
+                "crop %s mismatch for %s%s" % (spec, samp, prog)
