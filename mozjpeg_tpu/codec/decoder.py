@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import ctypes
 import functools
+import os
 from typing import List, Optional
 
 import jax
@@ -105,13 +106,38 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
             smx, smy = arr[0].bw, arr[0].bh
 
         if not jp.progressive:
-            r = lib.mj_decode_seq(
-                _np_ptr(seg, u8p), seg_len, arr, len(scan.comp_indices),
-                smx, smy, restart,
-                _np_ptr(dmn, i32p), _np_ptr(dmx, i64p), _np_ptr(dvp, i32p),
-                _np_ptr(dvl, u8p),
-                _np_ptr(amn, i32p), _np_ptr(amx, i64p), _np_ptr(avp, i32p),
-                _np_ptr(avl, u8p), _np_ptr(lg_out, i32p))
+            r = -2
+            nseg = (smx * smy + restart - 1) // restart if restart else 1
+            if restart and nseg >= 4:
+                # restart segments decode concurrently (the reference pays
+                # ~20% for restart markers, README-turbo.txt:344-347; here
+                # they are the parallelism). Any corruption or structural
+                # surprise falls back to the serial warn-and-resync path.
+                nthreads = min(8, os.cpu_count() or 1, nseg)
+                w0 = lib.mj_get_warnings()
+                r = lib.mj_decode_seq_par(
+                    _np_ptr(seg, u8p), seg_len, arr,
+                    len(scan.comp_indices), smx, smy, restart,
+                    _np_ptr(dmn, i32p), _np_ptr(dmx, i64p),
+                    _np_ptr(dvp, i32p), _np_ptr(dvl, u8p),
+                    _np_ptr(amn, i32p), _np_ptr(amx, i64p),
+                    _np_ptr(avp, i32p), _np_ptr(avl, u8p),
+                    _np_ptr(lg_out, i32p), nthreads)
+                if r in (-2, -3):
+                    # re-zero this scan's blocks: the serial decoder's
+                    # truncation semantics assume pre-zeroed planes
+                    for ci in scan.comp_indices:
+                        planes[ci][:] = 0
+                    lib.mj_set_warnings(w0)
+            if r in (-2, -3):
+                r = lib.mj_decode_seq(
+                    _np_ptr(seg, u8p), seg_len, arr,
+                    len(scan.comp_indices), smx, smy, restart,
+                    _np_ptr(dmn, i32p), _np_ptr(dmx, i64p),
+                    _np_ptr(dvp, i32p), _np_ptr(dvl, u8p),
+                    _np_ptr(amn, i32p), _np_ptr(amx, i64p),
+                    _np_ptr(avp, i32p), _np_ptr(avl, u8p),
+                    _np_ptr(lg_out, i32p))
         elif scan.Ss == 0:
             if scan.Ah == 0:
                 r = lib.mj_decode_dc_first(

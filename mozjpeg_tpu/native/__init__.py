@@ -18,7 +18,7 @@ _SRC5 = os.path.join(_DIR, "imageio.cpp")
 
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, _SRC2, _SRC3, _SRC4, _SRC5, "-o", _LIB + ".tmp"]
+           "-pthread", _SRC, _SRC2, _SRC3, _SRC4, _SRC5, "-o", _LIB + ".tmp"]
     subprocess.run(cmd, check=True)
     os.replace(_LIB + ".tmp", _LIB)
 
@@ -90,6 +90,15 @@ lib.mj_decode_seq.argtypes = [
     u8p, ctypes.c_long, cpp, ctypes.c_int,
     ctypes.c_int, ctypes.c_int, ctypes.c_int,
     i32p, i64p, i32p, u8p, i32p, i64p, i32p, u8p, i32p]
+
+lib.mj_set_warnings.restype = None
+lib.mj_set_warnings.argtypes = [ctypes.c_long]
+
+lib.mj_decode_seq_par.restype = ctypes.c_long
+lib.mj_decode_seq_par.argtypes = [
+    u8p, ctypes.c_long, cpp, ctypes.c_int,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    i32p, i64p, i32p, u8p, i32p, i64p, i32p, u8p, i32p, ctypes.c_int]
 
 lib.mj_decode_dc_first.restype = ctypes.c_long
 lib.mj_decode_dc_first.argtypes = [

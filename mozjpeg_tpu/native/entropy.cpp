@@ -12,9 +12,12 @@
 //
 // Build: g++ -O3 -shared -fPIC entropy.cpp -o libmjentropy.so
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -141,10 +144,11 @@ static inline void encode_block_seq(Tables& T, const int16_t* blk,
 // insufficient-data event (JWRN_HIT_MARKER), bad Huffman code
 // (JWRN_HUFF_BAD_CODE), and restart resync (JWRN_MUST_RESYNC), so callers
 // can mirror djpeg's exit-with-warnings / -strict behavior.
+std::atomic<long> mj_warn_count{0};
 extern "C" {
-long mj_warn_count = 0;
 void mj_reset_warnings(void) { mj_warn_count = 0; }
-long mj_get_warnings(void) { return mj_warn_count; }
+void mj_set_warnings(long v) { mj_warn_count = v; }
+long mj_get_warnings(void) { return mj_warn_count.load(); }
 }
 
 extern "C" {
@@ -697,6 +701,116 @@ long mj_decode_seq(const uint8_t* data, long len,
     }
   }
   return br.saw_marker ? br.marker_pos : br.pos;
+}
+
+// Restart-parallel sequential decode: when the scan carries RSTn markers,
+// the segments are independent (DC predictors and bit alignment reset at
+// each marker, jdhuff.c process_restart) so they decode concurrently.
+// Strict-clean contract: any structural surprise (marker count or sequence
+// mismatch) returns -2 and any corrupt-data warning returns -3, and the
+// caller reruns the serial decoder for exact warn-and-resync semantics.
+long mj_decode_seq_par(const uint8_t* data, long len,
+                       CompPlaneMut* comps, int ncomp,
+                       int mcus_x, int mcus_y, int restart_interval,
+                       const int32_t* dc_mincode, const int64_t* dc_maxcode,
+                       const int32_t* dc_valptr, const uint8_t* dc_vals,
+                       const int32_t* ac_mincode, const int64_t* ac_maxcode,
+                       const int32_t* ac_valptr, const uint8_t* ac_vals,
+                       int32_t* last_good_row, int nthreads) {
+  const long num_mcus = (long)mcus_x * mcus_y;
+  const int r = restart_interval;
+  if (r <= 0) return -2;
+  const long nseg = (num_mcus + r - 1) / r;
+  if (nseg < 2) return -2;
+
+  // one pass over the scan data locating RSTn boundaries
+  std::vector<long> seg_start, seg_end;
+  seg_start.reserve(nseg); seg_end.reserve(nseg);
+  seg_start.push_back(0);
+  long i = 0;
+  int expect = 0;
+  while (i + 1 < len && (long)seg_start.size() < nseg) {
+    if (data[i] != 0xFF) { i++; continue; }
+    long j = i + 1;
+    while (j < len && data[j] == 0xFF) j++;   // FF fill bytes
+    if (j >= len) break;
+    if (data[j] == 0x00) { i = j + 1; continue; }  // stuffed FF
+    if (data[j] >= 0xD0 && data[j] <= 0xD7) {
+      if ((data[j] - 0xD0) != (expect & 7)) return -2;
+      expect++;
+      seg_end.push_back(i);
+      seg_start.push_back(j + 1);
+      i = j + 1;
+      continue;
+    }
+    break;  // EOI / next-scan marker: end of this scan's data
+  }
+  if ((long)seg_start.size() != nseg) return -2;
+  seg_end.push_back(len);
+
+  DecTables dct{dc_mincode, dc_maxcode, dc_valptr, dc_vals};
+  DecTables act{ac_mincode, ac_maxcode, ac_valptr, ac_vals};
+  long warn_before = mj_warn_count.load();
+
+  int nt = nthreads > 0 ? nthreads : 1;
+  if (nt > (int)nseg) nt = (int)nseg;
+  std::atomic<long> consumed_last{0};
+
+  auto worker = [&](int tid) {
+    for (long s = tid; s < nseg; s += nt) {
+      BitReader br;
+      br.init(data + seg_start[s], seg_end[s] - seg_start[s]);
+      int last_dc[16] = {0};
+      long m0 = s * (long)r;
+      long m1 = m0 + r < num_mcus ? m0 + r : num_mcus;
+      for (long m = m0; m < m1 && !br.insufficient; m++) {
+        long my = m / mcus_x, mx = m % mcus_x;
+        for (int ci = 0; ci < ncomp; ci++) {
+          CompPlaneMut& c = comps[ci];
+          for (int v = 0; v < c.v; v++) {
+            for (int h = 0; h < c.h; h++) {
+              long by = my * c.v + v;
+              long bx = mx * c.h + h;
+              int16_t* blk = c.coef + (by * c.stride + bx) * 64;
+              int sz0 = huff_decode(br, dct, c.dc_tbl);
+              int diff = sz0 ? huff_extend(br.get(sz0), sz0) : 0;
+              last_dc[ci] += diff;
+              blk[0] = (int16_t)last_dc[ci];
+              int k = 1;
+              while (k < 64) {
+                int rs = huff_decode(br, act, c.ac_tbl);
+                int rr = rs >> 4, sz = rs & 15;
+                if (sz == 0) {
+                  if (rr != 15) break;
+                  k += 16;
+                } else {
+                  k += rr;
+                  blk[k > 63 ? 63 : k] = (int16_t)huff_extend(br.get(sz), sz);
+                  k++;
+                }
+              }
+            }
+          }
+        }
+      }
+      if (br.insufficient) mj_warn_count++;  // force the serial fallback
+      if (s == nseg - 1)
+        consumed_last = seg_start[s]
+            + (br.saw_marker ? (long)br.marker_pos : br.pos);
+    }
+  };
+
+  if (nt == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; t++) ts.emplace_back(worker, t);
+    for (auto& t : ts) t.join();
+  }
+
+  if (mj_warn_count.load() != warn_before) return -3;
+  if (last_good_row) *last_good_row = mcus_y - 1;
+  return consumed_last.load();
 }
 
 // Progressive DC first scan decode (Ss=0, Ah=0).

@@ -2,6 +2,7 @@
 decode) — the MD5-golden philosophy of the reference's CTest suite
 (/root/reference/CMakeLists.txt:1234-1450) applied against live binaries."""
 import os
+import subprocess
 
 import numpy as np
 import pytest
@@ -179,3 +180,29 @@ def test_decode_own_full_output(ref_tools, tmp_path, testorig):
     ref_pixels = run_djpeg(p, str(tmp_path / "o.ppm"))
     ours = decode(data)
     np.testing.assert_array_equal(ours, ref_pixels)
+
+
+def test_restart_parallel_decode_bit_exact(ref_tools, tmp_path):
+    """Streams with RSTn markers decode via the multithreaded segment
+    path (mj_decode_seq_par); output must be bit-exact vs djpeg and vs
+    the serial decoder, including the corrupt-input fallback."""
+    import mozjpeg_tpu as mj
+    src = corpus_path("kodak_like_768x512_3.ppm")
+    jpg = str(tmp_path / "r.jpg")
+    for ri in ("1", "2", "7b"):
+        run_cjpeg(["-quality", "80", "-revert", "-baseline",
+                   "-restart", ri], src, jpg)
+        data = open(jpg, "rb").read()
+        ref = run_djpeg(jpg, str(tmp_path / "r.ppm"))
+        np.testing.assert_array_equal(mj.decode(data), ref)
+    # corrupt: parallel path must fall back and still match djpeg
+    buf = bytearray(data)
+    buf[len(buf) // 3] ^= 0xA5
+    cj = str(tmp_path / "c.jpg")
+    open(cj, "wb").write(bytes(buf))
+    r = subprocess.run([ref_tools["djpeg"], "-outfile",
+                        str(tmp_path / "c.ppm"), cj], capture_output=True)
+    if r.returncode in (0, 2):
+        from mozjpeg_tpu.utils import ppm as _ppm
+        np.testing.assert_array_equal(mj.decode(bytes(buf)),
+                                      _ppm.read(str(tmp_path / "c.ppm")))
