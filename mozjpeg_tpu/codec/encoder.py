@@ -125,28 +125,51 @@ class ScanResult:
 
 def _emit_scan_device(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
                       dc_tables, ac_tables, restart: int):
-    """Emit a sequential scan's entropy data with the on-device
-    restart-parallel bit packer (ops/bitpack.py); byte-identical to the
-    serial host encoder. Returns None when a needed table is absent."""
+    """Emit a scan's entropy data with the on-device restart-parallel bit
+    packers (ops/bitpack.py): sequential full-band scans and all
+    progressive scan kinds (DC first/refine, AC first/refine);
+    byte-identical to the serial host encoder. Returns None when a needed
+    table is absent."""
     from ..entropy.huffman import derive_codes
     from ..ops import bitpack
-    dc_codes, ac_codes, planes, geoms = [], [], [], []
-    for ci, h, v in sg.entries:
-        dt = dc_tables.get(dc_tbls.get(ci, 0))
-        at = ac_tables.get(ac_tbls.get(ci, 0))
-        if dt is None or at is None:
+    scan = sg.scan
+    planes = [sg.planes[ci] for ci, _, _ in sg.entries]
+    geoms = [(h, v) for _, h, v in sg.entries]
+    if scan.Ss == 0 and scan.Se == 63:               # sequential
+        dc_codes, ac_codes = [], []
+        for ci, _, _ in sg.entries:
+            dt = dc_tables.get(dc_tbls.get(ci, 0))
+            at = ac_tables.get(ac_tbls.get(ci, 0))
+            if dt is None or at is None:
+                return None
+            dc_codes.append(derive_codes(dt))
+            ac_codes.append(derive_codes(at))
+        return bitpack.encode_scan_bitpar(planes, geoms, sg.mcus_x,
+                                          sg.mcus_y, restart, dc_codes,
+                                          ac_codes)
+    dc_codes = ac_codes = None
+    if scan.Ss == 0 and scan.Ah == 0:                # progressive DC first
+        dc_codes = []
+        for ci, _, _ in sg.entries:
+            dt = dc_tables.get(dc_tbls.get(ci, 0))
+            if dt is None:
+                return None
+            dc_codes.append(derive_codes(dt))
+    elif scan.Ss != 0:                               # progressive AC
+        at = ac_tables.get(ac_tbls.get(scan.comps[0], 0))
+        if at is None:
             return None
-        dc_codes.append(derive_codes(dt))
-        ac_codes.append(derive_codes(at))
-        planes.append(sg.planes[ci])
-        geoms.append((h, v))
-    return bitpack.encode_scan_bitpar(planes, geoms, sg.mcus_x, sg.mcus_y,
-                                      restart, dc_codes, ac_codes)
+        ac_codes = [derive_codes(at)]
+    return bitpack.encode_scan_progressive_device(
+        planes, geoms, sg.mcus_x, sg.mcus_y, scan.Ss, scan.Se, scan.Ah,
+        scan.Al, restart, dc_tables=dc_codes, ac_tables=ac_codes)
 
 
 def _device_emit_ok(sg: entenc.ScanGeometry) -> bool:
     scan = sg.scan
-    return scan.Ss == 0 and scan.Se == 63 and scan.Ah == 0 and scan.Al == 0
+    if scan.Ss == 0 and scan.Se == 63:
+        return scan.Ah == 0 and scan.Al == 0         # sequential full band
+    return True                                      # progressive forms
 
 
 def encode_scan_optimal(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,

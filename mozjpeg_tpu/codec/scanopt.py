@@ -14,6 +14,7 @@ planes; only the entropy pass runs per candidate.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -42,11 +43,11 @@ class _Candidate:
 
 def _scan_buffer(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
                  restart: int, frame_header: Optional[bytes],
-                 emit_dri: bool = False) -> bytes:
+                 emit_dri: bool = False, device: bool = False) -> bytes:
     """Encode one candidate scan: [frame hdr] + DHT(s) + [DRI] + SOS + data."""
     from .encoder import encode_scan_optimal
     sg = entenc.ScanGeometry(scan, geom, planes)
-    sr = encode_scan_optimal(sg, dc_tbls, ac_tbls, restart)
+    sr = encode_scan_optimal(sg, dc_tbls, ac_tbls, restart, device=device)
     w = marker.MarkerWriter()
     if frame_header:
         w.raw(frame_header)
@@ -160,7 +161,10 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
         elif ncomps == 3 and chroma_split_start <= sn < num_scans:
             scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
                             best_Al_chroma)
-        mk = _scan_buffer_arith if arith else _scan_buffer
+        dev = (not arith) and getattr(cfg, "device_entropy", False) \
+            and cfg.precision == 8
+        mk = _scan_buffer_arith if arith else functools.partial(
+            _scan_buffer, device=dev)
         # per-scan restart interval; DRI emitted when it changes along the
         # candidate-encode order -- the search captures scan buffers in
         # trial order and stitches them verbatim (jcmaster.c:672-683,

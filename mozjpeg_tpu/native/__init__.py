@@ -100,6 +100,11 @@ lib.mj_decode_seq_par.argtypes = [
     ctypes.c_int, ctypes.c_int, ctypes.c_int,
     i32p, i64p, i32p, u8p, i32p, i64p, i32p, u8p, i32p, ctypes.c_int]
 
+lib.mj_ac_refine_schedule.restype = ctypes.c_long
+lib.mj_ac_refine_schedule.argtypes = [
+    i32p, i32p, i32p, ctypes.c_long, ctypes.c_long,
+    i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
+
 lib.mj_decode_dc_first.restype = ctypes.c_long
 lib.mj_decode_dc_first.argtypes = [
     u8p, ctypes.c_long, cpp, ctypes.c_int,

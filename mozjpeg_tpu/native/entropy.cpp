@@ -1035,3 +1035,75 @@ long mj_decode_ac_refine(const uint8_t* data, long len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// AC-refinement flush schedule for the device bit-packer (ops/bitpack.py).
+// The (eobrun, BE) state machine of jcphuff.c:817-918 is the one sequential
+// recurrence in progressive packing; everything else vectorizes. Per block:
+//   e[b]  - EOB-run contribution (block ends with pending zeros/bits)
+//   br[b] - local correction bits left unflushed at block end
+//   ev[b] - block has an emission event (a newly-nonzero coefficient)
+// Segments of `restart` blocks are independent. Outputs per block:
+//   flush_run[b]  - EOB run emitted at the block's start-flush lane (0=none)
+//   flush_be[b]   - BE bits emitted there
+//   forced_run[b] - run emitted at the block-end forced flush (0=none)
+//   forced_be[b]  - BE bits emitted there
+//   attach_blk[b] - block index whose flush consumes b's unflushed bits
+//                   (negative-1 => segment-end flush lane)
+//   attach_kind[b]- 0 start-flush lane, 1 forced lane, 2 segment end
+//   attach_base[b]- rank offset of b's first bit inside that bucket
+// and per segment: end_run[s], end_be[s].
+extern "C" long mj_ac_refine_schedule(
+    const int32_t* e, const int32_t* br, const int32_t* ev,
+    long nblocks, long restart,
+    int32_t* flush_run, int32_t* flush_be,
+    int32_t* forced_run, int32_t* forced_be,
+    int32_t* attach_blk, int32_t* attach_kind, int32_t* attach_base,
+    int32_t* end_run, int32_t* end_be) {
+  const long S = (nblocks + restart - 1) / restart;
+  for (long s = 0; s < S; s++) {
+    long b0 = s * restart;
+    long b1 = b0 + restart < nblocks ? b0 + restart : nblocks;
+    long eobrun = 0, BE = 0;
+    long qstart = b0;  // first block whose bits are still queued
+    for (long b = b0; b < b1; b++) {
+      flush_run[b] = flush_be[b] = forced_run[b] = forced_be[b] = 0;
+      attach_blk[b] = -1; attach_kind[b] = 2; attach_base[b] = 0;
+      if (ev[b] && eobrun > 0) {           // start-of-block emit_eobrun
+        flush_run[b] = (int32_t)eobrun;
+        flush_be[b] = (int32_t)BE;
+        long base = 0;
+        for (long q = qstart; q < b; q++) {
+          if (br[q]) { attach_blk[q] = (int32_t)b; attach_kind[q] = 0;
+                       attach_base[q] = (int32_t)base; base += br[q]; }
+        }
+        eobrun = 0; BE = 0; qstart = b;
+      }
+      if (e[b]) {                           // block-end contribution
+        eobrun++;
+        BE += br[b];
+        if (eobrun == 0x7FFF || BE > 937) { // forced emit_eobrun
+          forced_run[b] = (int32_t)eobrun;
+          forced_be[b] = (int32_t)BE;
+          long base = 0;
+          for (long q = qstart; q <= b; q++) {
+            if (br[q] && attach_blk[q] < 0) {
+              attach_blk[q] = (int32_t)b; attach_kind[q] = 1;
+              attach_base[q] = (int32_t)base; base += br[q];
+            }
+          }
+          eobrun = 0; BE = 0; qstart = b + 1;
+        }
+      }
+    }
+    end_run[s] = (int32_t)eobrun;           // segment-end emit_eobrun
+    end_be[s] = (int32_t)BE;
+    long base = 0;
+    for (long q = qstart; q < b1; q++) {
+      if (br[q] && attach_blk[q] < 0) {
+        attach_kind[q] = 2; attach_base[q] = (int32_t)base; base += br[q];
+      }
+    }
+  }
+  return S;
+}

@@ -115,3 +115,133 @@ class TestBitpackIntegration:
         jp.write_bytes(dev[0])
         out = run_djpeg(str(jp), str(tmp_path / "b0.ppm"))
         assert out.shape == imgs[0].shape
+
+
+class TestProgressiveDevicePack:
+    """Progressive device packers (DC first/refine, AC first/refine) must
+    be byte-identical to the serial engine (jcphuff.c semantics), incl.
+    the eobrun=0x7FFF and BE>937 forced flushes."""
+
+    def _setup(self, h=120, w=168, density=0.15, seed=7):
+        from mozjpeg_tpu.codec import pipeline
+        rng = np.random.RandomState(seed)
+        mcus_x, mcus_y, comps = pipeline.geometry(
+            w, h, [(2, 2), (1, 1), (1, 1)])
+        return mcus_x, mcus_y, comps, _rand_planes(comps, rng, density)
+
+    def _host(self, scan, geom, planes, r):
+        from mozjpeg_tpu.entropy import encode as entenc
+        dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(3)}
+        sg = entenc.ScanGeometry(scan, geom, planes)
+        _, dcc, acc = entenc.encode_scan(sg, dc_tbls, dc_tbls, {}, {},
+                                         r, gather=True)
+        dct, act = {}, {}
+        for t in (0, 1):
+            if dcc[t].any():
+                dct[t] = entenc.gen_optimal_table(dcc[t])
+            if acc[t].any():
+                act[t] = entenc.gen_optimal_table(acc[t])
+        data, _, _ = entenc.encode_scan(sg, dc_tbls, dc_tbls, dct, act,
+                                        r, gather=False)
+        return data, dct, act, dc_tbls
+
+    @pytest.mark.parametrize("spec,r", [
+        ((tuple(range(3)), 0, 0, 0, 1), 0),      # DC first Al=1
+        ((tuple(range(3)), 0, 0, 0, 1), 5),
+        ((tuple(range(3)), 0, 0, 1, 0), 0),      # DC refine
+        ((tuple(range(3)), 0, 0, 2, 1), 9),
+        (((0,), 1, 8, 0, 2), 0),                 # AC first
+        (((0,), 9, 63, 0, 2), 21),
+        (((1,), 1, 63, 0, 1), 0),
+        (((0,), 1, 8, 1, 0), 0),                 # AC refine
+        (((0,), 9, 63, 2, 1), 21),
+        (((2,), 1, 63, 1, 0), 4),
+    ])
+    def test_byte_exact_vs_host(self, spec, r):
+        from mozjpeg_tpu.codec import scans
+        from mozjpeg_tpu.entropy.huffman import derive_codes
+        from mozjpeg_tpu.ops import bitpack
+        mcus_x, mcus_y, comps, planes = self._setup()
+        scan = scans.ScanInfo(*spec)
+        data, dct, act, dc_tbls = self._host(
+            scan, (mcus_x, mcus_y, comps), planes, r)
+        if scan.Ss == 0:
+            pl = [planes[ci] for ci in scan.comps]
+            gs = [(comps[ci].h, comps[ci].v) for ci in scan.comps]
+            dc_codes = ([derive_codes(dct[dc_tbls[ci]])
+                         for ci in scan.comps] if dct else None)
+            dev = bitpack.encode_scan_progressive_device(
+                pl, gs, mcus_x, mcus_y, scan.Ss, scan.Se, scan.Ah,
+                scan.Al, r, dc_tables=dc_codes)
+        else:
+            ci = scan.comps[0]
+            g = comps[ci]
+            dev = bitpack.encode_scan_progressive_device(
+                [planes[ci]], [(1, 1)], g.bw, g.bh, scan.Ss, scan.Se,
+                scan.Ah, scan.Al, r,
+                ac_tables=[derive_codes(act[dc_tbls[ci]])])
+        assert dev == data
+
+    def test_eobrun_and_be_forced_flushes(self):
+        """eobrun hits 0x7FFF (AC first) and BE exceeds 937 (AC refine)."""
+        from mozjpeg_tpu.codec.scans import ScanInfo
+        from mozjpeg_tpu.codec.pipeline import CompGeom
+        from mozjpeg_tpu.entropy import encode as entenc
+        from mozjpeg_tpu.entropy.huffman import derive_codes
+        from mozjpeg_tpu.ops import bitpack
+        rng = np.random.RandomState(3)
+
+        # AC first: 40000 nearly-all-zero blocks -> eobrun crosses 0x7FFF
+        bh = bw = 200
+        pl = np.zeros((bh, bw, 64), np.int16)
+        pl[0, 0, 9] = 5
+        pl[199, 150, 20] = -3
+        geom = [CompGeom(1, 1, bw * 8, bh * 8, bw, bh, bw, bh)]
+        scan = ScanInfo((0,), 9, 63, 0, 0)
+        sg = entenc.ScanGeometry(scan, (bw, bh, geom), [pl])
+        _, _, acc = entenc.encode_scan(sg, {0: 0}, {0: 0}, {}, {}, 0,
+                                       gather=True)
+        act = {0: entenc.gen_optimal_table(acc[0])}
+        data, _, _ = entenc.encode_scan(sg, {0: 0}, {0: 0}, {}, act, 0,
+                                        gather=False)
+        dev = bitpack.encode_scan_progressive_device(
+            [pl], [(1, 1)], bw, bh, 9, 63, 0, 0, 0,
+            ac_tables=[derive_codes(act[0])])
+        assert dev == data
+
+        # AC refine: blocks with only previously-nonzero coeffs -> BE > 937
+        bh, bw = 30, 40
+        pl = np.zeros((bh, bw, 64), np.int16)
+        for b in range(bh * bw):
+            y, x = divmod(b, bw)
+            ks = rng.choice(np.arange(9, 63), size=rng.randint(2, 5),
+                            replace=False)
+            pl[y, x, ks] = rng.choice([-5, -4, 4, 5, 6, 7], size=len(ks))
+            if b % 97 == 0:
+                pl[y, x, rng.randint(9, 63)] = rng.choice([-3, 3])
+        geom = [CompGeom(1, 1, bw * 8, bh * 8, bw, bh, bw, bh)]
+        for r in (0, 11):
+            scan = ScanInfo((0,), 9, 63, 2, 1)
+            sg = entenc.ScanGeometry(scan, (bw, bh, geom), [pl])
+            _, _, acc = entenc.encode_scan(sg, {0: 0}, {0: 0}, {}, {}, r,
+                                           gather=True)
+            act = {0: entenc.gen_optimal_table(acc[0])}
+            data, _, _ = entenc.encode_scan(sg, {0: 0}, {0: 0}, {}, act,
+                                            r, gather=False)
+            dev = bitpack.encode_scan_progressive_device(
+                [pl], [(1, 1)], bw, bh, 9, 63, 2, 1, r,
+                ac_tables=[derive_codes(act[0])])
+            assert dev == data
+
+    def test_full_default_path_device_entropy(self, ref_tools, testorig):
+        """The complete mozjpeg default (progressive + trellis + scan
+        search) emits byte-identically with device_entropy on."""
+        import mozjpeg_tpu as mj
+        a = mj.encode(testorig, mj.EncoderConfig(quality=75,
+                                                 device_entropy=False))
+        b = mj.encode(testorig, mj.EncoderConfig(quality=75,
+                                                 device_entropy=True))
+        assert a == b
+        g = run_cjpeg(["-quality", "75"], corpus("testorig.ppm"),
+                      "/tmp/_dp_ref.jpg")
+        assert b == g
