@@ -6,6 +6,8 @@ optimized Huffman + overshoot deringing + quant table 3 (ImageMagick).
 """
 from __future__ import annotations
 
+import os
+
 import dataclasses
 import enum
 from typing import Optional, Sequence, Tuple
@@ -97,10 +99,12 @@ class EncoderConfig:
     # custom scan script: list of (comps tuple, Ss, Se, Ah, Al)
     scan_script: Optional[Sequence] = None
 
-    # emit sequential-scan entropy data with the on-device restart-parallel
-    # bit packer (ops/bitpack.py) instead of the serial host engine;
-    # byte-identical output (no reference analog — SURVEY.md §2.6)
-    device_entropy: bool = False
+    # emit entropy data (sequential and all progressive scan kinds) with
+    # the on-device restart-parallel bit packers (ops/bitpack.py) instead
+    # of the serial host engine; byte-identical output (no reference
+    # analog — SURVEY.md §2.6). None = auto: on for TPU backends, off on
+    # CPU where the serial C++ engine wins.
+    device_entropy: Optional[bool] = None
 
     def resolved(self) -> "ResolvedConfig":
         if self.precision not in (8, 12):
@@ -153,7 +157,7 @@ class EncoderConfig:
                                  else maxc),
             dct_method=self.dct_method,
             scan_script=self.scan_script,
-            device_entropy=self.device_entropy,
+            device_entropy=_auto_device_entropy(self.device_entropy),
         )
 
 
@@ -194,3 +198,15 @@ class ResolvedConfig:
     dct_method: DCTMethod
     scan_script: Optional[Sequence]
     device_entropy: bool
+
+
+def _auto_device_entropy(flag):
+    if flag is not None:
+        return bool(flag)
+    env = os.environ.get("MJ_DEVICE_ENTROPY", "auto").lower()
+    if env in ("0", "false", "off"):
+        return False
+    if env in ("1", "true", "on"):
+        return True
+    import jax
+    return jax.default_backend() == "tpu"
