@@ -64,16 +64,8 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     cb_cur = np.full((ncomps, 64), -1, dtype=np.int32)
     cb_prev = np.full((ncomps, 64), -1, dtype=np.int32)
     last_good = mcus_y - 1
-    lg_out = np.zeros(1, dtype=np.int32)
 
-    for si, scan in enumerate(jp.scans):
-        if jp.progressive:
-            # progression status update at scan start (jdphuff.c:126-144)
-            for ci in scan.comp_indices:
-                lo, hi = min(scan.Ss, 1), max(scan.Se, 9)
-                cb_prev[ci, lo:hi + 1] = (cb_cur[ci, lo:hi + 1]
-                                          if si > 0 else 0)
-                cb_cur[ci, scan.Ss:scan.Se + 1] = scan.Al
+    def decode_one(si, scan, lg_out):
         htables = jp.scan_htables[si]
         restart = jp.scan_restart[si]
         dc_tables = {i: t for (cls, i), t in htables.items() if cls == 0}
@@ -162,10 +154,61 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
         # scan-local MCU row -> image iMCU row (jdcoefct consume_data
         # assigns last_good_iMCU_row = input_iMCU_row per MCU)
         if interleaved:
-            last_good = int(lg_out[0])
-        else:
-            v = jp.components[scan.comp_indices[0]].v
-            last_good = min(int(lg_out[0]) // v, mcus_y - 1)
+            return int(lg_out[0])
+        v = jp.components[scan.comp_indices[0]].v
+        return min(int(lg_out[0]) // v, mcus_y - 1)
+
+    # progression status bookkeeping is header-only (jdphuff.c:126-144)
+    if jp.progressive:
+        for si, scan in enumerate(jp.scans):
+            for ci in scan.comp_indices:
+                lo, hi = min(scan.Ss, 1), max(scan.Se, 9)
+                cb_prev[ci, lo:hi + 1] = (cb_cur[ci, lo:hi + 1]
+                                          if si > 0 else 0)
+                cb_cur[ci, scan.Ss:scan.Se + 1] = scan.Al
+
+    nscans = len(jp.scans)
+    if jp.progressive and nscans > 2 and os.environ.get(
+            "MJ_PARALLEL_SCAN_DECODE", "1") not in ("0", "false", "off"):
+        # Scans touching disjoint (component, band) regions decode
+        # concurrently; refinement chains (same component, overlapping
+        # spectral range) stay ordered. Entropy state is per scan, so
+        # results are order-independent (jdphuff.c keeps no cross-scan
+        # entropy state).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def rng_of(scan):
+            return (0, 0) if scan.Ss == 0 else (scan.Ss, scan.Se)
+
+        deps = []
+        for si, scan in enumerate(jp.scans):
+            d = []
+            lo, hi = rng_of(scan)
+            for sj in range(si - 1, -1, -1):
+                pj = jp.scans[sj]
+                lo2, hi2 = rng_of(pj)
+                if (set(scan.comp_indices) & set(pj.comp_indices)
+                        and lo <= hi2 and lo2 <= hi):
+                    d.append(sj)       # every overlapping prior: a scan
+                                       # can refine several disjoint ones
+            deps.append(d)
+        futs = [None] * nscans
+
+        def run(si):
+            for sj in deps[si]:
+                futs[sj].result()
+            return decode_one(si, jp.scans[si],
+                              np.zeros(1, dtype=np.int32))
+
+        with ThreadPoolExecutor(max_workers=min(8, nscans)) as ex:
+            for si in range(nscans):
+                futs[si] = ex.submit(run, si)
+            lgs = [f.result() for f in futs]
+        last_good = lgs[-1]
+    else:
+        for si, scan in enumerate(jp.scans):
+            last_good = decode_one(si, scan, np.zeros(1, dtype=np.int32))
+
     jp.coef_bits = cb_cur if jp.progressive else None
     jp.coef_bits_prev = cb_prev if jp.progressive else None
     jp.last_good_imcu_row = last_good
