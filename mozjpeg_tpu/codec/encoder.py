@@ -124,7 +124,8 @@ class ScanResult:
 
 
 def _emit_scan_device(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
-                      dc_tables, ac_tables, restart: int):
+                      dc_tables, ac_tables, restart: int,
+                      precision: int = 8):
     """Emit a scan's entropy data with the on-device restart-parallel bit
     packers (ops/bitpack.py): sequential full-band scans and all
     progressive scan kinds (DC first/refine, AC first/refine);
@@ -146,7 +147,7 @@ def _emit_scan_device(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
             ac_codes.append(derive_codes(at))
         return bitpack.encode_scan_bitpar(planes, geoms, sg.mcus_x,
                                           sg.mcus_y, restart, dc_codes,
-                                          ac_codes)
+                                          ac_codes, precision=precision)
     dc_codes = ac_codes = None
     if scan.Ss == 0 and scan.Ah == 0:                # progressive DC first
         dc_codes = []
@@ -162,7 +163,8 @@ def _emit_scan_device(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
         ac_codes = [derive_codes(at)]
     return bitpack.encode_scan_progressive_device(
         planes, geoms, sg.mcus_x, sg.mcus_y, scan.Ss, scan.Se, scan.Ah,
-        scan.Al, restart, dc_tables=dc_codes, ac_tables=ac_codes)
+        scan.Al, restart, dc_tables=dc_codes, ac_tables=ac_codes,
+        precision=precision)
 
 
 def _device_emit_ok(sg: entenc.ScanGeometry) -> bool:
@@ -173,7 +175,8 @@ def _device_emit_ok(sg: entenc.ScanGeometry) -> bool:
 
 
 def encode_scan_optimal(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
-                        restart: int, device: bool = False) -> ScanResult:
+                        restart: int, device: bool = False,
+                        precision: int = 8) -> ScanResult:
     """Gather stats, build optimal tables, emit the scan."""
     scan = sg.scan
     _, dcc, acc = entenc.encode_scan(sg, dc_tbls, ac_tbls, {}, {},
@@ -195,7 +198,7 @@ def encode_scan_optimal(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
     data = None
     if device and _device_emit_ok(sg):
         data = _emit_scan_device(sg, dc_tbls, ac_tbls, dc_tables,
-                                 ac_tables, restart)
+                                 ac_tables, restart, precision)
     if data is None:
         data, _, _ = entenc.encode_scan(sg, dc_tbls, ac_tbls, dc_tables,
                                         ac_tables, restart, gather=False)
@@ -205,7 +208,8 @@ def encode_scan_optimal(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
 
 def encode_scan_fixed(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
                       dc_tables, ac_tables, restart: int,
-                      device: bool = False) -> ScanResult:
+                      device: bool = False,
+                      precision: int = 8) -> ScanResult:
     scan = sg.scan
     used_dc = {dc_tbls[ci]: dc_tables[dc_tbls[ci]] for ci in scan.comps
                if scan.Ss == 0 and scan.Ah == 0 and dc_tbls[ci] in dc_tables}
@@ -214,7 +218,7 @@ def encode_scan_fixed(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
     data = None
     if device and _device_emit_ok(sg):
         data = _emit_scan_device(sg, dc_tbls, ac_tbls, dc_tables,
-                                 ac_tables, restart)
+                                 ac_tables, restart, precision)
     if data is None:
         data, _, _ = entenc.encode_scan(sg, dc_tbls, ac_tbls, dc_tables,
                                         ac_tables, restart, gather=False)
@@ -624,17 +628,19 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
 
     results = []
     report.add_passes(len(script))
-    dev = cfg.device_entropy and cfg.precision == 8
+    dev = cfg.device_entropy and cfg.precision <= 12
     for scan in script:
         sg = entenc.ScanGeometry(scan, geom, planes)
         r = scan_restart_interval(cfg, scan, geom, ncomps)
         if cfg.optimize_coding or progressive:
             results.append(encode_scan_optimal(sg, dc_tbls, ac_tbls, r,
-                                               device=dev))
+                                               device=dev,
+                                               precision=cfg.precision))
         else:
             dct_, act_ = _scan_tables_std(ncomps, cs)
             results.append(encode_scan_fixed(sg, dc_tbls, ac_tbls, dct_,
-                                             act_, r, device=dev))
+                                             act_, r, device=dev,
+                                             precision=cfg.precision))
         report.pass_done("scan %d-%d" % (scan.Ss, scan.Se))
     return assemble(width, height, geom, qtables, results, restart,
                     progressive, ncomps,

@@ -43,11 +43,13 @@ class _Candidate:
 
 def _scan_buffer(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
                  restart: int, frame_header: Optional[bytes],
-                 emit_dri: bool = False, device: bool = False) -> bytes:
+                 emit_dri: bool = False, device: bool = False,
+                 precision: int = 8) -> bytes:
     """Encode one candidate scan: [frame hdr] + DHT(s) + [DRI] + SOS + data."""
     from .encoder import encode_scan_optimal
     sg = entenc.ScanGeometry(scan, geom, planes)
-    sr = encode_scan_optimal(sg, dc_tbls, ac_tbls, restart, device=device)
+    sr = encode_scan_optimal(sg, dc_tbls, ac_tbls, restart, device=device,
+                             precision=precision)
     w = marker.MarkerWriter()
     if frame_header:
         w.raw(frame_header)
@@ -164,7 +166,7 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
         dev = (not arith) and getattr(cfg, "device_entropy", False) \
             and cfg.precision == 8
         mk = _scan_buffer_arith if arith else functools.partial(
-            _scan_buffer, device=dev)
+            _scan_buffer, device=dev, precision=precision)
         # per-scan restart interval; DRI emitted when it changes along the
         # candidate-encode order -- the search captures scan buffers in
         # trial order and stitches them verbatim (jcmaster.c:672-683,

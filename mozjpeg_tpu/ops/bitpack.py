@@ -37,10 +37,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# worst-case bits per 8x8 block: DC (16-bit code + 11 magnitude bits) +
-# 63 AC symbols of (16-bit code + 10 magnitude bits); ZRL runs only
-# replace (never add to) nonzero positions, so this bounds every block
-MAX_BLOCK_BITS = 27 + 63 * 26
+# worst-case bits per 8x8 block: DC (16-bit code + max magnitude bits) +
+# 63 AC symbols of (16-bit code + max magnitude bits); ZRL runs only
+# replace (never add to) nonzero positions, so this bounds every block.
+# 8-bit: mag <= 11 DC / 10 AC; 12-bit: <= 16 / 14 (ITU T.81 tables F.1/F.2)
+def max_block_bits(precision: int = 8) -> int:
+    if precision <= 8:
+        return 27 + 63 * 26
+    return 32 + 63 * 30
+
+
+MAX_BLOCK_BITS = max_block_bits(8)
 
 
 def _nbits(v):
@@ -238,7 +245,8 @@ def encode_scan_bitpar(planes: Sequence, geoms: Sequence[Tuple[int, int]],
                        mcus_x: int, mcus_y: int, restart: int,
                        dc_tables: List, ac_tables: List,
                        rst_offset: int = 0,
-                       trailing_rst: bool = False) -> bytes:
+                       trailing_rst: bool = False,
+                       precision: int = 8) -> bytes:
     """Baseline sequential interleaved scan, bit-packed on device per
     restart segment.  planes: per-comp (bh_pad, bw_pad, 64) zigzag
     coefficient arrays (device or host); dc_tables/ac_tables: per-comp
@@ -247,7 +255,7 @@ def encode_scan_bitpar(planes: Sequence, geoms: Sequence[Tuple[int, int]],
     num_mcus = mcus_x * mcus_y
     r = restart if restart > 0 else num_mcus
     blocks_per_mcu = sum(h * v for h, v in geoms)
-    nwords = -(-(r * blocks_per_mcu * MAX_BLOCK_BITS) // 32) + 1
+    nwords = -(-(r * blocks_per_mcu * max_block_bits(precision)) // 32) + 1
     dc_tab = np.stack([np.stack([co.astype(np.uint32),
                                  si.astype(np.uint32)])
                        for co, si in dc_tables])
@@ -442,7 +450,8 @@ def encode_scan_progressive_device(planes, geoms, mcus_x: int, mcus_y: int,
                                    scan_Al: int, restart: int,
                                    dc_tables=None, ac_tables=None,
                                    rst_offset: int = 0,
-                                   trailing_rst: bool = False) -> bytes:
+                                   trailing_rst: bool = False,
+                                   precision: int = 8) -> bytes:
     """Device bit-packing for progressive DC-first / DC-refine / AC-first
     scans; byte-identical to the serial engine (AC refinement stays on
     host -- its deferred correction-bit buffering is the one part that
@@ -454,9 +463,11 @@ def encode_scan_progressive_device(planes, geoms, mcus_x: int, mcus_y: int,
     block dims via geoms=[(1, 1)] and mcus_x/mcus_y = bw/bh."""
     num_mcus = mcus_x * mcus_y
     r = restart if restart > 0 else num_mcus
+    dcbits = 27 if precision <= 8 else 32
+    acbits = 26 if precision <= 8 else 30
     if scan_Ss == 0 and scan_Ah == 0:                 # DC first
         bpm = sum(h * v for h, v in geoms)
-        nwords = -(-(r * bpm * 27) // 32) + 1
+        nwords = -(-(r * bpm * dcbits) // 32) + 1
         dc_tab = np.stack([np.stack([co.astype(np.uint32),
                                      si.astype(np.uint32)])
                            for co, si in dc_tables])
@@ -478,7 +489,7 @@ def encode_scan_progressive_device(planes, geoms, mcus_x: int, mcus_y: int,
         band = np.zeros((N_p, W), np.int32)
         band[:num_mcus] = p[:mcus_y, :mcus_x, scan_Ss:scan_Se + 1] \
             .reshape(num_mcus, W)
-        max_bits = 30 + W * 26 + 48
+        max_bits = 30 + W * acbits + 48
         nwords = -(-(r * max_bits) // 32) + 2
         words, bits = _pack_ac_first(
             jnp.asarray(band), jnp.asarray(co.astype(np.uint32)),

@@ -245,3 +245,18 @@ class TestProgressiveDevicePack:
         g = run_cjpeg(["-quality", "75"], corpus("testorig.ppm"),
                       "/tmp/_dp_ref.jpg")
         assert b == g
+
+    def test_12bit_device_entropy(self, testorig):
+        """Device packers at 12-bit data precision (wider DC/AC magnitude
+        lanes, T.81 tables F.1/F.2)."""
+        import mozjpeg_tpu as mj
+        img12 = ((testorig.astype(np.uint16) << 4)
+                 | (testorig >> 4)).astype(np.uint16)
+        for prog in (True, False):
+            a = mj.encode(img12, mj.EncoderConfig(
+                quality=75, precision=12, progressive=prog,
+                device_entropy=False))
+            b = mj.encode(img12, mj.EncoderConfig(
+                quality=75, precision=12, progressive=prog,
+                device_entropy=True))
+            assert a == b
