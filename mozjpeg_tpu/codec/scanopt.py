@@ -41,15 +41,25 @@ class _Candidate:
         self.size = len(buf)
 
 
+def _scan_result(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
+                 restart: int, device: bool = False, precision: int = 8):
+    """The expensive half of a candidate scan: gather + optimal tables +
+    entropy emission. Pure in (scan, restart) given the planes, so
+    candidates within a greedy group precompute concurrently."""
+    from .encoder import encode_scan_optimal
+    sg = entenc.ScanGeometry(scan, geom, planes)
+    return encode_scan_optimal(sg, dc_tbls, ac_tbls, restart, device=device,
+                               precision=precision)
+
+
 def _scan_buffer(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
                  restart: int, frame_header: Optional[bytes],
                  emit_dri: bool = False, device: bool = False,
-                 precision: int = 8) -> bytes:
+                 precision: int = 8, sr=None) -> bytes:
     """Encode one candidate scan: [frame hdr] + DHT(s) + [DRI] + SOS + data."""
-    from .encoder import encode_scan_optimal
-    sg = entenc.ScanGeometry(scan, geom, planes)
-    sr = encode_scan_optimal(sg, dc_tbls, ac_tbls, restart, device=device,
-                             precision=precision)
+    if sr is None:
+        sr = _scan_result(scan, geom, planes, dc_tbls, ac_tbls, restart,
+                          device=device, precision=precision)
     w = marker.MarkerWriter()
     if frame_header:
         w.raw(frame_header)
@@ -153,6 +163,50 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
     best_split_chroma = 0
     interleave_chroma_dc = False
 
+    dev = (not arith) and bool(getattr(cfg, "device_entropy", False)) \
+        and precision <= 12
+    groups = [(0, 1), (1, luma_split_start),
+              (luma_split_start, num_scans_luma)]
+    if ncomps == 3:
+        cb = num_scans_luma + num_scans_chroma_dc
+        groups += [(num_scans_luma, cb), (cb, chroma_split_start),
+                   (chroma_split_start, num_scans)]
+    executor = None
+    futures: Dict[int, object] = {}
+    submitted = set()
+
+    def prefetch(sn_, scan_):
+        """On first touch of a greedy group, submit every candidate in it
+        (Al overrides are fixed at group entry); selection order and all
+        emitted bytes stay exactly the serial machine's — skipped
+        candidates are merely wasted work."""
+        if arith or executor is None:
+            return None
+        for gi, (g0, g1) in enumerate(groups):
+            if not (g0 <= sn_ < g1) or gi in submitted:
+                continue
+            submitted.add(gi)
+            for sj in range(g0, g1):
+                sc = script[sj]
+                if luma_split_start <= sj < num_scans_luma:
+                    sc = ScanInfo(sc.comps, sc.Ss, sc.Se, sc.Ah,
+                                  best_Al_luma)
+                elif ncomps == 3 and chroma_split_start <= sj < num_scans:
+                    sc = ScanInfo(sc.comps, sc.Ss, sc.Se, sc.Ah,
+                                  best_Al_chroma)
+                rj = _scan_restart(sc, geom, cfg, ncomps, restart)
+                futures[sj] = executor.submit(
+                    _scan_result, sc, geom, planes, dc_tbls, ac_tbls, rj,
+                    dev, precision)
+        f = futures.pop(sn_, None)
+        return f.result() if f is not None else None
+
+    if not arith:
+        from concurrent.futures import ThreadPoolExecutor
+        import os as _os
+        executor = ThreadPoolExecutor(
+            max_workers=min(8, _os.cpu_count() or 1))
+
     sn = 0
     while sn < num_scans:
         scan = script[sn]
@@ -163,10 +217,9 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
         elif ncomps == 3 and chroma_split_start <= sn < num_scans:
             scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
                             best_Al_chroma)
-        dev = (not arith) and getattr(cfg, "device_entropy", False) \
-            and cfg.precision == 8
         mk = _scan_buffer_arith if arith else functools.partial(
-            _scan_buffer, device=dev, precision=precision)
+            _scan_buffer, device=dev, precision=precision,
+            sr=prefetch(sn, scan))
         # per-scan restart interval; DRI emitted when it changes along the
         # candidate-encode order -- the search captures scan buffers in
         # trial order and stitches them verbatim (jcmaster.c:672-683,
@@ -243,6 +296,9 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
                             or (idx == 4 and best_split_chroma != 4)):
                         sn = num_scans - 1
         sn += 1
+
+    if executor is not None:
+        executor.shutdown(wait=False, cancel_futures=True)
 
     # --- final assembly (display order) ---
     out = marker.MarkerWriter()
