@@ -17,8 +17,6 @@ from __future__ import annotations
 import functools
 from typing import Dict, List, Optional
 
-import numpy as np
-
 from ..entropy import encode as entenc
 from . import marker, report, scans
 from .scans import ScanInfo

@@ -507,7 +507,6 @@ def _pack_ac_refine_host(p, bw_, bh_, Ss, Se, Al, r, ac_table):
     """Host orchestration for the AC-refine device packer: band extraction,
     the sequential (eobrun, BE) flush schedule (native C++), then the
     device pack."""
-    import ctypes
     from ..native import lib, i32p
 
     W = Se - Ss + 1

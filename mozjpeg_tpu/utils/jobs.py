@@ -52,7 +52,6 @@ def run_corpus_job(inputs: Sequence[str], out_dir: str,
     resume=True skips inputs whose manifest record is "done" AND whose
     file signature is unchanged; errors are always retried. Batches of
     same-shape images run through the pipelined batch encoder."""
-    from .. import encode_many
     from . import ppm, bmp, gif, targa
 
     os.makedirs(out_dir, exist_ok=True)
@@ -76,6 +75,16 @@ def run_corpus_job(inputs: Sequence[str], out_dir: str,
     results: Dict[str, dict] = {}
     pending: List[str] = []
     mf = open(manifest_path, "a")
+    try:
+        return _run(inputs, out_dir, config, batch_size, prior, results,
+                    pending, mf, read_image, progress)
+    finally:
+        mf.close()
+
+
+def _run(inputs, out_dir, config, batch_size, prior, results, pending, mf,
+         read_image, progress):
+    from .. import encode_many
 
     def emit(rec: dict):
         results[rec["input"]] = rec
@@ -135,5 +144,4 @@ def run_corpus_job(inputs: Sequence[str], out_dir: str,
                       "bytes": len(data), "sig": _stat_sig(path),
                       "ts": time.time()})
 
-    mf.close()
     return [results[p] for p in inputs if p in results]
