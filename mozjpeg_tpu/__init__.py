@@ -25,7 +25,7 @@ from . import _jaxcache  # noqa: F401  (enable persistent XLA cache)
 __version__ = "0.1.0"
 
 __all__ = ["EncoderConfig", "Profile", "DCTMethod", "encode", "decode",
-           "encode_many"]
+           "encode_many", "decode_many"]
 
 
 def __getattr__(name):
@@ -38,6 +38,9 @@ def __getattr__(name):
     if name in ("encode", "encode_many"):
         from .codec import encoder
         return getattr(encoder, name)
+    if name == "decode_many":
+        from .codec import decoder
+        return decoder.decode_many
     if name == "decode":
         from .codec.decoder import decode
         return decode

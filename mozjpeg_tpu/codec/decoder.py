@@ -904,3 +904,121 @@ class BufferedImage:
         for k in range(1, self.num_scans + 1):
             yield self.render_pass(k)
 
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def _render_ycc_batch(yzz, cbzz, crzz, qty, qtc,
+                      dims, mode: str, height: int, width: int,
+                      precision: int = 8, hexp: int = 1, vexp: int = 1,
+                      gray: bool = False):
+    """Batched decode render: (B, bh, bw, 64) zigzag planes + per-image
+    quant tables -> (B, H, W, 3) RGB (or (B, H, W) gray). dims =
+    ((bh, bw, ch, cw) luma, (bh, bw, ch, cw) chroma)."""
+    (lbh, lbw, lch, lcw), (cbh, cbw, cch, ccw) = dims
+
+    def one(y, cb, cr, qy, qc):
+        py = _render_plane.__wrapped__(y, qy, lbh, lbw, lch, lcw,
+                                       precision)
+        if gray:
+            return py[:height, :width]
+        pcb = _render_plane.__wrapped__(cb, qc, cbh, cbw, cch, ccw,
+                                        precision)
+        pcr = _render_plane.__wrapped__(cr, qc, cbh, cbw, cch, ccw,
+                                        precision)
+        return _upsample_color.__wrapped__(py, pcb, pcr, mode, height,
+                                           width, precision, hexp, vexp)
+
+    if gray:
+        return jax.vmap(lambda y, qy: one(y, None, None, qy, None))(
+            yzz, qty)
+    return jax.vmap(one)(yzz, cbzz, crzz, qty, qtc)
+
+
+def decode_many(datas, fancy_upsample: bool = True,
+                block_smoothing: bool = True):
+    """Decode a list of JPEGs: host entropy decoding runs on a thread
+    pool, and same-geometry YCbCr/grayscale groups render through one
+    batched device program (the decode-side counterpart of
+    encode_many). Exotic paths (CMYK/YCCK, RGB, partial progressive
+    needing block smoothing) fall back to the single-image renderer."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jps = [marker.parse(d) for d in datas]
+
+    def entropy(i):
+        jp = jps[i]
+        if jp.lossless:
+            return None
+        if jp.arithmetic:
+            from . import arith
+            return arith.decode_coefficients_arith(jp, datas[i])
+        return decode_coefficients(jp, datas[i])
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(datas)))) as ex:
+        planes_list = list(ex.map(entropy, range(len(datas))))
+
+    out: List = [None] * len(datas)
+    groups: dict = {}
+    for i, jp in enumerate(jps):
+        from . import smooth as _smooth
+        cs = _jpeg_colorspace(jp)
+        smooth_active = (block_smoothing
+                         and getattr(jp, "coef_bits", None) is not None
+                         and _smooth.smoothing_ok(jp, jp.coef_bits))
+        if (planes_list[i] is None or smooth_active
+                or cs not in ("ycbcr", "grayscale")):
+            from .lossless import decode_lossless
+            out[i] = (decode_lossless(jp, datas[i])
+                      if jp.lossless else
+                      render(jp, planes_list[i], None, fancy_upsample,
+                             "islow", block_smoothing))
+            continue
+        gray = cs == "grayscale"
+        mode, hexp, vexp = ((None, 1, 1) if gray
+                            else _upsample_mode(jp, fancy_upsample))
+        max_h, max_v = jp.max_h, jp.max_v
+        dims = []
+        for c in jp.components[:1 if gray else 3]:
+            cw = -(-jp.width * c.h // max_h)
+            ch = -(-jp.height * c.v // max_v)
+            dims.append((-(-ch // 8), -(-cw // 8), ch, cw))
+        if gray:
+            dims = [dims[0], (0, 0, 0, 0)]
+        elif dims[1] == dims[2]:
+            dims = dims[:2]                 # Cb/Cr share their geometry
+        else:                               # exotic ratios: single-image
+            out[i] = render(jp, planes_list[i], None, fancy_upsample,
+                            "islow", block_smoothing)
+            continue
+        key = (jp.width, jp.height, jp.precision, gray, mode, hexp, vexp,
+               tuple(dims), tuple(p.shape for p in planes_list[i]))
+        groups.setdefault(key, []).append(i)
+
+    for key, idxs in groups.items():
+        w, h, precision, gray, mode, hexp, vexp, dims, _ = key
+        (lbh, lbw, _, _), (cbh, cbw, _, _) = dims
+        y = jnp.stack([jnp.asarray(planes_list[i][0][:lbh, :lbw])
+                       for i in idxs])
+        qty = jnp.stack([jnp.asarray(
+            jps[i].scan_qtables[0].get(jps[i].components[0].quant_tbl,
+                                       jps[i].qtables.get(
+                                           jps[i].components[0].quant_tbl)))
+            for i in idxs])
+        if gray:
+            cb = cr = qtc = None
+        else:
+            cb = jnp.stack([jnp.asarray(planes_list[i][1][:cbh, :cbw])
+                            for i in idxs])
+            cr = jnp.stack([jnp.asarray(planes_list[i][2][:cbh, :cbw])
+                            for i in idxs])
+            qtc = jnp.stack([jnp.asarray(
+                jps[i].scan_qtables[0].get(
+                    jps[i].components[1].quant_tbl,
+                    jps[i].qtables.get(jps[i].components[1].quant_tbl)))
+                for i in idxs])
+        res = np.asarray(_render_ycc_batch(y, cb, cr, qty, qtc, dims,
+                                           mode, h, w, precision, hexp,
+                                           vexp, gray))
+        for bi, i in enumerate(idxs):
+            out[i] = res[bi]
+    return out

@@ -206,3 +206,23 @@ def test_restart_parallel_decode_bit_exact(ref_tools, tmp_path):
         from mozjpeg_tpu.utils import ppm as _ppm
         np.testing.assert_array_equal(mj.decode(bytes(buf)),
                                       _ppm.read(str(tmp_path / "c.ppm")))
+
+
+def test_decode_many_matches_decode(ref_tools, tmp_path):
+    """Batched decode_many must equal per-image decode across stream
+    flavors (progressive, baseline, grayscale, arithmetic, restart)."""
+    import mozjpeg_tpu as mj
+    src = corpus_path("kodak_like_768x512_2.ppm")
+    datas = []
+    for flags in (["-quality", "75"],
+                  ["-quality", "80", "-revert", "-baseline"],
+                  ["-quality", "80", "-grayscale", "-revert"],
+                  ["-revert", "-arithmetic"],
+                  ["-revert", "-baseline", "-restart", "2"]):
+        p = str(tmp_path / "dm.jpg")
+        run_cjpeg(flags, src, p)
+        datas.append(open(p, "rb").read())
+    datas = datas * 2          # same-shape groups batch together
+    outs = mj.decode_many(datas)
+    for i, d in enumerate(datas):
+        np.testing.assert_array_equal(outs[i], mj.decode(d))
