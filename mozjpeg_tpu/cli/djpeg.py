@@ -17,7 +17,8 @@ def build_parser():
                    dest="grayscale")
     p.add_argument("-scale", type=str, default=None,
                    help="M/N scaling (1/8..2/1 in 1/8 steps)")
-    p.add_argument("-colors", "-quantize", type=int, default=None,
+    p.add_argument("-colors", "-colours", "-quantize", "-quantise",
+               type=int, default=None,
                    dest="colors", help="quantize to N colors")
     p.add_argument("-onepass", action="store_true",
                    help="one-pass (fixed palette) quantization")
