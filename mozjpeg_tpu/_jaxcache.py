@@ -1,11 +1,31 @@
 """Enable persistent XLA compilation cache (imported by mozjpeg_tpu)."""
+import hashlib
 import os
 
 import jax
 
+
+def _machine_tag() -> str:
+    """CPU-feature fingerprint: XLA:CPU AOT cache entries are machine-
+    feature specific, and loading one compiled on a different host warns
+    (and may SIGILL). Scope the cache per feature set."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(
+                        " ".join(sorted(line.split()))
+                        .encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.machine()
+
+
 _dir = os.environ.get("MOZJPEG_TPU_JAX_CACHE",
                       os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
+                          os.path.abspath(__file__))), ".jax_cache",
+                          _machine_tag()))
 try:
     os.makedirs(_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _dir)
