@@ -23,21 +23,33 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 try:
-    from jax import shard_map
+    from jax import shard_map as _shard_map
 except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(f, **kw):
+    """shard_map with replication checking off: the scan carries inside
+    the pipeline (sequential-exact f32 accumulations) start as replicated
+    zeros and become shard-varying, which the vma checker rejects."""
+    try:
+        return _shard_map(f, check_vma=False, **kw)
+    except TypeError:
+        return _shard_map(f, check_rep=False, **kw)
 
 from ..codec import pipeline
 from ..ops import color, dct, layout, quant, sample, symbols
 
 
-def _rows_mesh(mesh: Optional[Mesh], mcus_y: int) -> Mesh:
-    """A 1-D 'rows' mesh whose size divides the image's iMCU row count
-    (equal static shards; excess devices are left idle)."""
+def _rows_mesh(mesh: Optional[Mesh], mcus_y: int,
+               restart_rows: int = 1) -> Mesh:
+    """A 1-D 'rows' mesh whose size divides the image's iMCU row count and
+    whose per-shard row count is a multiple of restart_rows (segments must
+    not cross shards); excess devices are left idle."""
     devices = (mesh.devices.reshape(-1) if mesh is not None
                else np.array(jax.devices()))
     n = len(devices)
-    while mcus_y % n:
+    while mcus_y % n or (mcus_y // n) % restart_rows:
         n -= 1
     return Mesh(devices[:n], ("rows",))
 
@@ -154,7 +166,7 @@ def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
     h, w = image.shape[:2]
     samp = [(2, 2), (1, 1), (1, 1)]
     _, mcus_y0, geom0 = pipeline.geometry(w, h, samp)
-    mesh = _rows_mesh(mesh, mcus_y0)
+    mesh = _rows_mesh(mesh, mcus_y0, restart_rows)
     ndev = mesh.devices.size
 
     step, (mcus_x, mcus_y, comps), rps = make_row_sharded_p1(
@@ -212,3 +224,248 @@ def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
                     restart=r)
     return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], r, False, 3,
                     multi_dqt=False)
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded TRELLIS encode: the full mozjpeg rate-distortion path across
+# the mesh. Three sharded programs with host table-building between them:
+#   A. pixels -> (q, raw) coefficient-major shards + psum'd AC-first hists
+#      (the trellis pseudo-scan statistics, jcmaster.c:451-468)
+#   B. per-shard trellis DP (AC Viterbi + DC trellis) with the GLOBAL rate
+#      tables broadcast in a packed array; emits psum'd sequential-scan
+#      histograms of the final coefficients for the Huffman optimization
+#   C. per-shard restart-segment device bit packing + host stitching
+# Shard boundaries are iMCU rows: the AC DP is per block, the DC trellis
+# chains only within an iMCU row group (trellis.py make_trellis_all_t), and
+# trellis statistics segments are single component rows (restart_in_rows),
+# so no state crosses shards and the output is byte-exact vs single-device.
+# ---------------------------------------------------------------------------
+
+def _shard_p1_trellis(mesh, width, height, samp, cfg, rps):
+    """Program A: (shard_h, W, 3) uint8 -> per comp (q_zz, raw_zz, norm)
+    sharded + psum'd trellis AC-first histograms (fake-row corrected)."""
+    from ..codec import pipeline_t
+    from ..ops import dct as _dct, dering as _dering, quant as _quant
+
+    mcus_x, mcus_y, geom = pipeline.geometry(width, height, samp)
+    shard_h = rps * 8 * geom[0].v
+    _, _, geom_s = pipeline.geometry(width, shard_h, samp)
+    geom_st = tuple(geom_s)
+    real_bh = tuple(g.bh for g in geom)
+    h2 = -(-height // geom[0].v) * geom[0].v
+    c_real = h2 // 2
+    pw = mcus_x * 8 * geom[0].h
+    ndev = mesh.devices.size
+    ris = tuple(cfg.restart_in_rows * g.bw for g in geom)
+
+    def shard_fn(img, qluma, qchroma):
+        idx = jax.lax.axis_index("rows")
+        ycc = color.rgb_to_ycc(img)
+        outs = []
+        ac_hists = []
+        for ci, g in enumerate(geom_st):
+            p = layout.pad_plane(ycc[..., ci], rps * 8 * geom[0].v, pw)
+            if g.v < geom[0].v:
+                p = sample.downsample_h2v2(p)
+                c0 = idx * (rps * 8)
+                rowc = c0 + jnp.arange(rps * 8)
+                src = jnp.clip(c_real - 1 - c0, 0, rps * 8 - 1)
+                p = jnp.where((rowc >= c_real)[:, None], p[src][None, :], p)
+            blocks = layout.blockify_t(
+                p[: g.bh * 8, : g.bw * 8].astype(jnp.int32) - 128)
+            qtbl = qluma if ci == 0 else qchroma
+            if cfg.overshoot_deringing:
+                szz = layout.to_zigzag_t(blocks)
+                szz = _dering.dering_t(szz, qtbl[0, 0, 0])
+                blocks = layout.from_zigzag_t(szz)
+            coeffs = _dct.fdct_islow_t(blocks, 2)
+            qz = _quant.quantize_islow_t(coeffs, qtbl)
+            if cfg.overshoot_deringing:
+                qz = jnp.clip(qz, -1023, 1023)
+            q_zz = layout.to_zigzag_t(qz).astype(jnp.int16)
+            raw_zz = layout.to_zigzag_t(coeffs)
+            norm = pipeline_t._norm_seq(raw_zz)
+            hist = symbols.ac_first_histogram_t(q_zz, ri=ris[ci])
+            # fake-row correction: global dummy rows live only in the
+            # last shard, are whole trellis-stat segments (restart_in_rows
+            # aligns them), and must not contribute statistics
+            nfake = g.bh * ndev - real_bh[ci]
+            if nfake > 0:
+                fh = symbols.ac_first_histogram_t(
+                    q_zz[:, -nfake * g.bw:], ri=ris[ci])
+                hist = hist - jnp.where(idx == ndev - 1, 1, 0) * fh
+            ac_hists.append(jax.lax.psum(hist, "rows"))
+            outs.append((q_zz[None], raw_zz[None], norm[None]))
+        return tuple(outs), tuple(ac_hists)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P("rows"), None, None),
+                   out_specs=(tuple([(P("rows"),) * 3] * len(geom_s)),
+                              tuple([P()] * len(geom_s))))
+    return jax.jit(fn), (mcus_x, mcus_y, geom), geom_st
+
+
+def _shard_trellis_run(mesh, geom_st, comps, cfg, ncands, mcus_x, rps):
+    """Program B: per-shard trellis + sequential-scan hists (psum)."""
+    from ..codec import trellis as _trellis
+
+    real_bh = tuple(g.bh for g in comps)
+    ndev = mesh.devices.size
+    r_mcus = cfg.restart_in_rows * mcus_x
+
+    run = _trellis.make_trellis_all_t(
+        geom_st, None, ((1, 63),), cfg.trellis_quant_dc,
+        tuple(ncands), precision=cfg.precision,
+        eob_opt=cfg.trellis_eob_opt,
+        delta_w=float(cfg.trellis_delta_dc_weight))
+
+    def shard_fn(qs, raws, packed):
+        idx = jax.lax.axis_index("rows")
+        cur = tuple(q[0] for q in qs)
+        raws0 = tuple(r[0] for r in raws)
+        for _ in range(max(1, cfg.trellis_num_loops)):
+            cur = run(raws0, cur, packed[0])
+        # block-major with right dummy columns + GLOBAL bottom dummy rows
+        planes = []
+        ac_h = jnp.zeros((2, 256), jnp.int32)
+        dc_h = jnp.zeros((2, 256), jnp.int32)
+        for ci, g in enumerate(geom_st):
+            z = layout.add_dummy_blocks_t(cur[ci], g.bw, g.bh,
+                                          g.bw_pad, g.bh_pad, g.h, g.v)
+            pl = jnp.transpose(z.reshape(64, g.bh_pad, g.bw_pad),
+                               (1, 2, 0))
+            bh_s = g.bh_pad
+            row0 = idx * bh_s
+            rowg = row0 + jnp.arange(bh_s)
+            is_dummy = rowg >= real_bh[ci]
+            src_local = jnp.clip(real_bh[ci] - 1 - row0, 0, bh_s - 1)
+            bwp = pl.shape[1]
+            srcdc = pl[src_local, :, 0].reshape(bwp // g.h, g.h)[:, -1:]
+            dcrow = jnp.broadcast_to(srcdc, (bwp // g.h, g.h)).reshape(bwp)
+            dummy = jnp.concatenate(
+                [dcrow[:, None], jnp.zeros((bwp, 63), pl.dtype)], axis=-1)
+            pl = jnp.where(is_dummy[:, None, None], dummy[None], pl)
+            planes.append(pl)
+            slot = 0 if ci == 0 else 1
+            ac_h = ac_h.at[slot].add(symbols.ac_histogram(
+                pl.reshape(-1, 64)))
+            dc_h = dc_h.at[slot].add(symbols.dc_histogram_restart(
+                pl, g.h, g.v, mcus_x, rps, r_mcus))
+        ac_g = jax.lax.psum(ac_h, "rows")
+        dc_g = jax.lax.psum(dc_h, "rows")
+        return tuple(pp[None] for pp in planes), ac_g, dc_g
+
+    n = len(geom_st)
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(tuple([P("rows")] * n), tuple([P("rows")] * n),
+                             P("rows")),
+                   out_specs=(tuple([P("rows")] * n), P(), P()))
+    return jax.jit(fn)
+
+
+def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
+                               mesh: Optional[Mesh] = None,
+                               restart_rows: int = 1) -> bytes:
+    """Full mozjpeg-quality trellis encode of ONE image, iMCU rows sharded
+    over the mesh: overshoot deringing, AC+DC trellis quantization with
+    globally-psum'd rate statistics, optimal Huffman tables from global
+    histograms, restart-parallel device bit packing. Sequential baseline
+    scan output; byte-exact vs the single-device encoder with the same
+    config."""
+    from ..codec import trellis as _trellis
+    from ..codec.config import EncoderConfig, Profile
+    from ..codec.encoder import make_qtables, assemble, ScanResult
+    from ..codec.scans import baseline_script
+    from ..entropy import encode as entenc
+    from ..entropy.huffman import derive_codes
+    from ..ops import bitpack
+    if restart_rows < 1:
+        raise ValueError("restart_rows must be >= 1 (shard independence)")
+    h, w = image.shape[:2]
+    samp = [(2, 2), (1, 1), (1, 1)]
+    _, mcus_y0, _ = pipeline.geometry(w, h, samp)
+    mesh = _rows_mesh(mesh, mcus_y0, restart_rows)
+    ndev = mesh.devices.size
+
+    cfg = EncoderConfig(quality=quality, progressive=False,
+                        optimize_scans=False, trellis_quant=True,
+                        overshoot_deringing=True, optimize_coding=True,
+                        restart_in_rows=restart_rows).resolved()
+    qt = make_qtables(cfg)
+    from ..consts import JPEG_ZIGZAG
+
+    rps = mcus_y0 // ndev
+    if rps % restart_rows:
+        raise ValueError("rows per shard %d %% restart_rows %d != 0"
+                         % (rps, restart_rows))
+    stepA, (mcus_x, mcus_y, comps), geom_st = _shard_p1_trellis(
+        mesh, w, h, samp, cfg, rps)
+
+    h16 = mcus_y * 8 * comps[0].v
+    img16 = image
+    if h16 != h:
+        img16 = np.concatenate(
+            [image, np.repeat(image[-1:], h16 - h, axis=0)], axis=0)
+
+    q81 = [jnp.asarray(np.asarray(qt[i]).reshape(8, 8, 1).astype(np.int32))
+           for i in (0, 1)]
+    outs, ac_hists = stepA(jnp.asarray(img16), q81[0], q81[1])
+
+    # host: global rate tables + per-shard lambda packing
+    qtblzz, dc_sis, ac_sis, ncands = [], [], [], []
+    for ci in range(3):
+        slot = 0 if ci == 0 else 1
+        ac_si, dc_si = _trellis.trellis_tables_from_hist(
+            np.asarray(ac_hists[ci]), slot, cfg.optimize_coding)
+        ac_sis.append(ac_si)
+        dc_sis.append(dc_si)
+        qz = np.asarray(qt[slot]).reshape(64)[JPEG_ZIGZAG].astype(np.int32)
+        qtblzz.append(qz)
+        ncands.append(_trellis.get_num_dc_candidates(int(qz[0])))
+
+    norms = [np.asarray(outs[ci][2]) for ci in range(3)]   # (ndev, N_sh)
+    packed_rows = []
+    for s in range(ndev):
+        lams = [_trellis.lambda_from_norm(
+            norms[ci][s], cfg.lambda_log_scale1, cfg.lambda_log_scale2)
+            for ci in range(3)]
+        packed_rows.append(_trellis.pack_trellis_inputs(
+            lams, ac_sis, dc_sis, qtblzz))
+    packed_all = jnp.asarray(np.stack(packed_rows))        # (ndev, L)
+
+    stepB = _shard_trellis_run(mesh, geom_st, comps, cfg, ncands,
+                               mcus_x, rps)
+    planes, ac_g, dc_g = stepB(
+        tuple(outs[ci][0] for ci in range(3)),
+        tuple(outs[ci][1] for ci in range(3)), packed_all)
+
+    def mk(counts):
+        f = np.zeros(257, np.int64)
+        f[:256] = np.asarray(counts)
+        return entenc.gen_optimal_table(f)
+
+    dc_tables = {0: mk(dc_g[0]), 1: mk(dc_g[1])}
+    ac_tables = {0: mk(ac_g[0]), 1: mk(ac_g[1])}
+    dc_tbls = {0: 0, 1: 1, 2: 1}
+    ac_tbls = {0: 0, 1: 1, 2: 1}
+    codes = {k: derive_codes(t) for k, t in dc_tables.items()}
+    acodes = {k: derive_codes(t) for k, t in ac_tables.items()}
+
+    r = restart_rows * mcus_x
+    segs_per_shard = (rps * mcus_x) // r
+    parts = []
+    for s in range(ndev):
+        shard_planes = [np.asarray(planes[ci][s]) for ci in range(3)]
+        parts.append(bitpack.encode_scan_bitpar(
+            shard_planes, [(g.h, g.v) for g in comps], mcus_x, rps, r,
+            [codes[dc_tbls[ci]] for ci in range(3)],
+            [acodes[ac_tbls[ci]] for ci in range(3)],
+            rst_offset=s * segs_per_shard,
+            trailing_rst=(s != ndev - 1)))
+    data = b"".join(parts)
+
+    scan = baseline_script(3)[0]
+    sr = ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
+                    restart=r)
+    return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], r, False, 3,
+                    multi_dqt=True)

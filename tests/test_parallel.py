@@ -93,3 +93,36 @@ class TestRowSharded:
         assert r.returncode == 0, r.stderr
         dec = ppm.read(str(o))
         assert np.abs(dec.astype(int) - im.astype(int)).mean() < 6.0
+
+
+class TestRowShardedTrellis:
+    """Full mozjpeg-quality trellis encode sharded over iMCU rows
+    (parallel/rows.py encode_row_sharded_trellis): AC+DC trellis with
+    psum'd rate statistics, byte-exact vs the single-device encoder."""
+
+    def _single(self, im, q, rr):
+        import mozjpeg_tpu as mj
+        from mozjpeg_tpu.codec.config import EncoderConfig
+        return mj.encode(im, EncoderConfig(
+            quality=q, progressive=False, optimize_scans=False,
+            trellis_quant=True, overshoot_deringing=True,
+            optimize_coding=True, restart_in_rows=rr))
+
+    @pytest.mark.parametrize("h,w,q,rr", [
+        (256, 256, 75, 1),
+        (250, 201, 85, 1),      # odd dims: dummy rows/cols + stat masking
+        (128, 160, 60, 2),
+    ])
+    def test_byte_exact(self, h, w, q, rr):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        from mozjpeg_tpu.parallel import rows
+        rng = np.random.default_rng(5)
+        yy, xx = np.mgrid[0:h, 0:w]
+        im = np.stack([(yy * 2 + xx) % 256, (yy + xx * 3) % 256,
+                       (yy * 5 + xx * 2) % 256], axis=-1).astype(np.uint8)
+        im = np.clip(im.astype(int) + rng.integers(-6, 7, im.shape),
+                     0, 255).astype(np.uint8)
+        out = rows.encode_row_sharded_trellis(im, quality=q,
+                                              restart_rows=rr)
+        assert out == self._single(im, q, rr)
