@@ -756,3 +756,39 @@ def _pack_ac_refine(band, sgn, ac_co, ac_si, flush_run, flush_be,
         bit_len.reshape(S, restart * W),
         bit_off.reshape(S, restart * W), nwords)
     return words | words2, bits.astype(jnp.int32)
+
+
+def ac_refine_eob_bins(e: np.ndarray, br: np.ndarray, ev: np.ndarray,
+                       ri: int) -> np.ndarray:
+    """EOBn symbol counts for an AC-refinement scan from the per-block
+    (e, br, ev) summaries: runs the sequential (eobrun, BE) flush schedule
+    (mj_ac_refine_schedule) and bins every emitted run as
+    (nbits(run)-1)<<4 — the host complement of
+    symbols.ac_refine_histogram_parts_t."""
+    from ..native import lib, i32p
+    N = len(e)
+    r = ri if ri > 0 else N
+    S = -(-N // r)
+    N_p = S * r
+    def pad(a):
+        out = np.zeros(N_p, np.int32)
+        out[:N] = a
+        return np.ascontiguousarray(out)
+    e_, br_, ev_ = pad(e), pad(br), pad(ev)
+    outs = [np.zeros(N_p, np.int32) for _ in range(7)]
+    end_run = np.zeros(S, np.int32)
+    end_be = np.zeros(S, np.int32)
+    def ptr(a):
+        return a.ctypes.data_as(i32p)
+    lib.mj_ac_refine_schedule(
+        ptr(e_), ptr(br_), ptr(ev_), N_p, r,
+        ptr(outs[0]), ptr(outs[1]), ptr(outs[2]), ptr(outs[3]),
+        ptr(outs[4]), ptr(outs[5]), ptr(outs[6]),
+        ptr(end_run), ptr(end_be))
+    hist = np.zeros(256, np.int64)
+    for runs in (outs[0], outs[2], end_run):           # flush/forced/end
+        rv = runs[runs > 0]
+        if rv.size:
+            cat = (np.floor(np.log2(rv)).astype(np.int64)) << 4
+            np.add.at(hist, cat, 1)
+    return hist

@@ -9,6 +9,8 @@ multi-chip shared-table encoding (histograms psum over the device mesh).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -71,10 +73,12 @@ def dc_histogram_interleaved(plane: jnp.ndarray, h: int, v: int,
 
 
 def dc_histogram_restart(plane: jnp.ndarray, h: int, v: int,
-                         mcus_x: int, mcus_y: int, r: int) -> jnp.ndarray:
+                         mcus_x: int, mcus_y: int, r: int,
+                         Al: int = 0) -> jnp.ndarray:
     """dc_histogram_interleaved with the predictor reset every r MCUs
-    (restart intervals, jchuff.c emit_restart: last_dc_val zeroed)."""
-    dc = plane[:, :, 0].astype(jnp.int32)
+    (restart intervals, jchuff.c emit_restart: last_dc_val zeroed).
+    Al > 0: point-transformed DC (arithmetic shift, jcphuff DC_first)."""
+    dc = plane[:, :, 0].astype(jnp.int32) >> Al
     m = dc.reshape(mcus_y, v, mcus_x, h)
     seq = jnp.transpose(m, (0, 2, 1, 3)).reshape(-1)
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), seq[:-1]])
@@ -100,7 +104,7 @@ def dc_histogram_single(plane: jnp.ndarray, bw: int, bh: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def ac_first_histogram_t(zz: jnp.ndarray, Ss: int = 1, Se: int = 63,
-                         ri: int = 0) -> jnp.ndarray:
+                         ri: int = 0, Al: int = 0) -> jnp.ndarray:
     """Exact phuff AC-first (Ah=0, Al=0) symbol counts for one component.
 
     zz: (64, N) zigzag coefficients in SCAN ORDER (raster over real blocks).
@@ -116,16 +120,20 @@ def ac_first_histogram_t(zz: jnp.ndarray, Ss: int = 1, Se: int = 63,
         if nfull:
             segs = zz[:, :nfull * ri].reshape(64, nfull, ri)
             hists.append(jax.vmap(
-                lambda a: _ac_first_hist_seg(a, Ss, Se),
+                lambda a: _ac_first_hist_seg(a, Ss, Se, Al),
                 in_axes=1)(segs).sum(0))
         if N - nfull * ri:
-            hists.append(_ac_first_hist_seg(zz[:, nfull * ri:], Ss, Se))
+            hists.append(_ac_first_hist_seg(zz[:, nfull * ri:], Ss, Se, Al))
         return sum(hists)
-    return _ac_first_hist_seg(zz, Ss, Se)
+    return _ac_first_hist_seg(zz, Ss, Se, Al)
 
 
-def _ac_first_hist_seg(zz: jnp.ndarray, Ss: int, Se: int) -> jnp.ndarray:
+def _ac_first_hist_seg(zz: jnp.ndarray, Ss: int, Se: int,
+                       Al: int = 0) -> jnp.ndarray:
     band = zz[Ss:Se + 1].astype(jnp.int32)             # (L, N)
+    if Al:
+        # point transform: shift magnitude (jcphuff.c AC_first)
+        band = jnp.sign(band) * (jnp.abs(band) >> Al)
     L, N = band.shape
     nz = band != 0
     pos = jnp.arange(L)[:, None]
@@ -189,3 +197,61 @@ def _ac_first_hist_seg(zz: jnp.ndarray, Ss: int, Se: int) -> jnp.ndarray:
     hist = add_runs(hist, run_at, emit_here)
     hist = add_runs(hist, final_run[None], jnp.array([True])[None])
     return hist
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def ac_refine_histogram_parts_t(zz: jnp.ndarray, Ss: int, Se: int,
+                                Al: int):
+    """Device part of the AC-refinement gather (jcphuff.c
+    encode_mcu_AC_refine, gather mode): per-block (r,1) and ZRL symbol
+    counts plus the (e, br, ev) block summaries. EOBn bins require the
+    sequential (eobrun, BE>937) flush schedule — add them on host with
+    mj_ac_refine_schedule (see entropy.cpp).
+
+    zz: (64, N) zigzag coefficients, raster block order.
+    -> (hist (256,) int32 without EOBn bins, e (N,), br (N,), ev (N,))."""
+    band = zz[Ss:Se + 1].astype(jnp.int32)             # (W, N)
+    W, N = band.shape
+    absv = jnp.abs(band) >> Al
+    newly = (absv == 1).transpose()                    # (N, W)
+    prevnz = (absv > 1).transpose()
+    zero = (absv == 0).transpose()
+
+    kk = jnp.arange(W, dtype=jnp.int32)[None, :]
+    newly_pos = jnp.where(newly, kk + 1, 0)
+    EOB = jnp.max(newly_pos, axis=1)
+    le_eob = (kk + 1) <= EOB[:, None]
+    zi = jnp.cumsum(zero.astype(jnp.int32), axis=1)
+    zi_excl = zi - zero.astype(jnp.int32)
+    ln = jnp.concatenate(
+        [jnp.zeros((N, 1), jnp.int32),
+         jax.lax.cummax(newly_pos, axis=1)[:, :-1]], axis=1)
+    zi_at_ln = jnp.take_along_axis(
+        jnp.concatenate([jnp.zeros((N, 1), jnp.int32), zi_excl], axis=1),
+        ln, axis=1)
+    Zw = zi_excl - zi_at_ln
+    nz = ~zero
+    nz_pos = jnp.where(nz, kk + 1, 0)
+    pnz = jnp.concatenate(
+        [jnp.zeros((N, 1), jnp.int32),
+         jax.lax.cummax(nz_pos, axis=1)[:, :-1]], axis=1)
+    in_win = pnz > ln
+    Zw_j = jnp.where(in_win,
+                     jnp.take_along_axis(
+                         jnp.concatenate([jnp.zeros((N, 1), jnp.int32),
+                                          Zw], axis=1), pnz, axis=1), 0)
+    r_before = (Zw_j & 15) + (Zw - Zw_j)
+    zrl_ct = jnp.where(nz & le_eob, r_before >> 4, 0)
+    r_sym = r_before & 15
+
+    hist = jnp.zeros(256, jnp.int32)
+    sym = (r_sym << 4) + 1
+    hist = hist.at[jnp.where(newly, sym, 0).reshape(-1)] \
+        .add(newly.astype(jnp.int32).reshape(-1))      # weight 0 off-newly
+    hist = hist.at[0xF0].add(jnp.sum(zrl_ct))
+
+    ev = (EOB > 0).astype(jnp.int32)
+    e = (EOB < W).astype(jnp.int32)
+    br = jnp.sum(prevnz & ((kk + 1) > EOB[:, None]), axis=1) \
+        .astype(jnp.int32)
+    return hist, e, br, ev

@@ -469,3 +469,188 @@ def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
                     restart=r)
     return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], r, False, 3,
                     multi_dqt=True)
+
+
+def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
+                                   mesh: Optional[Mesh] = None,
+                                   restart_rows: int = 1) -> bytes:
+    """Progressive mozjpeg encode (simple_progression 9-scan script +
+    AC/DC trellis + deringing + per-scan optimal tables) of ONE image,
+    iMCU rows sharded over the mesh. Every scan's statistics psum across
+    shards (AC-refine EOBn bins run the sequential flush schedule on the
+    host over trimmed per-shard block summaries) and every scan's restart
+    segments bit-pack on device per shard. Byte-exact vs the
+    single-device encoder with the same config (= mozjpeg -fastcrush
+    with -restart N rows)."""
+    from ..codec import scans as _scans
+    from ..codec import trellis as _trellis
+    from ..codec.config import EncoderConfig
+    from ..codec.encoder import (make_qtables, assemble, ScanResult,
+                                 scan_restart_interval)
+    from ..consts import JPEG_ZIGZAG
+    from ..entropy import encode as entenc
+    from ..entropy.huffman import derive_codes
+    from ..ops import bitpack
+
+    if restart_rows < 1:
+        raise ValueError("restart_rows must be >= 1 (shard independence)")
+    h, w = image.shape[:2]
+    samp = [(2, 2), (1, 1), (1, 1)]
+    _, mcus_y0, _ = pipeline.geometry(w, h, samp)
+    mesh = _rows_mesh(mesh, mcus_y0, restart_rows)
+    ndev = mesh.devices.size
+
+    cfg = EncoderConfig(quality=quality, progressive=True,
+                        optimize_scans=False, trellis_quant=True,
+                        overshoot_deringing=True, optimize_coding=True,
+                        restart_in_rows=restart_rows).resolved()
+    qt = make_qtables(cfg)
+    rps = mcus_y0 // ndev
+    stepA, (mcus_x, mcus_y, comps), geom_st = _shard_p1_trellis(
+        mesh, w, h, samp, cfg, rps)
+
+    h16 = mcus_y * 8 * comps[0].v
+    img16 = image
+    if h16 != h:
+        img16 = np.concatenate(
+            [image, np.repeat(image[-1:], h16 - h, axis=0)], axis=0)
+    q81 = [jnp.asarray(np.asarray(qt[i]).reshape(8, 8, 1).astype(np.int32))
+           for i in (0, 1)]
+    outs, ac_hists = stepA(jnp.asarray(img16), q81[0], q81[1])
+
+    qtblzz, dc_sis, ac_sis, ncands = [], [], [], []
+    for ci in range(3):
+        slot = 0 if ci == 0 else 1
+        ac_si, dc_si = _trellis.trellis_tables_from_hist(
+            np.asarray(ac_hists[ci]), slot, cfg.optimize_coding)
+        ac_sis.append(ac_si)
+        dc_sis.append(dc_si)
+        qz = np.asarray(qt[slot]).reshape(64)[JPEG_ZIGZAG].astype(np.int32)
+        qtblzz.append(qz)
+        ncands.append(_trellis.get_num_dc_candidates(int(qz[0])))
+    norms = [np.asarray(outs[ci][2]) for ci in range(3)]
+    packed_rows = []
+    for s in range(ndev):
+        lams = [_trellis.lambda_from_norm(
+            norms[ci][s], cfg.lambda_log_scale1, cfg.lambda_log_scale2)
+            for ci in range(3)]
+        packed_rows.append(_trellis.pack_trellis_inputs(
+            lams, ac_sis, dc_sis, qtblzz))
+    stepB = _shard_trellis_run(mesh, geom_st, comps, cfg, ncands,
+                               mcus_x, rps)
+    planes, _, _ = stepB(
+        tuple(outs[ci][0] for ci in range(3)),
+        tuple(outs[ci][1] for ci in range(3)),
+        jnp.asarray(np.stack(packed_rows)))
+    planes_h = [[np.asarray(planes[ci][s]) for s in range(ndev)]
+                for ci in range(3)]
+
+    script = _scans.simple_progression_max(3, cfg.dc_scan_opt_mode, True)
+    geom = (mcus_x, mcus_y, comps)
+    dc_tbls = {0: 0, 1: 1, 2: 1}
+    ac_tbls = {0: 0, 1: 1, 2: 1}
+
+    def gather_scan(scan, r_scan):
+        """Global per-scan symbol histogram from sharded planes."""
+        if scan.Ss == 0 and scan.Ah == 0:      # DC first (interleaved)
+            hists = {0: np.zeros(256, np.int64), 1: np.zeros(256, np.int64)}
+            for ci in scan.comps:
+                g = comps[ci]
+                t = dc_tbls[ci]
+                for s in range(ndev):
+                    hists[t] += np.asarray(symbols.dc_histogram_restart(
+                        jnp.asarray(planes_h[ci][s]), g.h, g.v,
+                        mcus_x, rps, r_scan, Al=scan.Al)).astype(np.int64)
+            return hists, {}
+        if scan.Ss == 0:
+            return {}, {}                      # DC refine: no stats
+        ci = scan.comps[0]
+        g = comps[ci]
+        nreal = g.bh * g.bw
+        if scan.Ah == 0:                       # AC first
+            hist = np.zeros(256, np.int64)
+            for s in range(ndev):
+                pl = planes_h[ci][s]
+                sh_rows = pl.shape[0]
+                real_rows = min(sh_rows, g.bh - s * sh_rows)
+                if real_rows <= 0:
+                    continue
+                zz = jnp.asarray(np.ascontiguousarray(
+                    pl[:real_rows, :g.bw].reshape(-1, 64).T))
+                hist += np.asarray(symbols.ac_first_histogram_t(
+                    zz, scan.Ss, scan.Se, ri=r_scan,
+                    Al=scan.Al)).astype(np.int64)
+            return {}, {ac_tbls[ci]: hist}
+        # AC refine: device symbol part per shard + host EOBn schedule
+        hist = np.zeros(256, np.int64)
+        es, brs, evs = [], [], []
+        for s in range(ndev):
+            pl = planes_h[ci][s]
+            sh_rows = pl.shape[0]
+            real_rows = min(sh_rows, g.bh - s * sh_rows)
+            if real_rows <= 0:
+                continue
+            zz = jnp.asarray(np.ascontiguousarray(
+                pl[:real_rows, :g.bw].reshape(-1, 64).T))
+            hs, e, br, ev = symbols.ac_refine_histogram_parts_t(
+                zz, scan.Ss, scan.Se, scan.Al)
+            hist += np.asarray(hs).astype(np.int64)
+            es.append(np.asarray(e))
+            brs.append(np.asarray(br))
+            evs.append(np.asarray(ev))
+        hist += bitpack.ac_refine_eob_bins(
+            np.concatenate(es), np.concatenate(brs), np.concatenate(evs),
+            r_scan)
+        return {}, {ac_tbls[ci]: hist}
+
+    def mk(counts):
+        f = np.zeros(257, np.int64)
+        f[:256] = counts
+        return entenc.gen_optimal_table(f)
+
+    results = []
+    for scan in script:
+        r_scan = scan_restart_interval(cfg, scan, geom, 3)
+        dch, ach = gather_scan(scan, r_scan)
+        dc_tables = {t: mk(hh) for t, hh in dch.items() if hh.any()}
+        ac_tables = {t: mk(hh) for t, hh in ach.items() if hh.any()}
+        dc_codes = ([derive_codes(dc_tables[dc_tbls[ci]])
+                     for ci in scan.comps]
+                    if dc_tables else None)
+        ac_codes = ([derive_codes(ac_tables[ac_tbls[scan.comps[0]]])]
+                    if ac_tables else None)
+        parts = []
+        rst_off = 0
+        for s in range(ndev):
+            if scan.Ss == 0:                   # interleaved over MCUs
+                pl = [planes_h[ci][s] for ci in scan.comps]
+                gs = [(comps[ci].h, comps[ci].v) for ci in scan.comps]
+                smx, smy = mcus_x, rps
+            else:
+                ci = scan.comps[0]
+                g = comps[ci]
+                sh_rows = planes_h[ci][s].shape[0]
+                real_rows = min(sh_rows, g.bh - s * sh_rows)
+                if real_rows <= 0:
+                    continue
+                pl = [planes_h[ci][s][:real_rows, :g.bw]]
+                gs = [(1, 1)]
+                smx, smy = g.bw, real_rows
+            nseg = -(-(smx * smy) // r_scan) if r_scan else 1
+            last = (s == ndev - 1) or (
+                scan.Ss != 0 and (s + 1) * planes_h[scan.comps[0]][s]
+                .shape[0] >= comps[scan.comps[0]].bh)
+            parts.append(bitpack.encode_scan_progressive_device(
+                pl, gs, smx, smy, scan.Ss, scan.Se, scan.Ah, scan.Al,
+                r_scan, dc_tables=dc_codes, ac_tables=ac_codes,
+                rst_offset=rst_off, trailing_rst=not last)
+                if not (scan.Ss == 0 and scan.Se == 63) else b"")
+            rst_off += nseg
+            if last and scan.Ss != 0:
+                break
+        data = b"".join(parts)
+        results.append(ScanResult(scan, data, dc_tables, ac_tables,
+                                  dc_tbls, ac_tbls, restart=r_scan))
+    return assemble(w, h, geom, qt, results,
+                    scan_restart_interval(cfg, script[0], geom, 3),
+                    True, 3, multi_dqt=True)

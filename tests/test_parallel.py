@@ -126,3 +126,28 @@ class TestRowShardedTrellis:
         out = rows.encode_row_sharded_trellis(im, quality=q,
                                               restart_rows=rr)
         assert out == self._single(im, q, rr)
+
+    @pytest.mark.parametrize("h,w,q,rr", [(256, 224, 75, 1),
+                                          (250, 201, 85, 1)])
+    def test_progressive_byte_exact(self, h, w, q, rr):
+        """Progressive 9-scan script + trellis, row-sharded: per-scan
+        stats psum (AC-refine EOBn bins via the host flush schedule) and
+        per-scan segment packing, byte-exact vs single-device."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        import mozjpeg_tpu as mj
+        from mozjpeg_tpu.codec.config import EncoderConfig
+        from mozjpeg_tpu.parallel import rows
+        rng = np.random.default_rng(11)
+        yy, xx = np.mgrid[0:h, 0:w]
+        im = np.stack([(yy + xx * 2) % 256, (yy * 3 + xx) % 256,
+                       (yy * 2 + xx * 7) % 256], axis=-1).astype(np.uint8)
+        im = np.clip(im.astype(int) + rng.integers(-5, 6, im.shape),
+                     0, 255).astype(np.uint8)
+        out = rows.encode_row_sharded_progressive(im, quality=q,
+                                                  restart_rows=rr)
+        ref = mj.encode(im, EncoderConfig(
+            quality=q, progressive=True, optimize_scans=False,
+            trellis_quant=True, overshoot_deringing=True,
+            optimize_coding=True, restart_in_rows=rr))
+        assert out == ref
