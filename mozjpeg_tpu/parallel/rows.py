@@ -81,19 +81,23 @@ def make_row_sharded_p1(mesh: Mesh, width: int, height: int,
 
     def shard_fn(img, qluma, qchroma):
         # The single-device pipeline pads in two stages (jcprepct.c:158-188):
-        # pixel rows replicate only to h2 = ceil(h/max_v)*max_v, and the
-        # DOWNSAMPLED chroma plane is then edge-replicated to iMCU height.
-        # The host feeds pixel rows replicated to full iMCU height — correct
-        # for luma, but the shard must rewrite chroma rows past c_real with
-        # the last real downsampled row (they differ whenever h is even but
-        # not iMCU-aligned: avg(h-1, h-1) != avg(h-2, h-1)).
+        # pixel rows replicate only to h2 = ceil(h/max_v)*max_v, and a
+        # VERTICALLY DOWNSAMPLED chroma plane is then edge-replicated to
+        # iMCU height. The host feeds pixel rows replicated to full iMCU
+        # height — correct except past c_real for v-subsampled chroma,
+        # which the shard rewrites with the last real downsampled row
+        # (avg(h-1, h-1) != avg(h-2, h-1) when h is even but unaligned).
         idx = jax.lax.axis_index("rows")
-        ycc = color.rgb_to_ycc(img)
+        ycc = (color.rgb_to_ycc(img) if img.ndim == 3
+               else img[..., None])
         q = []
         for ci, g in enumerate(geom_st):
             p = layout.pad_plane(ycc[..., ci], shard_ph, pw)
-            if g.v < geom[0].v:              # chroma: downsample + row fix
+            if g.h < geom[0].h and g.v < geom[0].v:
                 p = sample.downsample_h2v2(p)
+            elif g.h < geom[0].h:
+                p = sample.downsample_h2v1(p)
+            if g.v < geom[0].v:              # vertical: fix padded rows
                 c0 = idx * (rps * 8)
                 rowc = c0 + jnp.arange(rps * 8)
                 src = jnp.clip(c_real - 1 - c0, 0, rps * 8 - 1)
@@ -146,14 +150,22 @@ def make_row_sharded_p1(mesh: Mesh, width: int, height: int,
     return jax.jit(fn), (mcus_x, mcus_y, geom), rps
 
 
+def _samp_of(image, subsampling):
+    if image.ndim == 2:
+        return [(1, 1)], 1
+    return [subsampling, (1, 1), (1, 1)], 3
+
+
 def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
                        mesh: Optional[Mesh] = None,
-                       restart_rows: int = 1) -> bytes:
+                       restart_rows: int = 1,
+                       subsampling: Tuple[int, int] = (2, 2)) -> bytes:
     """Encode ONE image with its iMCU rows sharded over the mesh.
 
     Sequential baseline scan with globally-optimal Huffman tables and
     restart_rows MCU rows per restart interval (the segment boundary that
-    makes shards independent). Returns the complete JPEG."""
+    makes shards independent). subsampling: (2,2)/(2,1)/(1,1), or a 2-D
+    image for grayscale. Returns the complete JPEG."""
     from ..codec.config import EncoderConfig, Profile
     from ..codec.encoder import make_qtables, assemble, ScanResult
     from ..codec.scans import baseline_script
@@ -164,7 +176,7 @@ def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
     if restart_rows < 1:
         raise ValueError("restart_rows must be >= 1 (shard independence)")
     h, w = image.shape[:2]
-    samp = [(2, 2), (1, 1), (1, 1)]
+    samp, ncomp = _samp_of(image, subsampling)
     _, mcus_y0, geom0 = pipeline.geometry(w, h, samp)
     mesh = _rows_mesh(mesh, mcus_y0, restart_rows)
     ndev = mesh.devices.size
@@ -178,7 +190,7 @@ def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
     cfg = EncoderConfig(quality=quality, profile=Profile.FASTEST,
                         progressive=False, optimize_coding=True,
                         optimize_scans=False, trellis_quant=False,
-                        overshoot_deringing=False,
+                        overshoot_deringing=False, subsampling=subsampling,
                         restart_in_rows=restart_rows).resolved()
     qt = make_qtables(cfg)
 
@@ -189,8 +201,8 @@ def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
         img16 = np.concatenate(
             [image, np.repeat(image[-1:], h16 - h, axis=0)], axis=0)
 
-    planes, ac_g, dc_g = step(jnp.asarray(img16),
-                              jnp.asarray(qt[0]), jnp.asarray(qt[1]))
+    planes, ac_g, dc_g = step(jnp.asarray(img16), jnp.asarray(qt[0]),
+                              jnp.asarray(qt[1 if len(qt) > 1 else 0]))
     ac_g = np.asarray(ac_g)
     dc_g = np.asarray(dc_g)
 
@@ -199,10 +211,11 @@ def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
         f[:256] = counts
         return entenc.gen_optimal_table(f)
 
-    dc_tables = {0: mk(dc_g[0]), 1: mk(dc_g[1])}
-    ac_tables = {0: mk(ac_g[0]), 1: mk(ac_g[1])}
-    dc_tbls = {0: 0, 1: 1, 2: 1}
-    ac_tbls = {0: 0, 1: 1, 2: 1}
+    nt = min(ncomp, 2)
+    dc_tables = {t: mk(dc_g[t]) for t in range(nt)}
+    ac_tables = {t: mk(ac_g[t]) for t in range(nt)}
+    dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomp)}
+    ac_tbls = dict(dc_tbls)
     codes = {k: derive_codes(t) for k, t in dc_tables.items()}
     acodes = {k: derive_codes(t) for k, t in ac_tables.items()}
 
@@ -210,20 +223,21 @@ def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
     segs_per_shard = (rps * mcus_x) // r
     parts = []
     for s in range(ndev):
-        shard_planes = [np.asarray(planes[ci][s]) for ci in range(3)]
+        shard_planes = [np.asarray(planes[ci][s]) for ci in range(ncomp)]
         parts.append(bitpack.encode_scan_bitpar(
             shard_planes, [(g.h, g.v) for g in comps], mcus_x, rps, r,
-            [codes[dc_tbls[ci]] for ci in range(3)],
-            [acodes[ac_tbls[ci]] for ci in range(3)],
+            [codes[dc_tbls[ci]] for ci in range(ncomp)],
+            [acodes[ac_tbls[ci]] for ci in range(ncomp)],
             rst_offset=s * segs_per_shard,
             trailing_rst=(s != ndev - 1)))
     data = b"".join(parts)
 
-    scan = baseline_script(3)[0]
+    scan = baseline_script(ncomp)[0]
     sr = ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
                     restart=r)
-    return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], r, False, 3,
-                    multi_dqt=False)
+    return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], r, False,
+                    ncomp, multi_dqt=False,
+                    cs="grayscale" if ncomp == 1 else "ycbcr")
 
 
 # ---------------------------------------------------------------------------
@@ -260,13 +274,17 @@ def _shard_p1_trellis(mesh, width, height, samp, cfg, rps):
 
     def shard_fn(img, qluma, qchroma):
         idx = jax.lax.axis_index("rows")
-        ycc = color.rgb_to_ycc(img)
+        ycc = (color.rgb_to_ycc(img) if img.ndim == 3
+               else img[..., None])
         outs = []
         ac_hists = []
         for ci, g in enumerate(geom_st):
             p = layout.pad_plane(ycc[..., ci], rps * 8 * geom[0].v, pw)
-            if g.v < geom[0].v:
+            if g.h < geom[0].h and g.v < geom[0].v:
                 p = sample.downsample_h2v2(p)
+            elif g.h < geom[0].h:
+                p = sample.downsample_h2v1(p)
+            if g.v < geom[0].v:
                 c0 = idx * (rps * 8)
                 rowc = c0 + jnp.arange(rps * 8)
                 src = jnp.clip(c_real - 1 - c0, 0, rps * 8 - 1)
@@ -365,7 +383,9 @@ def _shard_trellis_run(mesh, geom_st, comps, cfg, ncands, mcus_x, rps):
 
 def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
                                mesh: Optional[Mesh] = None,
-                               restart_rows: int = 1) -> bytes:
+                               restart_rows: int = 1,
+                               subsampling: Tuple[int, int] = (2, 2)
+                               ) -> bytes:
     """Full mozjpeg-quality trellis encode of ONE image, iMCU rows sharded
     over the mesh: overshoot deringing, AC+DC trellis quantization with
     globally-psum'd rate statistics, optimal Huffman tables from global
@@ -382,7 +402,7 @@ def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
     if restart_rows < 1:
         raise ValueError("restart_rows must be >= 1 (shard independence)")
     h, w = image.shape[:2]
-    samp = [(2, 2), (1, 1), (1, 1)]
+    samp, ncomp = _samp_of(image, subsampling)
     _, mcus_y0, _ = pipeline.geometry(w, h, samp)
     mesh = _rows_mesh(mesh, mcus_y0, restart_rows)
     ndev = mesh.devices.size
@@ -390,6 +410,7 @@ def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
     cfg = EncoderConfig(quality=quality, progressive=False,
                         optimize_scans=False, trellis_quant=True,
                         overshoot_deringing=True, optimize_coding=True,
+                        subsampling=subsampling,
                         restart_in_rows=restart_rows).resolved()
     qt = make_qtables(cfg)
     from ..consts import JPEG_ZIGZAG
@@ -408,12 +429,12 @@ def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
             [image, np.repeat(image[-1:], h16 - h, axis=0)], axis=0)
 
     q81 = [jnp.asarray(np.asarray(qt[i]).reshape(8, 8, 1).astype(np.int32))
-           for i in (0, 1)]
+           for i in (0, 1 if len(qt) > 1 else 0)]
     outs, ac_hists = stepA(jnp.asarray(img16), q81[0], q81[1])
 
     # host: global rate tables + per-shard lambda packing
     qtblzz, dc_sis, ac_sis, ncands = [], [], [], []
-    for ci in range(3):
+    for ci in range(ncomp):
         slot = 0 if ci == 0 else 1
         ac_si, dc_si = _trellis.trellis_tables_from_hist(
             np.asarray(ac_hists[ci]), slot, cfg.optimize_coding)
@@ -423,12 +444,12 @@ def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
         qtblzz.append(qz)
         ncands.append(_trellis.get_num_dc_candidates(int(qz[0])))
 
-    norms = [np.asarray(outs[ci][2]) for ci in range(3)]   # (ndev, N_sh)
+    norms = [np.asarray(outs[ci][2]) for ci in range(ncomp)]
     packed_rows = []
     for s in range(ndev):
         lams = [_trellis.lambda_from_norm(
             norms[ci][s], cfg.lambda_log_scale1, cfg.lambda_log_scale2)
-            for ci in range(3)]
+            for ci in range(ncomp)]
         packed_rows.append(_trellis.pack_trellis_inputs(
             lams, ac_sis, dc_sis, qtblzz))
     packed_all = jnp.asarray(np.stack(packed_rows))        # (ndev, L)
@@ -436,18 +457,19 @@ def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
     stepB = _shard_trellis_run(mesh, geom_st, comps, cfg, ncands,
                                mcus_x, rps)
     planes, ac_g, dc_g = stepB(
-        tuple(outs[ci][0] for ci in range(3)),
-        tuple(outs[ci][1] for ci in range(3)), packed_all)
+        tuple(outs[ci][0] for ci in range(ncomp)),
+        tuple(outs[ci][1] for ci in range(ncomp)), packed_all)
 
     def mk(counts):
         f = np.zeros(257, np.int64)
         f[:256] = np.asarray(counts)
         return entenc.gen_optimal_table(f)
 
-    dc_tables = {0: mk(dc_g[0]), 1: mk(dc_g[1])}
-    ac_tables = {0: mk(ac_g[0]), 1: mk(ac_g[1])}
-    dc_tbls = {0: 0, 1: 1, 2: 1}
-    ac_tbls = {0: 0, 1: 1, 2: 1}
+    nt = min(ncomp, 2)
+    dc_tables = {t: mk(dc_g[t]) for t in range(nt)}
+    ac_tables = {t: mk(ac_g[t]) for t in range(nt)}
+    dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomp)}
+    ac_tbls = dict(dc_tbls)
     codes = {k: derive_codes(t) for k, t in dc_tables.items()}
     acodes = {k: derive_codes(t) for k, t in ac_tables.items()}
 
@@ -455,25 +477,28 @@ def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
     segs_per_shard = (rps * mcus_x) // r
     parts = []
     for s in range(ndev):
-        shard_planes = [np.asarray(planes[ci][s]) for ci in range(3)]
+        shard_planes = [np.asarray(planes[ci][s]) for ci in range(ncomp)]
         parts.append(bitpack.encode_scan_bitpar(
             shard_planes, [(g.h, g.v) for g in comps], mcus_x, rps, r,
-            [codes[dc_tbls[ci]] for ci in range(3)],
-            [acodes[ac_tbls[ci]] for ci in range(3)],
+            [codes[dc_tbls[ci]] for ci in range(ncomp)],
+            [acodes[ac_tbls[ci]] for ci in range(ncomp)],
             rst_offset=s * segs_per_shard,
             trailing_rst=(s != ndev - 1)))
     data = b"".join(parts)
 
-    scan = baseline_script(3)[0]
+    scan = baseline_script(ncomp)[0]
     sr = ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
                     restart=r)
-    return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], r, False, 3,
-                    multi_dqt=True)
+    return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], r, False,
+                    ncomp, multi_dqt=True,
+                    cs="grayscale" if ncomp == 1 else "ycbcr")
 
 
 def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
                                    mesh: Optional[Mesh] = None,
-                                   restart_rows: int = 1) -> bytes:
+                                   restart_rows: int = 1,
+                                   subsampling: Tuple[int, int] = (2, 2)
+                                   ) -> bytes:
     """Progressive mozjpeg encode (simple_progression 9-scan script +
     AC/DC trellis + deringing + per-scan optimal tables) of ONE image,
     iMCU rows sharded over the mesh. Every scan's statistics psum across
@@ -495,7 +520,7 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
     if restart_rows < 1:
         raise ValueError("restart_rows must be >= 1 (shard independence)")
     h, w = image.shape[:2]
-    samp = [(2, 2), (1, 1), (1, 1)]
+    samp, ncomp = _samp_of(image, subsampling)
     _, mcus_y0, _ = pipeline.geometry(w, h, samp)
     mesh = _rows_mesh(mesh, mcus_y0, restart_rows)
     ndev = mesh.devices.size
@@ -503,6 +528,7 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
     cfg = EncoderConfig(quality=quality, progressive=True,
                         optimize_scans=False, trellis_quant=True,
                         overshoot_deringing=True, optimize_coding=True,
+                        subsampling=subsampling,
                         restart_in_rows=restart_rows).resolved()
     qt = make_qtables(cfg)
     rps = mcus_y0 // ndev
@@ -515,11 +541,11 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
         img16 = np.concatenate(
             [image, np.repeat(image[-1:], h16 - h, axis=0)], axis=0)
     q81 = [jnp.asarray(np.asarray(qt[i]).reshape(8, 8, 1).astype(np.int32))
-           for i in (0, 1)]
+           for i in (0, 1 if len(qt) > 1 else 0)]
     outs, ac_hists = stepA(jnp.asarray(img16), q81[0], q81[1])
 
     qtblzz, dc_sis, ac_sis, ncands = [], [], [], []
-    for ci in range(3):
+    for ci in range(ncomp):
         slot = 0 if ci == 0 else 1
         ac_si, dc_si = _trellis.trellis_tables_from_hist(
             np.asarray(ac_hists[ci]), slot, cfg.optimize_coding)
@@ -528,27 +554,28 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
         qz = np.asarray(qt[slot]).reshape(64)[JPEG_ZIGZAG].astype(np.int32)
         qtblzz.append(qz)
         ncands.append(_trellis.get_num_dc_candidates(int(qz[0])))
-    norms = [np.asarray(outs[ci][2]) for ci in range(3)]
+    norms = [np.asarray(outs[ci][2]) for ci in range(ncomp)]
     packed_rows = []
     for s in range(ndev):
         lams = [_trellis.lambda_from_norm(
             norms[ci][s], cfg.lambda_log_scale1, cfg.lambda_log_scale2)
-            for ci in range(3)]
+            for ci in range(ncomp)]
         packed_rows.append(_trellis.pack_trellis_inputs(
             lams, ac_sis, dc_sis, qtblzz))
     stepB = _shard_trellis_run(mesh, geom_st, comps, cfg, ncands,
                                mcus_x, rps)
     planes, _, _ = stepB(
-        tuple(outs[ci][0] for ci in range(3)),
-        tuple(outs[ci][1] for ci in range(3)),
+        tuple(outs[ci][0] for ci in range(ncomp)),
+        tuple(outs[ci][1] for ci in range(ncomp)),
         jnp.asarray(np.stack(packed_rows)))
     planes_h = [[np.asarray(planes[ci][s]) for s in range(ndev)]
-                for ci in range(3)]
+                for ci in range(ncomp)]
 
-    script = _scans.simple_progression_max(3, cfg.dc_scan_opt_mode, True)
+    script = _scans.simple_progression_max(ncomp, cfg.dc_scan_opt_mode,
+                                           True)
     geom = (mcus_x, mcus_y, comps)
-    dc_tbls = {0: 0, 1: 1, 2: 1}
-    ac_tbls = {0: 0, 1: 1, 2: 1}
+    dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomp)}
+    ac_tbls = dict(dc_tbls)
 
     def gather_scan(scan, r_scan):
         """Global per-scan symbol histogram from sharded planes."""
@@ -610,7 +637,7 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
 
     results = []
     for scan in script:
-        r_scan = scan_restart_interval(cfg, scan, geom, 3)
+        r_scan = scan_restart_interval(cfg, scan, geom, ncomp)
         dch, ach = gather_scan(scan, r_scan)
         dc_tables = {t: mk(hh) for t, hh in dch.items() if hh.any()}
         ac_tables = {t: mk(hh) for t, hh in ach.items() if hh.any()}
@@ -652,5 +679,6 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
         results.append(ScanResult(scan, data, dc_tables, ac_tables,
                                   dc_tbls, ac_tbls, restart=r_scan))
     return assemble(w, h, geom, qt, results,
-                    scan_restart_interval(cfg, script[0], geom, 3),
-                    True, 3, multi_dqt=True)
+                    scan_restart_interval(cfg, script[0], geom, ncomp),
+                    True, ncomp, multi_dqt=True,
+                    cs="grayscale" if ncomp == 1 else "ycbcr")

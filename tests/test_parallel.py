@@ -151,3 +151,41 @@ class TestRowShardedTrellis:
             trellis_quant=True, overshoot_deringing=True,
             optimize_coding=True, restart_in_rows=rr))
         assert out == ref
+
+    @pytest.mark.parametrize("mode,samp", [
+        ("baseline", (2, 1)), ("baseline", (1, 1)), ("baseline", "gray"),
+        ("trellis", (2, 1)), ("trellis", "gray"),
+        ("progressive", (1, 1)), ("progressive", "gray"),
+    ])
+    def test_samplings(self, mode, samp):
+        """Row-sharded encoders across 4:2:2 / 4:4:4 / grayscale."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        import mozjpeg_tpu as mj
+        from mozjpeg_tpu.codec.config import EncoderConfig, Profile
+        from mozjpeg_tpu.parallel import rows
+        yy, xx = np.mgrid[0:200, 0:173]
+        im = np.stack([(yy + xx) % 256, (yy * 2 + xx) % 256,
+                       (yy + xx * 3) % 256], axis=-1).astype(np.uint8)
+        sp = (2, 2) if samp == "gray" else samp
+        if samp == "gray":
+            im = im[..., 0]
+        kw = dict(quality=78, restart_rows=1, subsampling=sp)
+        base = dict(quality=78, restart_in_rows=1, subsampling=sp,
+                    optimize_scans=False, optimize_coding=True)
+        if mode == "baseline":
+            out = rows.encode_row_sharded(im, **kw)
+            ref = mj.encode(im, EncoderConfig(
+                profile=Profile.FASTEST, progressive=False,
+                trellis_quant=False, overshoot_deringing=False, **base))
+        elif mode == "trellis":
+            out = rows.encode_row_sharded_trellis(im, **kw)
+            ref = mj.encode(im, EncoderConfig(
+                progressive=False, trellis_quant=True,
+                overshoot_deringing=True, **base))
+        else:
+            out = rows.encode_row_sharded_progressive(im, **kw)
+            ref = mj.encode(im, EncoderConfig(
+                progressive=True, trellis_quant=True,
+                overshoot_deringing=True, **base))
+        assert out == ref
