@@ -108,7 +108,7 @@ def _block_lanes(zz, dc_delta, dc_co, dc_si, ac_co, ac_si):
     return vals, lens.astype(jnp.int32)
 
 
-def _dc_deltas(dc_seq, seg_blocks):
+def _dc_deltas(dc_seq):
     """dc_seq: (S, seg_blocks) int32 per-component DC values in MCU block
     order; delta vs previous block of the segment (predictor resets at
     segment start, jchuff.c:668-686)."""
@@ -146,8 +146,7 @@ def _pack_segments(planes, dc_tab, ac_tab, geoms, mcus_x, mcus_y,
     for ci, (h, v) in enumerate(geoms):
         vh = h * v
         dc_seq = comp_blocks[ci][:, :, 0].reshape(S, restart * vh)
-        deltas = _dc_deltas(dc_seq, restart * vh) \
-            .reshape(num_mcus_p, vh)
+        deltas = _dc_deltas(dc_seq).reshape(num_mcus_p, vh)
         fn = jax.vmap(jax.vmap(
             _block_lanes, in_axes=(0, 0, None, None, None, None)),
             in_axes=(0, 0, None, None, None, None))
@@ -307,7 +306,7 @@ def _pack_dc_first(planes, dc_tab, geoms, mcus_x, mcus_y, restart, Al,
         vh = h * v
         dc = comp_blocks[ci][:, :, 0] >> Al            # IRIGHT_SHIFT
         dc_seq = dc.reshape(S, restart * vh)
-        deltas = _dc_deltas(dc_seq, restart * vh).reshape(num_mcus_p, vh)
+        deltas = _dc_deltas(dc_seq).reshape(num_mcus_p, vh)
         mag = jnp.abs(deltas)
         nb = _nbits(mag)
         t2 = jnp.where(deltas < 0, deltas - 1, deltas).astype(jnp.uint32)
@@ -407,7 +406,9 @@ def _pack_ac_first(band, ac_co, ac_si, Ss: int, Se: int, Al: int,
     # at eobrun == 0x7FFF): at e-blocks where the since-flush count is a
     # positive multiple of 32767
     since = C - prev_D
-    forced = ((e_seg > 0) & (since > 0)
+    # a symbol-bearing block just flushed: its running counter is only its
+    # own contribution, so a forced flush can never legitimately fire there
+    forced = ((e_seg > 0) & ~hs & (since > 0)
               & (since % 32767 == 0)).reshape(N_p)
     # end-of-segment flush
     last_D = jnp.max(jnp.where(hs, D_at_sym, 0), axis=1)

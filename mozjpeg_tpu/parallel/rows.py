@@ -42,14 +42,19 @@ from ..ops import color, dct, layout, quant, sample, symbols
 
 
 def _rows_mesh(mesh: Optional[Mesh], mcus_y: int,
-               restart_rows: int = 1) -> Mesh:
+               restart_rows: int = 1, mcus_x: int = 1) -> Mesh:
     """A 1-D 'rows' mesh whose size divides the image's iMCU row count and
     whose per-shard row count is a multiple of restart_rows (segments must
-    not cross shards); excess devices are left idle."""
+    not cross shards); excess devices are left idle. A single shard is
+    always valid (no cross-shard boundaries), so this never fails — e.g.
+    when restart_rows does not divide mcus_y, or when the DRI interval
+    would exceed the 16-bit cap and segment alignment cannot hold."""
     devices = (mesh.devices.reshape(-1) if mesh is not None
                else np.array(jax.devices()))
     n = len(devices)
-    while mcus_y % n or (mcus_y // n) % restart_rows:
+    if restart_rows * mcus_x > 65535:
+        n = 1
+    while n > 1 and (mcus_y % n or (mcus_y // n) % restart_rows):
         n -= 1
     return Mesh(devices[:n], ("rows",))
 
@@ -71,7 +76,7 @@ def make_row_sharded_p1(mesh: Mesh, width: int, height: int,
     shard_h = rps * 8 * geom[0].v
     _, _, geom_s = pipeline.geometry(width, shard_h, samp)
     geom_st = tuple(geom_s)
-    r = restart_rows * mcus_x
+    r = min(restart_rows * mcus_x, 65535)
 
     real_bh = tuple(g.bh for g in geom)      # GLOBAL real block rows
     h2 = -(-height // geom[0].v) * geom[0].v # input-pad height (jcprepct)
@@ -150,9 +155,20 @@ def make_row_sharded_p1(mesh: Mesh, width: int, height: int,
     return jax.jit(fn), (mcus_x, mcus_y, geom), rps
 
 
+def _optimal_table(counts):
+    from ..entropy import encode as entenc
+    f = np.zeros(257, np.int64)
+    f[:256] = np.asarray(counts)
+    return entenc.gen_optimal_table(f)
+
+
 def _samp_of(image, subsampling):
     if image.ndim == 2:
         return [(1, 1)], 1
+    if tuple(subsampling) not in ((2, 2), (2, 1), (1, 1)):
+        raise NotImplementedError(
+            "row-sharded encode supports 4:2:0/4:2:2/4:4:4, got %r"
+            % (subsampling,))
     return [subsampling, (1, 1), (1, 1)], 3
 
 
@@ -177,13 +193,13 @@ def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
         raise ValueError("restart_rows must be >= 1 (shard independence)")
     h, w = image.shape[:2]
     samp, ncomp = _samp_of(image, subsampling)
-    _, mcus_y0, geom0 = pipeline.geometry(w, h, samp)
-    mesh = _rows_mesh(mesh, mcus_y0, restart_rows)
+    mcus_x0, mcus_y0, geom0 = pipeline.geometry(w, h, samp)
+    mesh = _rows_mesh(mesh, mcus_y0, restart_rows, mcus_x0)
     ndev = mesh.devices.size
 
     step, (mcus_x, mcus_y, comps), rps = make_row_sharded_p1(
         mesh, w, h, samp, restart_rows)
-    if rps % restart_rows:
+    if ndev > 1 and rps % restart_rows:
         raise ValueError("rows per shard %d %% restart_rows %d != 0"
                          % (rps, restart_rows))
 
@@ -206,24 +222,20 @@ def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
     ac_g = np.asarray(ac_g)
     dc_g = np.asarray(dc_g)
 
-    def mk(counts):
-        f = np.zeros(257, np.int64)
-        f[:256] = counts
-        return entenc.gen_optimal_table(f)
 
     nt = min(ncomp, 2)
-    dc_tables = {t: mk(dc_g[t]) for t in range(nt)}
-    ac_tables = {t: mk(ac_g[t]) for t in range(nt)}
+    dc_tables = {t: _optimal_table(dc_g[t]) for t in range(nt)}
+    ac_tables = {t: _optimal_table(ac_g[t]) for t in range(nt)}
     dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomp)}
     ac_tbls = dict(dc_tbls)
     codes = {k: derive_codes(t) for k, t in dc_tables.items()}
     acodes = {k: derive_codes(t) for k, t in ac_tables.items()}
 
-    r = restart_rows * mcus_x
+    r = min(restart_rows * mcus_x, 65535)
     segs_per_shard = (rps * mcus_x) // r
     parts = []
     for s in range(ndev):
-        shard_planes = [np.asarray(planes[ci][s]) for ci in range(ncomp)]
+        shard_planes = [planes[ci][s] for ci in range(ncomp)]
         parts.append(bitpack.encode_scan_bitpar(
             shard_planes, [(g.h, g.v) for g in comps], mcus_x, rps, r,
             [codes[dc_tbls[ci]] for ci in range(ncomp)],
@@ -270,7 +282,7 @@ def _shard_p1_trellis(mesh, width, height, samp, cfg, rps):
     c_real = h2 // 2
     pw = mcus_x * 8 * geom[0].h
     ndev = mesh.devices.size
-    ris = tuple(cfg.restart_in_rows * g.bw for g in geom)
+    ris = tuple(min(cfg.restart_in_rows * g.bw, 65535) for g in geom)
 
     def shard_fn(img, qluma, qchroma):
         idx = jax.lax.axis_index("rows")
@@ -304,14 +316,25 @@ def _shard_p1_trellis(mesh, width, height, samp, cfg, rps):
             raw_zz = layout.to_zigzag_t(coeffs)
             norm = pipeline_t._norm_seq(raw_zz)
             hist = symbols.ac_first_histogram_t(q_zz, ri=ris[ci])
-            # fake-row correction: global dummy rows live only in the
-            # last shard, are whole trellis-stat segments (restart_in_rows
-            # aligns them), and must not contribute statistics
+            # fake-row correction: global dummy rows live only in the last
+            # shard and must not contribute statistics. They share their
+            # stats segment with real rows when restart_in_rows > 1, so
+            # replace the LAST segment's histogram (fake rows included)
+            # with the histogram of its real prefix — exactly how the
+            # single-device gather sees a partial final segment.
             nfake = g.bh * ndev - real_bh[ci]
             if nfake > 0:
-                fh = symbols.ac_first_histogram_t(
-                    q_zz[:, -nfake * g.bw:], ri=ris[ci])
-                hist = hist - jnp.where(idx == ndev - 1, 1, 0) * fh
+                if cfg.restart_in_rows * g.bw > 65535:
+                    raise NotImplementedError(
+                        "sharded trellis stats need row-aligned restart "
+                        "segments (interval exceeds the 16-bit cap)")
+                tail_rows = ((g.bh - 1) % cfg.restart_in_rows) + 1
+                is_last = jnp.where(idx == ndev - 1, 1, 0)
+                tail = q_zz[:, -tail_rows * g.bw:]
+                hist = hist - is_last * symbols.ac_first_histogram_t(tail)
+                if tail_rows > nfake:
+                    real = tail[:, : (tail_rows - nfake) * g.bw]
+                    hist = hist + is_last *                         symbols.ac_first_histogram_t(real)
             ac_hists.append(jax.lax.psum(hist, "rows"))
             outs.append((q_zz[None], raw_zz[None], norm[None]))
         return tuple(outs), tuple(ac_hists)
@@ -329,7 +352,7 @@ def _shard_trellis_run(mesh, geom_st, comps, cfg, ncands, mcus_x, rps):
 
     real_bh = tuple(g.bh for g in comps)
     ndev = mesh.devices.size
-    r_mcus = cfg.restart_in_rows * mcus_x
+    r_mcus = min(cfg.restart_in_rows * mcus_x, 65535)
 
     run = _trellis.make_trellis_all_t(
         geom_st, None, ((1, 63),), cfg.trellis_quant_dc,
@@ -381,6 +404,73 @@ def _shard_trellis_run(mesh, geom_st, comps, cfg, ncands, mcus_x, rps):
     return jax.jit(fn)
 
 
+def _trellis_front(image, quality, mesh, restart_rows, subsampling,
+                   progressive):
+    """Shared front half of the sharded trellis encoders: config, qtables,
+    sharded P1 with psum'd trellis statistics, host rate tables + packed
+    per-shard lambdas, and the sharded trellis run. Returns everything the
+    scan-emission back halves need."""
+    from ..codec import trellis as _trellis
+    from ..codec.config import EncoderConfig
+    from ..codec.encoder import make_qtables
+    from ..consts import JPEG_ZIGZAG
+
+    h, w = image.shape[:2]
+    samp, ncomp = _samp_of(image, subsampling)
+    mcus_x0, mcus_y0, _ = pipeline.geometry(w, h, samp)
+    mesh = _rows_mesh(mesh, mcus_y0, restart_rows, mcus_x0)
+    ndev = mesh.devices.size
+
+    cfg = EncoderConfig(quality=quality, progressive=progressive,
+                        optimize_scans=False, trellis_quant=True,
+                        overshoot_deringing=True, optimize_coding=True,
+                        subsampling=subsampling,
+                        restart_in_rows=restart_rows).resolved()
+    qt = make_qtables(cfg)
+    rps = mcus_y0 // ndev
+    if ndev > 1 and rps % restart_rows:
+        raise ValueError("rows per shard %d %% restart_rows %d != 0"
+                         % (rps, restart_rows))
+    stepA, (mcus_x, mcus_y, comps), geom_st = _shard_p1_trellis(
+        mesh, w, h, samp, cfg, rps)
+
+    h16 = mcus_y * 8 * comps[0].v
+    img16 = image
+    if h16 != h:
+        img16 = np.concatenate(
+            [image, np.repeat(image[-1:], h16 - h, axis=0)], axis=0)
+    q81 = [jnp.asarray(np.asarray(qt[i]).reshape(8, 8, 1).astype(np.int32))
+           for i in (0, 1 if len(qt) > 1 else 0)]
+    outs, ac_hists = stepA(jnp.asarray(img16), q81[0], q81[1])
+
+    qtblzz, dc_sis, ac_sis, ncands = [], [], [], []
+    for ci in range(ncomp):
+        slot = 0 if ci == 0 else 1
+        ac_si, dc_si = _trellis.trellis_tables_from_hist(
+            np.asarray(ac_hists[ci]), slot, cfg.optimize_coding)
+        ac_sis.append(ac_si)
+        dc_sis.append(dc_si)
+        qz = np.asarray(qt[slot]).reshape(64)[JPEG_ZIGZAG].astype(np.int32)
+        qtblzz.append(qz)
+        ncands.append(_trellis.get_num_dc_candidates(int(qz[0])))
+    norms = [np.asarray(outs[ci][2]) for ci in range(ncomp)]
+    packed_rows = []
+    for s in range(ndev):
+        lams = [_trellis.lambda_from_norm(
+            norms[ci][s], cfg.lambda_log_scale1, cfg.lambda_log_scale2)
+            for ci in range(ncomp)]
+        packed_rows.append(_trellis.pack_trellis_inputs(
+            lams, ac_sis, dc_sis, qtblzz))
+    stepB = _shard_trellis_run(mesh, geom_st, comps, cfg, ncands,
+                               mcus_x, rps)
+    planes, ac_g, dc_g = stepB(
+        tuple(outs[ci][0] for ci in range(ncomp)),
+        tuple(outs[ci][1] for ci in range(ncomp)),
+        jnp.asarray(np.stack(packed_rows)))
+    return (cfg, qt, ncomp, ndev, rps, (mcus_x, mcus_y, comps), planes,
+            ac_g, dc_g)
+
+
 def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
                                mesh: Optional[Mesh] = None,
                                restart_rows: int = 1,
@@ -392,92 +482,31 @@ def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
     histograms, restart-parallel device bit packing. Sequential baseline
     scan output; byte-exact vs the single-device encoder with the same
     config."""
-    from ..codec import trellis as _trellis
-    from ..codec.config import EncoderConfig, Profile
-    from ..codec.encoder import make_qtables, assemble, ScanResult
+    from ..codec.encoder import assemble, ScanResult
     from ..codec.scans import baseline_script
-    from ..entropy import encode as entenc
     from ..entropy.huffman import derive_codes
     from ..ops import bitpack
+
     if restart_rows < 1:
         raise ValueError("restart_rows must be >= 1 (shard independence)")
+    (cfg, qt, ncomp, ndev, rps, (mcus_x, mcus_y, comps), planes,
+     ac_g, dc_g) = _trellis_front(image, quality, mesh, restart_rows,
+                                  subsampling, progressive=False)
     h, w = image.shape[:2]
-    samp, ncomp = _samp_of(image, subsampling)
-    _, mcus_y0, _ = pipeline.geometry(w, h, samp)
-    mesh = _rows_mesh(mesh, mcus_y0, restart_rows)
-    ndev = mesh.devices.size
-
-    cfg = EncoderConfig(quality=quality, progressive=False,
-                        optimize_scans=False, trellis_quant=True,
-                        overshoot_deringing=True, optimize_coding=True,
-                        subsampling=subsampling,
-                        restart_in_rows=restart_rows).resolved()
-    qt = make_qtables(cfg)
-    from ..consts import JPEG_ZIGZAG
-
-    rps = mcus_y0 // ndev
-    if rps % restart_rows:
-        raise ValueError("rows per shard %d %% restart_rows %d != 0"
-                         % (rps, restart_rows))
-    stepA, (mcus_x, mcus_y, comps), geom_st = _shard_p1_trellis(
-        mesh, w, h, samp, cfg, rps)
-
-    h16 = mcus_y * 8 * comps[0].v
-    img16 = image
-    if h16 != h:
-        img16 = np.concatenate(
-            [image, np.repeat(image[-1:], h16 - h, axis=0)], axis=0)
-
-    q81 = [jnp.asarray(np.asarray(qt[i]).reshape(8, 8, 1).astype(np.int32))
-           for i in (0, 1 if len(qt) > 1 else 0)]
-    outs, ac_hists = stepA(jnp.asarray(img16), q81[0], q81[1])
-
-    # host: global rate tables + per-shard lambda packing
-    qtblzz, dc_sis, ac_sis, ncands = [], [], [], []
-    for ci in range(ncomp):
-        slot = 0 if ci == 0 else 1
-        ac_si, dc_si = _trellis.trellis_tables_from_hist(
-            np.asarray(ac_hists[ci]), slot, cfg.optimize_coding)
-        ac_sis.append(ac_si)
-        dc_sis.append(dc_si)
-        qz = np.asarray(qt[slot]).reshape(64)[JPEG_ZIGZAG].astype(np.int32)
-        qtblzz.append(qz)
-        ncands.append(_trellis.get_num_dc_candidates(int(qz[0])))
-
-    norms = [np.asarray(outs[ci][2]) for ci in range(ncomp)]
-    packed_rows = []
-    for s in range(ndev):
-        lams = [_trellis.lambda_from_norm(
-            norms[ci][s], cfg.lambda_log_scale1, cfg.lambda_log_scale2)
-            for ci in range(ncomp)]
-        packed_rows.append(_trellis.pack_trellis_inputs(
-            lams, ac_sis, dc_sis, qtblzz))
-    packed_all = jnp.asarray(np.stack(packed_rows))        # (ndev, L)
-
-    stepB = _shard_trellis_run(mesh, geom_st, comps, cfg, ncands,
-                               mcus_x, rps)
-    planes, ac_g, dc_g = stepB(
-        tuple(outs[ci][0] for ci in range(ncomp)),
-        tuple(outs[ci][1] for ci in range(ncomp)), packed_all)
-
-    def mk(counts):
-        f = np.zeros(257, np.int64)
-        f[:256] = np.asarray(counts)
-        return entenc.gen_optimal_table(f)
 
     nt = min(ncomp, 2)
-    dc_tables = {t: mk(dc_g[t]) for t in range(nt)}
-    ac_tables = {t: mk(ac_g[t]) for t in range(nt)}
+    dc_tables = {t: _optimal_table(dc_g[t]) for t in range(nt)}
+    ac_tables = {t: _optimal_table(ac_g[t]) for t in range(nt)}
     dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomp)}
     ac_tbls = dict(dc_tbls)
     codes = {k: derive_codes(t) for k, t in dc_tables.items()}
     acodes = {k: derive_codes(t) for k, t in ac_tables.items()}
 
-    r = restart_rows * mcus_x
+    r = min(restart_rows * mcus_x, 65535)
     segs_per_shard = (rps * mcus_x) // r
     parts = []
     for s in range(ndev):
-        shard_planes = [np.asarray(planes[ci][s]) for ci in range(ncomp)]
+        shard_planes = [planes[ci][s] for ci in range(ncomp)]
         parts.append(bitpack.encode_scan_bitpar(
             shard_planes, [(g.h, g.v) for g in comps], mcus_x, rps, r,
             [codes[dc_tbls[ci]] for ci in range(ncomp)],
@@ -508,66 +537,17 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
     single-device encoder with the same config (= mozjpeg -fastcrush
     with -restart N rows)."""
     from ..codec import scans as _scans
-    from ..codec import trellis as _trellis
-    from ..codec.config import EncoderConfig
-    from ..codec.encoder import (make_qtables, assemble, ScanResult,
+    from ..codec.encoder import (assemble, ScanResult,
                                  scan_restart_interval)
-    from ..consts import JPEG_ZIGZAG
-    from ..entropy import encode as entenc
     from ..entropy.huffman import derive_codes
     from ..ops import bitpack
 
     if restart_rows < 1:
         raise ValueError("restart_rows must be >= 1 (shard independence)")
+    (cfg, qt, ncomp, ndev, rps, (mcus_x, mcus_y, comps), planes,
+     _, _) = _trellis_front(image, quality, mesh, restart_rows,
+                            subsampling, progressive=True)
     h, w = image.shape[:2]
-    samp, ncomp = _samp_of(image, subsampling)
-    _, mcus_y0, _ = pipeline.geometry(w, h, samp)
-    mesh = _rows_mesh(mesh, mcus_y0, restart_rows)
-    ndev = mesh.devices.size
-
-    cfg = EncoderConfig(quality=quality, progressive=True,
-                        optimize_scans=False, trellis_quant=True,
-                        overshoot_deringing=True, optimize_coding=True,
-                        subsampling=subsampling,
-                        restart_in_rows=restart_rows).resolved()
-    qt = make_qtables(cfg)
-    rps = mcus_y0 // ndev
-    stepA, (mcus_x, mcus_y, comps), geom_st = _shard_p1_trellis(
-        mesh, w, h, samp, cfg, rps)
-
-    h16 = mcus_y * 8 * comps[0].v
-    img16 = image
-    if h16 != h:
-        img16 = np.concatenate(
-            [image, np.repeat(image[-1:], h16 - h, axis=0)], axis=0)
-    q81 = [jnp.asarray(np.asarray(qt[i]).reshape(8, 8, 1).astype(np.int32))
-           for i in (0, 1 if len(qt) > 1 else 0)]
-    outs, ac_hists = stepA(jnp.asarray(img16), q81[0], q81[1])
-
-    qtblzz, dc_sis, ac_sis, ncands = [], [], [], []
-    for ci in range(ncomp):
-        slot = 0 if ci == 0 else 1
-        ac_si, dc_si = _trellis.trellis_tables_from_hist(
-            np.asarray(ac_hists[ci]), slot, cfg.optimize_coding)
-        ac_sis.append(ac_si)
-        dc_sis.append(dc_si)
-        qz = np.asarray(qt[slot]).reshape(64)[JPEG_ZIGZAG].astype(np.int32)
-        qtblzz.append(qz)
-        ncands.append(_trellis.get_num_dc_candidates(int(qz[0])))
-    norms = [np.asarray(outs[ci][2]) for ci in range(ncomp)]
-    packed_rows = []
-    for s in range(ndev):
-        lams = [_trellis.lambda_from_norm(
-            norms[ci][s], cfg.lambda_log_scale1, cfg.lambda_log_scale2)
-            for ci in range(ncomp)]
-        packed_rows.append(_trellis.pack_trellis_inputs(
-            lams, ac_sis, dc_sis, qtblzz))
-    stepB = _shard_trellis_run(mesh, geom_st, comps, cfg, ncands,
-                               mcus_x, rps)
-    planes, _, _ = stepB(
-        tuple(outs[ci][0] for ci in range(ncomp)),
-        tuple(outs[ci][1] for ci in range(ncomp)),
-        jnp.asarray(np.stack(packed_rows)))
     planes_h = [[np.asarray(planes[ci][s]) for s in range(ndev)]
                 for ci in range(ncomp)]
 
@@ -593,7 +573,6 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
             return {}, {}                      # DC refine: no stats
         ci = scan.comps[0]
         g = comps[ci]
-        nreal = g.bh * g.bw
         if scan.Ah == 0:                       # AC first
             hist = np.zeros(256, np.int64)
             for s in range(ndev):
@@ -630,17 +609,15 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
             r_scan)
         return {}, {ac_tbls[ci]: hist}
 
-    def mk(counts):
-        f = np.zeros(257, np.int64)
-        f[:256] = counts
-        return entenc.gen_optimal_table(f)
 
     results = []
     for scan in script:
         r_scan = scan_restart_interval(cfg, scan, geom, ncomp)
         dch, ach = gather_scan(scan, r_scan)
-        dc_tables = {t: mk(hh) for t, hh in dch.items() if hh.any()}
-        ac_tables = {t: mk(hh) for t, hh in ach.items() if hh.any()}
+        dc_tables = {t: _optimal_table(hh) for t, hh in dch.items()
+                     if hh.any()}
+        ac_tables = {t: _optimal_table(hh) for t, hh in ach.items()
+                     if hh.any()}
         dc_codes = ([derive_codes(dc_tables[dc_tbls[ci]])
                      for ci in scan.comps]
                     if dc_tables else None)
@@ -670,8 +647,7 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
             parts.append(bitpack.encode_scan_progressive_device(
                 pl, gs, smx, smy, scan.Ss, scan.Se, scan.Ah, scan.Al,
                 r_scan, dc_tables=dc_codes, ac_tables=ac_codes,
-                rst_offset=rst_off, trailing_rst=not last)
-                if not (scan.Ss == 0 and scan.Se == 63) else b"")
+                rst_offset=rst_off, trailing_rst=not last))
             rst_off += nseg
             if last and scan.Ss != 0:
                 break

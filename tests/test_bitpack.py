@@ -260,3 +260,30 @@ class TestProgressiveDevicePack:
                 quality=75, precision=12, progressive=prog,
                 device_entropy=True))
             assert a == b
+
+    def test_forced_flush_at_symbol_block(self):
+        """Regression: a symbol-bearing block whose own EOB contribution
+        makes the since-flush count a multiple of 32767 must NOT emit a
+        spurious forced EOBn (the flush just reset the counter)."""
+        from mozjpeg_tpu.codec.scans import ScanInfo
+        from mozjpeg_tpu.codec.pipeline import CompGeom
+        from mozjpeg_tpu.entropy import encode as entenc
+        from mozjpeg_tpu.entropy.huffman import derive_codes
+        from mozjpeg_tpu.ops import bitpack
+        bw, bh = 181, 182
+        pl = np.zeros((bh, bw, 64), np.int16)
+        pl[0, 0, 9] = 5
+        y, x = divmod(32766, bw)     # since == 32767 exactly at this block
+        pl[y, x, 9] = -4
+        geom = [CompGeom(1, 1, bw * 8, bh * 8, bw, bh, bw, bh)]
+        scan = ScanInfo((0,), 9, 63, 0, 0)
+        sg = entenc.ScanGeometry(scan, (bw, bh, geom), [pl])
+        _, _, acc = entenc.encode_scan(sg, {0: 0}, {0: 0}, {}, {}, 0,
+                                       gather=True)
+        act = {0: entenc.gen_optimal_table(acc[0])}
+        data, _, _ = entenc.encode_scan(sg, {0: 0}, {0: 0}, {}, act, 0,
+                                        gather=False)
+        dev = bitpack.encode_scan_progressive_device(
+            [pl], [(1, 1)], bw, bh, 9, 63, 0, 0, 0,
+            ac_tables=[derive_codes(act[0])])
+        assert dev == data

@@ -189,3 +189,32 @@ class TestRowShardedTrellis:
                 progressive=True, trellis_quant=True,
                 overshoot_deringing=True, **base))
         assert out == ref
+
+    def test_unaligned_restart_and_stats_segments(self):
+        """Regressions from review: restart_rows not dividing mcus_y falls
+        back to a single shard instead of crashing; dummy rows sharing a
+        stats segment with real rows (rr=2, odd real bh) stay byte-exact;
+        unsupported sampling factors raise."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        import mozjpeg_tpu as mj
+        from mozjpeg_tpu.codec.config import EncoderConfig, Profile
+        from mozjpeg_tpu.parallel import rows
+        yy, xx = np.mgrid[0:248, 0:160]
+        im = np.stack([(yy + xx) % 256] * 3, axis=-1).astype(np.uint8)
+        out = rows.encode_row_sharded_trellis(im, quality=75,
+                                              restart_rows=2)
+        ref = mj.encode(im, EncoderConfig(
+            quality=75, progressive=False, optimize_scans=False,
+            trellis_quant=True, overshoot_deringing=True,
+            optimize_coding=True, restart_in_rows=2))
+        assert out == ref
+        out = rows.encode_row_sharded(im[:256], quality=75, restart_rows=3)
+        ref = mj.encode(im[:256], EncoderConfig(
+            quality=75, profile=Profile.FASTEST, progressive=False,
+            optimize_coding=True, optimize_scans=False,
+            trellis_quant=False, overshoot_deringing=False,
+            restart_in_rows=3))
+        assert out == ref
+        with pytest.raises(NotImplementedError):
+            rows.encode_row_sharded(im, subsampling=(1, 2))
