@@ -41,6 +41,22 @@ def _flatten_decode_tables(tables):
             np.ascontiguousarray(valptr), np.ascontiguousarray(vals))
 
 
+def _comp_qtable(jp: marker.ParsedJpeg, ci: int):
+    """The quant table for component ci as latched at its FIRST scan
+    (jdinput.c latch_quant_tables): progressive/multi-scan files may
+    redefine a DQT between scans, and each component keeps the table
+    current when it was first scanned."""
+    c = jp.components[ci]
+    for si, scan in enumerate(jp.scans):
+        if ci in scan.comp_indices:
+            t = jp.scan_qtables[si].get(c.quant_tbl)
+            if t is not None:
+                return t
+            break
+    return jp.scan_qtables[0].get(
+        c.quant_tbl, jp.qtables.get(c.quant_tbl))
+
+
 def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     """Entropy-decode all scans -> list of (bh_pad, bw_pad, 64) int16 zigzag
     planes (MCU-padded dims).
@@ -50,7 +66,6 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     (jdphuff.c:126-144), and jp.last_good_imcu_row -- the last input
     iMCU row decoded with sufficient data (jdcoefct.c:233-234)."""
     marker.validate_decodable(jp)
-    lib.mj_reset_warnings()
     max_h, max_v = jp.max_h, jp.max_v
     mcus_x = -(-jp.width // (8 * max_h))
     mcus_y = -(-jp.height // (8 * max_v))
@@ -64,6 +79,9 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     cb_cur = np.full((ncomps, 64), -1, dtype=np.int32)
     cb_prev = np.full((ncomps, 64), -1, dtype=np.int32)
     last_good = mcus_y - 1
+    warn_buf = np.zeros(1, dtype=np.int64)   # per-call counter: the global
+    # one is shared by concurrent decodes (decode_many) and cannot be
+    # reset/read per image without racing
 
     def decode_one(si, scan, lg_out):
         htables = jp.scan_htables[si]
@@ -104,9 +122,9 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
                 # restart segments decode concurrently (the reference pays
                 # ~20% for restart markers, README-turbo.txt:344-347; here
                 # they are the parallelism). Any corruption or structural
-                # surprise falls back to the serial warn-and-resync path.
+                # surprise falls back to the serial warn-and-resync path
+                # (the parallel attempt records no warnings itself).
                 nthreads = min(8, os.cpu_count() or 1, nseg)
-                w0 = lib.mj_get_warnings()
                 r = lib.mj_decode_seq_par(
                     _np_ptr(seg, u8p), seg_len, arr,
                     len(scan.comp_indices), smx, smy, restart,
@@ -114,13 +132,13 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
                     _np_ptr(dvp, i32p), _np_ptr(dvl, u8p),
                     _np_ptr(amn, i32p), _np_ptr(amx, i64p),
                     _np_ptr(avp, i32p), _np_ptr(avl, u8p),
-                    _np_ptr(lg_out, i32p), nthreads)
+                    _np_ptr(lg_out, i32p), nthreads,
+                    _np_ptr(warn_buf, i64p))
                 if r in (-2, -3):
                     # re-zero this scan's blocks: the serial decoder's
                     # truncation semantics assume pre-zeroed planes
                     for ci in scan.comp_indices:
                         planes[ci][:] = 0
-                    lib.mj_set_warnings(w0)
             if r in (-2, -3):
                 r = lib.mj_decode_seq(
                     _np_ptr(seg, u8p), seg_len, arr,
@@ -129,7 +147,7 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
                     _np_ptr(dvp, i32p), _np_ptr(dvl, u8p),
                     _np_ptr(amn, i32p), _np_ptr(amx, i64p),
                     _np_ptr(avp, i32p), _np_ptr(avl, u8p),
-                    _np_ptr(lg_out, i32p))
+                    _np_ptr(lg_out, i32p), _np_ptr(warn_buf, i64p))
         elif scan.Ss == 0:
             if scan.Ah == 0:
                 r = lib.mj_decode_dc_first(
@@ -137,18 +155,20 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
                     smx, smy, restart, scan.Al,
                     _np_ptr(dmn, i32p), _np_ptr(dmx, i64p),
                     _np_ptr(dvp, i32p), _np_ptr(dvl, u8p),
-                    _np_ptr(lg_out, i32p))
+                    _np_ptr(lg_out, i32p), _np_ptr(warn_buf, i64p))
             else:
                 r = lib.mj_decode_dc_refine(
                     _np_ptr(seg, u8p), seg_len, arr, len(scan.comp_indices),
-                    smx, smy, restart, scan.Al, _np_ptr(lg_out, i32p))
+                    smx, smy, restart, scan.Al, _np_ptr(lg_out, i32p),
+                    _np_ptr(warn_buf, i64p))
         else:
             fn = (lib.mj_decode_ac_first if scan.Ah == 0
                   else lib.mj_decode_ac_refine)
             r = fn(_np_ptr(seg, u8p), seg_len, arr,
                    scan.Ss, scan.Se, scan.Al, restart,
                    _np_ptr(amn, i32p), _np_ptr(amx, i64p), _np_ptr(avp, i32p),
-                   _np_ptr(avl, u8p), _np_ptr(lg_out, i32p))
+                   _np_ptr(avl, u8p), _np_ptr(lg_out, i32p),
+                   _np_ptr(warn_buf, i64p))
         if r < 0:
             raise ValueError("corrupt scan %d" % si)
         # scan-local MCU row -> image iMCU row (jdcoefct consume_data
@@ -205,6 +225,17 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
                 futs[si] = ex.submit(run, si)
             lgs = [f.result() for f in futs]
         last_good = lgs[-1]
+        if int(warn_buf[0]):
+            # corrupt stream: the AC overrun clamp can write outside a
+            # scan's band (jdhuff natural-order padding), which races
+            # between concurrent scans — redo serially for djpeg-exact
+            # warn-and-resync semantics
+            for pl in planes:
+                pl[:] = 0
+            warn_buf[0] = 0
+            for si, scan in enumerate(jp.scans):
+                last_good = decode_one(si, scan,
+                                       np.zeros(1, dtype=np.int32))
     else:
         for si, scan in enumerate(jp.scans):
             last_good = decode_one(si, scan, np.zeros(1, dtype=np.int32))
@@ -212,7 +243,8 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     jp.coef_bits = cb_cur if jp.progressive else None
     jp.coef_bits_prev = cb_prev if jp.progressive else None
     jp.last_good_imcu_row = last_good
-    jp.warnings = int(lib.mj_get_warnings())
+    jp.warnings = int(warn_buf[0])
+    lib.mj_set_warnings(int(warn_buf[0]))   # last_warnings() compatibility
     return planes
 
 
@@ -261,8 +293,7 @@ def decode_raw_planes(data: bytes):
         cw = -(-jp.width * c.h // max_h)
         ch = -(-jp.height * c.v // max_v)
         bw, bh = -(-cw // 8), -(-ch // 8)
-        qt = jp.scan_qtables[0].get(c.quant_tbl,
-                                    jp.qtables.get(c.quant_tbl))
+        qt = _comp_qtable(jp, ci)
         pl = np.asarray(_render_plane(
             jnp.asarray(planes[ci][:bh, :bw]), jnp.asarray(qt),
             bh, bw, min(ph, bh * 8), min(pw, bw * 8), jp.precision))
@@ -302,6 +333,10 @@ def _jpeg_colorspace(jp: marker.ParsedJpeg) -> str:
     n = len(jp.components)
     if n == 1:
         return "grayscale"
+    if n == 2:
+        # libjpeg has no color transform for 2 components
+        raise ValueError("unsupported color conversion request "
+                         "(2-component frame)")
     if n == 4:
         return "ycck" if jp.adobe_transform == 2 else "cmyk"
     if jp.adobe_transform is not None:
@@ -312,9 +347,10 @@ def _jpeg_colorspace(jp: marker.ParsedJpeg) -> str:
     return "ycbcr"
 
 
-def _upsample_mode(jp, fancy=True):
-    """(mode, hexp, vexp) per jdsample.c:448-530 at full size."""
-    c1 = jp.components[1]
+def _upsample_mode(jp, fancy=True, comp=1):
+    """(mode, hexp, vexp) per jdsample.c:448-530 at full size, for the
+    given component (each component upsamples independently)."""
+    c1 = jp.components[comp]
     hexp = jp.max_h // c1.h
     vexp = jp.max_v // c1.v
     if (hexp, vexp) == (1, 1):
@@ -357,8 +393,7 @@ def _maybe_smooth(jp, planes, block_smoothing: bool):
         ch = -(-jp.height * c.v // max_v)
         bw, bh = -(-cw // 8), -(-ch // 8)
         if use:
-            qt = jp.scan_qtables[0].get(c.quant_tbl,
-                                        jp.qtables.get(c.quant_tbl))
+            qt = _comp_qtable(jp, ci)
             out.append(smooth.smooth_component(
                 planes[ci], bh, bw, c.v, mcus_y, qt, cur[ci], prev[ci],
                 jp.last_good_imcu_row))
@@ -381,7 +416,7 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
         cw = -(-jp.width * c.h // max_h)
         ch = -(-jp.height * c.v // max_v)
         bw, bh = -(-cw // 8), -(-ch // 8)
-        qt = jp.scan_qtables[0].get(c.quant_tbl, jp.qtables.get(c.quant_tbl))
+        qt = _comp_qtable(jp, ci)
         if dct_method == "ifast":
             qt = dct.ifast_multipliers(qt)
         elif dct_method == "float":
@@ -401,8 +436,10 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
     mode, hexp, vexp = _upsample_mode(jp, fancy_upsample)
     if cs == "ycck":
         y, cb, cr, k = sample_planes
+        kmode, khexp, kvexp = _upsample_mode(jp, fancy_upsample, comp=3)
         cmyk = _upsample_ycck(y, cb, cr, k, mode, jp.height, jp.width,
-                              jp.precision, hexp, vexp)
+                              jp.precision, hexp, vexp,
+                              kmode, khexp, kvexp)
         return np.asarray(cmyk)
     y, cb, cr = sample_planes[:3]
     rgb = _upsample_color(y, cb, cr, mode, jp.height, jp.width,
@@ -410,22 +447,25 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
     return np.asarray(rgb)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit,
+                   static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _upsample_ycck(y, cb, cr, k, mode: str, height: int, width: int,
-                   precision: int = 8, hexp: int = 1, vexp: int = 1):
+                   precision: int = 8, hexp: int = 1, vexp: int = 1,
+                   kmode: str = "none", khexp: int = 1, kvexp: int = 1):
     from ..ops import color as _color
-    def up(pl):
-        if mode == "h2v2":
+    def up(pl, m, he, ve):
+        if m == "h2v2":
             return sample.upsample_h2v2_fancy(pl)
-        if mode == "h2v1":
+        if m == "h2v1":
             return sample.upsample_h2v1_fancy(pl)
-        if mode == "h1v2":
+        if m == "h1v2":
             return sample.upsample_h1v2_fancy(pl)
-        if mode == "int":
-            return sample.upsample_replicate(pl, hexp, vexp)
+        if m == "int":
+            return sample.upsample_replicate(pl, he, ve)
         return pl
-    cb = up(cb)
-    cr = up(cr)
+    cb = up(cb, mode, hexp, vexp)
+    cr = up(cr, mode, hexp, vexp)
+    k = up(k, kmode, khexp, kvexp)           # K upsamples independently
     ycck = jnp.stack([y[:height, :width], cb[:height, :width],
                       cr[:height, :width], k[:height, :width]], axis=-1)
     return _color.ycck_to_cmyk(ycck, precision)
@@ -522,7 +562,7 @@ def decode_grayscale(data: bytes, fancy_upsample: bool = True,
     cw = -(-jp.width * c.h // max_h)
     ch = -(-jp.height * c.v // max_v)
     bw, bh = -(-cw // 8), -(-ch // 8)
-    qt = jp.scan_qtables[0].get(c.quant_tbl, jp.qtables.get(c.quant_tbl))
+    qt = _comp_qtable(jp, 0)
     pl = _render_plane(jnp.asarray(smoothed[0]), jnp.asarray(qt), bh, bw,
                        ch, cw, jp.precision, "islow")
     return np.asarray(pl)[:jp.height, :jp.width]
@@ -569,7 +609,7 @@ def decode_scaled(data: bytes, num: int, den: int,
         cw_full = -(-jp.width * c.h // max_h)
         ch_full = -(-jp.height * c.v // max_v)
         bw, bh = -(-cw_full // 8), -(-ch_full // 8)
-        qt = jp.scan_qtables[0].get(c.quant_tbl, jp.qtables.get(c.quant_tbl))
+        qt = _comp_qtable(jp, ci)
         zz = jnp.asarray(np.ascontiguousarray(smoothed[ci]))
         pl = _render_plane_scaled(zz, jnp.asarray(qt), bh, bw,
                                   down_h, down_w, ssize)
@@ -756,8 +796,7 @@ def decode_rgb565(data: bytes, fancy_upsample: bool = True,
         cw = -(-jp.width * c.h // max_h)
         ch = -(-jp.height * c.v // max_v)
         bw, bh = -(-cw // 8), -(-ch // 8)
-        qt = jp.scan_qtables[0].get(c.quant_tbl,
-                                    jp.qtables.get(c.quant_tbl))
+        qt = _comp_qtable(jp, ci)
         comps.append(np.asarray(_render_plane(
             jnp.asarray(smoothed[ci]), jnp.asarray(qt), bh, bw, ch, cw,
             jp.precision, "islow")))
@@ -833,8 +872,7 @@ def decode_cropped(data: bytes, x: int, w: int,
         cw = -(-jp.width * c.h // max_h)
         ch = -(-jp.height * c.v // max_v)
         bw, bh = -(-cw // 8), -(-ch // 8)
-        qt = jp.scan_qtables[0].get(c.quant_tbl,
-                                    jp.qtables.get(c.quant_tbl))
+        qt = _comp_qtable(jp, ci)
         pl = np.asarray(_render_plane(
             jnp.asarray(smoothed[ci]), jnp.asarray(qt), bh, bw, ch, cw,
             jp.precision, "islow"))
@@ -847,8 +885,10 @@ def decode_cropped(data: bytes, x: int, w: int,
     mode, hexp, vexp = _upsample_mode(jp, fancy_upsample)
     if cs == "ycck":
         y_, cb, cr, k = slices
+        kmode, khexp, kvexp = _upsample_mode(jp, fancy_upsample, comp=3)
         out = _upsample_ycck(y_, cb, cr, k, mode, jp.height, w2,
-                             jp.precision, hexp, vexp)
+                             jp.precision, hexp, vexp,
+                             kmode, khexp, kvexp)
         return np.asarray(out), ax, w2
     if cs in ("rgb", "cmyk"):
         out = [np.asarray(p)[:jp.height, :w2] for p in slices]
@@ -999,11 +1039,8 @@ def decode_many(datas, fancy_upsample: bool = True,
         (lbh, lbw, _, _), (cbh, cbw, _, _) = dims
         y = jnp.stack([jnp.asarray(planes_list[i][0][:lbh, :lbw])
                        for i in idxs])
-        qty = jnp.stack([jnp.asarray(
-            jps[i].scan_qtables[0].get(jps[i].components[0].quant_tbl,
-                                       jps[i].qtables.get(
-                                           jps[i].components[0].quant_tbl)))
-            for i in idxs])
+        qty = jnp.stack([jnp.asarray(_comp_qtable(jps[i], 0))
+                         for i in idxs])
         if gray:
             cb = cr = qtc = None
         else:
@@ -1011,11 +1048,8 @@ def decode_many(datas, fancy_upsample: bool = True,
                             for i in idxs])
             cr = jnp.stack([jnp.asarray(planes_list[i][2][:cbh, :cbw])
                             for i in idxs])
-            qtc = jnp.stack([jnp.asarray(
-                jps[i].scan_qtables[0].get(
-                    jps[i].components[1].quant_tbl,
-                    jps[i].qtables.get(jps[i].components[1].quant_tbl)))
-                for i in idxs])
+            qtc = jnp.stack([jnp.asarray(_comp_qtable(jps[i], 1))
+                             for i in idxs])
         res = np.asarray(_render_ycc_batch(y, cb, cr, qty, qtc, dims,
                                            mode, h, w, precision, hexp,
                                            vexp, gray))

@@ -89,7 +89,7 @@ lib.mj_decode_seq.restype = ctypes.c_long
 lib.mj_decode_seq.argtypes = [
     u8p, ctypes.c_long, cpp, ctypes.c_int,
     ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    i32p, i64p, i32p, u8p, i32p, i64p, i32p, u8p, i32p]
+    i32p, i64p, i32p, u8p, i32p, i64p, i32p, u8p, i32p, i64p]
 
 lib.mj_set_warnings.restype = None
 lib.mj_set_warnings.argtypes = [ctypes.c_long]
@@ -98,7 +98,8 @@ lib.mj_decode_seq_par.restype = ctypes.c_long
 lib.mj_decode_seq_par.argtypes = [
     u8p, ctypes.c_long, cpp, ctypes.c_int,
     ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    i32p, i64p, i32p, u8p, i32p, i64p, i32p, u8p, i32p, ctypes.c_int]
+    i32p, i64p, i32p, u8p, i32p, i64p, i32p, u8p, i32p, ctypes.c_int,
+    i64p]
 
 lib.mj_ac_refine_schedule.restype = ctypes.c_long
 lib.mj_ac_refine_schedule.argtypes = [
@@ -109,18 +110,18 @@ lib.mj_decode_dc_first.restype = ctypes.c_long
 lib.mj_decode_dc_first.argtypes = [
     u8p, ctypes.c_long, cpp, ctypes.c_int,
     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    i32p, i64p, i32p, u8p, i32p]
+    i32p, i64p, i32p, u8p, i32p, i64p]
 
 lib.mj_decode_dc_refine.restype = ctypes.c_long
 lib.mj_decode_dc_refine.argtypes = [
     u8p, ctypes.c_long, cpp, ctypes.c_int,
-    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p]
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i64p]
 
 lib.mj_decode_ac_first.restype = ctypes.c_long
 lib.mj_decode_ac_first.argtypes = [
     u8p, ctypes.c_long, cpp,
     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    i32p, i64p, i32p, u8p, i32p]
+    i32p, i64p, i32p, u8p, i32p, i64p]
 
 lib.mj_decode_ac_refine.restype = ctypes.c_long
 lib.mj_decode_ac_refine.argtypes = lib.mj_decode_ac_first.argtypes

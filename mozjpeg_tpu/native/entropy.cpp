@@ -41,6 +41,7 @@ struct BitWriter {
   }
   inline void put(uint32_t code, int size) {
     // size in [1,26]; code has its value in low `size` bits
+    if (size <= 0) return;  // callers flag missing symbols themselves
     acc |= (uint64_t)(code & ((1u << size) - 1)) << (64 - nbits - size);
     nbits += size;
     while (nbits >= 8) {
@@ -101,11 +102,15 @@ struct Tables {
 
   inline void dc_symbol(int tbl, int sym) {
     if (gather) { dc_counts[tbl * 257 + sym]++; return; }
-    bw->put(dc_co[tbl * 256 + sym], dc_si[tbl * 256 + sym]);
+    int si = dc_si[tbl * 256 + sym];
+    if (si == 0) { bw->overflow = true; return; }  // JERR_MISSING_HUFF
+    bw->put(dc_co[tbl * 256 + sym], si);
   }
   inline void ac_symbol(int tbl, int sym) {
     if (gather) { ac_counts[tbl * 257 + sym]++; return; }
-    bw->put(ac_co[tbl * 256 + sym], ac_si[tbl * 256 + sym]);
+    int si = ac_si[tbl * 256 + sym];
+    if (si == 0) { bw->overflow = true; return; }  // JERR_MISSING_HUFF
+    bw->put(ac_co[tbl * 256 + sym], si);
   }
   inline void bits(uint32_t v, int n) {
     if (!gather && n > 0) bw->put(v, n);
@@ -519,7 +524,8 @@ struct BitReader {
   bool saw_marker; // hit a non-stuffing marker: feed zeroes from now on
   bool insufficient;  // ran out of real bits (jdhuff insufficient_data);
                       // sticky until a restart marker is consumed
-  int marker_pos;  // byte offset of the 0xFF of the marker (if saw_marker)
+  long marker_pos;  // byte offset of the 0xFF of the marker (if saw_marker)
+  long warns = 0;   // per-call corrupt-data warning count
 
   void init(const uint8_t* d, long l) {
     data = d; len = l; pos = 0; acc = 0; nbits = 0; real_bits = 0;
@@ -539,7 +545,7 @@ struct BitReader {
           pos += 2;
         } else {
           saw_marker = true;
-          marker_pos = (int)pos;
+          marker_pos = pos;
           nbits += 8;
           continue;
         }
@@ -550,10 +556,6 @@ struct BitReader {
       nbits += 8;
       real_bits += 8;
     }
-  }
-  inline int peek(int n) {
-    if (nbits < n) fill();
-    return (int)(acc >> (64 - n));
   }
   inline void skip(int n) {
     acc <<= n;
@@ -566,7 +568,7 @@ struct BitReader {
     // warns once and zero-fills (entropy->insufficient_data)
     if (n > real_bits && !insufficient) {
       insufficient = true;
-      mj_warn_count++;
+      warns++;
     }
     real_bits = real_bits >= n ? real_bits - n : 0;
     int v = (int)(acc >> (64 - n));
@@ -594,8 +596,8 @@ struct BitReader {
         // RSTn was consumed (jdhuff.c:537-540 via unread_marker == 0)
         if (data[q] >= 0xD0 && data[q] <= 0xD7) insufficient = false;
         else {
-          mj_warn_count++;  // JWRN_MUST_RESYNC
-          saw_marker = true; marker_pos = (int)(q - 1); pos = q - 1;
+          warns++;  // JWRN_MUST_RESYNC
+          saw_marker = true; marker_pos = q - 1; pos = q - 1;
         }
         return data[q];
       }
@@ -626,7 +628,7 @@ static inline int huff_decode(BitReader& br, const DecTables& t, int tbl) {
     l++;
     // jpeg_huff_decode: bad code warns and fakes a zero (jdhuff.c) so
     // corrupt/truncated streams keep decoding like djpeg does
-    if (l > 16) { mj_warn_count++; return 0; }
+    if (l > 16) { br.warns++; return 0; }
   }
   return vals[valptr[l] + (code - mincode[l])];
 }
@@ -647,7 +649,7 @@ long mj_decode_seq(const uint8_t* data, long len,
                    const int32_t* dc_valptr, const uint8_t* dc_vals,
                    const int32_t* ac_mincode, const int64_t* ac_maxcode,
                    const int32_t* ac_valptr, const uint8_t* ac_vals,
-                   int32_t* last_good_row) {
+                   int32_t* last_good_row, int64_t* warn_out) {
   BitReader br; br.init(data, len);
   DecTables dct{dc_mincode, dc_maxcode, dc_valptr, dc_vals};
   DecTables act{ac_mincode, ac_maxcode, ac_valptr, ac_vals};
@@ -700,6 +702,9 @@ long mj_decode_seq(const uint8_t* data, long len,
       if (restart_interval) restarts_to_go--;
     }
   }
+  mj_warn_count += br.warns;
+  if (warn_out)  // atomic: concurrent scans of one image share the buffer
+    __atomic_fetch_add(warn_out, br.warns, __ATOMIC_RELAXED);
   return br.saw_marker ? br.marker_pos : br.pos;
 }
 
@@ -716,7 +721,8 @@ long mj_decode_seq_par(const uint8_t* data, long len,
                        const int32_t* dc_valptr, const uint8_t* dc_vals,
                        const int32_t* ac_mincode, const int64_t* ac_maxcode,
                        const int32_t* ac_valptr, const uint8_t* ac_vals,
-                       int32_t* last_good_row, int nthreads) {
+                       int32_t* last_good_row, int nthreads,
+                       int64_t* warn_out) {
   const long num_mcus = (long)mcus_x * mcus_y;
   const int r = restart_interval;
   if (r <= 0) return -2;
@@ -750,7 +756,7 @@ long mj_decode_seq_par(const uint8_t* data, long len,
 
   DecTables dct{dc_mincode, dc_maxcode, dc_valptr, dc_vals};
   DecTables act{ac_mincode, ac_maxcode, ac_valptr, ac_vals};
-  long warn_before = mj_warn_count.load();
+  std::atomic<long> call_warns{0};
 
   int nt = nthreads > 0 ? nthreads : 1;
   if (nt > (int)nseg) nt = (int)nseg;
@@ -793,10 +799,11 @@ long mj_decode_seq_par(const uint8_t* data, long len,
           }
         }
       }
-      if (br.insufficient) mj_warn_count++;  // force the serial fallback
+      if (br.insufficient) br.warns++;  // force the serial fallback
+      call_warns += br.warns;
       if (s == nseg - 1)
         consumed_last = seg_start[s]
-            + (br.saw_marker ? (long)br.marker_pos : br.pos);
+            + (br.saw_marker ? br.marker_pos : br.pos);
     }
   };
 
@@ -808,7 +815,8 @@ long mj_decode_seq_par(const uint8_t* data, long len,
     for (auto& t : ts) t.join();
   }
 
-  if (mj_warn_count.load() != warn_before) return -3;
+  if (call_warns.load() != 0) return -3;   // serial fallback recounts
+  (void)warn_out;                           // clean runs record nothing
   if (last_good_row) *last_good_row = mcus_y - 1;
   return consumed_last.load();
 }
@@ -819,7 +827,7 @@ long mj_decode_dc_first(const uint8_t* data, long len,
                         int mcus_x, int mcus_y, int restart_interval, int Al,
                         const int32_t* dc_mincode, const int64_t* dc_maxcode,
                         const int32_t* dc_valptr, const uint8_t* dc_vals,
-                        int32_t* last_good_row) {
+                        int32_t* last_good_row, int64_t* warn_out) {
   BitReader br; br.init(data, len);
   DecTables dct{dc_mincode, dc_maxcode, dc_valptr, dc_vals};
   int last_dc[16] = {0};
@@ -852,6 +860,9 @@ long mj_decode_dc_first(const uint8_t* data, long len,
       if (restart_interval) restarts_to_go--;
     }
   }
+  mj_warn_count += br.warns;
+  if (warn_out)  // atomic: concurrent scans of one image share the buffer
+    __atomic_fetch_add(warn_out, br.warns, __ATOMIC_RELAXED);
   return br.saw_marker ? br.marker_pos : br.pos;
 }
 
@@ -859,7 +870,7 @@ long mj_decode_dc_first(const uint8_t* data, long len,
 long mj_decode_dc_refine(const uint8_t* data, long len,
                          CompPlaneMut* comps, int ncomp,
                          int mcus_x, int mcus_y, int restart_interval, int Al,
-                         int32_t* last_good_row) {
+                         int32_t* last_good_row, int64_t* warn_out) {
   BitReader br; br.init(data, len);
   int restarts_to_go = restart_interval;
   int p1 = 1 << Al;
@@ -887,6 +898,9 @@ long mj_decode_dc_refine(const uint8_t* data, long len,
       if (restart_interval) restarts_to_go--;
     }
   }
+  mj_warn_count += br.warns;
+  if (warn_out)  // atomic: concurrent scans of one image share the buffer
+    __atomic_fetch_add(warn_out, br.warns, __ATOMIC_RELAXED);
   return br.saw_marker ? br.marker_pos : br.pos;
 }
 
@@ -896,7 +910,7 @@ long mj_decode_ac_first(const uint8_t* data, long len,
                         int Ss, int Se, int Al, int restart_interval,
                         const int32_t* ac_mincode, const int64_t* ac_maxcode,
                         const int32_t* ac_valptr, const uint8_t* ac_vals,
-                        int32_t* last_good_row) {
+                        int32_t* last_good_row, int64_t* warn_out) {
   BitReader br; br.init(data, len);
   DecTables act{ac_mincode, ac_maxcode, ac_valptr, ac_vals};
   CompPlaneMut& c = *comp;
@@ -944,6 +958,9 @@ long mj_decode_ac_first(const uint8_t* data, long len,
       if (restart_interval) restarts_to_go--;
     }
   }
+  mj_warn_count += br.warns;
+  if (warn_out)  // atomic: concurrent scans of one image share the buffer
+    __atomic_fetch_add(warn_out, br.warns, __ATOMIC_RELAXED);
   return br.saw_marker ? br.marker_pos : br.pos;
 }
 
@@ -953,7 +970,7 @@ long mj_decode_ac_refine(const uint8_t* data, long len,
                          int Ss, int Se, int Al, int restart_interval,
                          const int32_t* ac_mincode, const int64_t* ac_maxcode,
                          const int32_t* ac_valptr, const uint8_t* ac_vals,
-                         int32_t* last_good_row) {
+                         int32_t* last_good_row, int64_t* warn_out) {
   BitReader br; br.init(data, len);
   DecTables act{ac_mincode, ac_maxcode, ac_valptr, ac_vals};
   CompPlaneMut& c = *comp;
@@ -981,7 +998,6 @@ long mj_decode_ac_refine(const uint8_t* data, long len,
       if (eobrun == 0) {
         while (k <= Se) {
           int rs = huff_decode(br, act, c.ac_tbl);
-          if (rs < 0) return -1;
           int r = rs >> 4, sz = rs & 15;
           int coef_to_set = 0;
           if (sz == 0) {
@@ -1031,6 +1047,9 @@ long mj_decode_ac_refine(const uint8_t* data, long len,
       if (restart_interval) restarts_to_go--;
     }
   }
+  mj_warn_count += br.warns;
+  if (warn_out)  // atomic: concurrent scans of one image share the buffer
+    __atomic_fetch_add(warn_out, br.warns, __ATOMIC_RELAXED);
   return br.saw_marker ? br.marker_pos : br.pos;
 }
 

@@ -226,3 +226,47 @@ def test_decode_many_matches_decode(ref_tools, tmp_path):
     outs = mj.decode_many(datas)
     for i, d in enumerate(datas):
         np.testing.assert_array_equal(outs[i], mj.decode(d))
+
+
+def test_dqt_redefined_between_scans(ref_tools, tmp_path):
+    """jdinput latch_quant_tables parity: a component first scanned AFTER
+    a DQT redefinition must dequantize with the redefined table."""
+    import mozjpeg_tpu as mj
+    scans = str(tmp_path / "latch.scans")
+    open(scans, "w").write(
+        "0: 0 0 0 0;\n1 2: 0 0 0 0;\n0: 1 63 0 0;\n"
+        "1: 1 63 0 0;\n2: 1 63 0 0;\n")
+    jpg = str(tmp_path / "l.jpg")
+    run_cjpeg(["-revert", "-quality", "75", "-scans", scans],
+              corpus_path("testorig.ppm"), jpg)
+    data = bytearray(open(jpg, "rb").read())
+    dqt = bytes([0xFF, 0xDB, 0x00, 0x43, 0x01]) + bytes([16] * 64)
+    sos = [i for i in range(len(data) - 1)
+           if data[i] == 0xFF and data[i + 1] == 0xDA]
+    patched = bytes(data[:sos[1]]) + dqt + bytes(data[sos[1]:])
+    p2 = str(tmp_path / "l2.jpg")
+    open(p2, "wb").write(patched)
+    ref = run_djpeg(p2, str(tmp_path / "l2.ppm"))
+    np.testing.assert_array_equal(mj.decode(patched), ref)
+    # sensitivity: the redefinition must actually change pixels
+    assert not np.array_equal(mj.decode(bytes(data)), ref)
+
+
+def test_two_component_frame_rejected():
+    """libjpeg has no color transform for 2-component frames; reject
+    cleanly instead of crashing (JERR_CONVERSION_NOTIMPL analog)."""
+    import mozjpeg_tpu as mj
+    from mozjpeg_tpu.codec import marker
+    from mozjpeg_tpu.entropy.huffman import HuffTable
+    w = marker.MarkerWriter()
+    w.soi()
+    w.dqt(0, np.full((8, 8), 16, np.uint16))
+    w.sof(marker.SOF0, 8, 16, 16, [(1, 1, 1, 0), (2, 1, 1, 0)])
+    from mozjpeg_tpu.codec.encoder import STD_TABLES
+    w.dht(0, 0, STD_TABLES[(0, 0)])
+    w.dht(1, 0, STD_TABLES[(1, 0)])
+    w.sos([(1, 0, 0), (2, 0, 0)], 0, 63, 0, 0)
+    w.raw(b"\x00" * 32)
+    w.eoi()
+    with pytest.raises(ValueError):
+        mj.decode(w.bytes())
