@@ -57,9 +57,10 @@ def _comp_qtable(jp: marker.ParsedJpeg, ci: int):
         c.quant_tbl, jp.qtables.get(c.quant_tbl))
 
 
-def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
+def decode_coefficients(jp: marker.ParsedJpeg, data: bytes, planes=None):
     """Entropy-decode all scans -> list of (bh_pad, bw_pad, 64) int16 zigzag
-    planes (MCU-padded dims).
+    planes (MCU-padded dims). planes: continue into existing arrays (the
+    buffered-image incremental path) instead of fresh zeros.
 
     Side effects on jp (consumed by progressive block smoothing):
     jp.coef_bits / jp.coef_bits_prev -- the progression status table
@@ -69,10 +70,11 @@ def decode_coefficients(jp: marker.ParsedJpeg, data: bytes):
     max_h, max_v = jp.max_h, jp.max_v
     mcus_x = -(-jp.width // (8 * max_h))
     mcus_y = -(-jp.height // (8 * max_v))
-    planes = []
-    for c in jp.components:
-        planes.append(np.zeros((mcus_y * c.v, mcus_x * c.h, 64),
-                               dtype=np.int16))
+    if planes is None:
+        planes = []
+        for c in jp.components:
+            planes.append(np.zeros((mcus_y * c.v, mcus_x * c.h, 64),
+                                   dtype=np.int16))
     buf = np.frombuffer(data, dtype=np.uint8)
 
     ncomps = len(jp.components)
@@ -941,8 +943,50 @@ class BufferedImage:
                       block_smoothing=self._smooth)
 
     def __iter__(self):
-        for k in range(1, self.num_scans + 1):
-            yield self.render_pass(k)
+        """Incremental display passes: each scan is entropy-decoded once
+        into persistent coefficient planes (the jpeg_consume_input /
+        jpeg_start_output model) instead of re-decoding scans 1..k for
+        every pass. Arithmetic streams fall back to per-pass decoding
+        (the adaptive coder state is not scan-separable here)."""
+        jp0 = marker.parse(self._data)
+        if jp0.arithmetic:
+            for k in range(1, self.num_scans + 1):
+                yield self.render_pass(k)
+            return
+        n = len(jp0.scans)
+        all_state = (jp0.scans, jp0.scan_htables, jp0.scan_restart,
+                     jp0.scan_qtables)
+        planes = None
+        ncomps = len(jp0.components)
+        cb_cur = np.full((ncomps, 64), -1, dtype=np.int32)
+        cb_prev = np.full((ncomps, 64), -1, dtype=np.int32)
+        warnings = 0
+        for k in range(1, n + 1):
+            jpk = marker.parse(self._data)
+            jpk.scans = [all_state[0][k - 1]]
+            jpk.scan_htables = [all_state[1][k - 1]]
+            jpk.scan_restart = [all_state[2][k - 1]]
+            jpk.scan_qtables = [all_state[3][k - 1]]
+            planes = decode_coefficients(jpk, self._data, planes=planes)
+            warnings += jpk.warnings
+            # progression status over scans 1..k (jdphuff.c:126-144)
+            if jp0.progressive:
+                scan = all_state[0][k - 1]
+                for ci in scan.comp_indices:
+                    lo, hi = min(scan.Ss, 1), max(scan.Se, 9)
+                    cb_prev[ci, lo:hi + 1] = (cb_cur[ci, lo:hi + 1]
+                                              if k > 1 else 0)
+                    cb_cur[ci, scan.Ss:scan.Se + 1] = scan.Al
+            jpk.scans = all_state[0][:k]
+            jpk.scan_htables = all_state[1][:k]
+            jpk.scan_restart = all_state[2][:k]
+            jpk.scan_qtables = all_state[3][:k]
+            jpk.coef_bits = cb_cur if jp0.progressive else None
+            jpk.coef_bits_prev = cb_prev if jp0.progressive else None
+            jpk.warnings = warnings
+            yield render(jpk, planes, fancy_upsample=self._fancy,
+                         dct_method=self._dct,
+                         block_smoothing=self._smooth)
 
 
 

@@ -1136,9 +1136,18 @@ class TestBufferedImage:
     def test_iter_yields_every_pass(self, projpg):
         from mozjpeg_tpu.codec import decoder
         bi = decoder.BufferedImage(projpg, block_smoothing=False)
-        shapes = {im.shape for im in bi}
+        frames = list(bi)
         full = decoder.decode(projpg)
-        assert shapes == {full.shape}
+        assert {im.shape for im in frames} == {full.shape}
+        # incremental iteration must equal the per-pass renders exactly
+        for k, im in enumerate(frames, 1):
+            np.testing.assert_array_equal(im, bi.render_pass(k))
+
+    def test_iter_matches_render_pass_with_smoothing(self, projpg):
+        from mozjpeg_tpu.codec import decoder
+        bi = decoder.BufferedImage(projpg, block_smoothing=True)
+        for k, im in enumerate(bi, 1):
+            np.testing.assert_array_equal(im, bi.render_pass(k))
 
     def test_baseline_single_pass(self, ref_tools, tmp_path):
         from mozjpeg_tpu.codec import decoder
