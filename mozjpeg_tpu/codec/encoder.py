@@ -530,6 +530,18 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
             use_pallas=upal, interpret=uint)
         finals = run(raws, tuple(r[0] for r in comp_res), packed)
         for _ in range(max(1, cfg.trellis_num_loops) - 1):
+            if opt:
+                # each loop regathers rate statistics from the previous
+                # loop's trellised coefficients (jcmaster.c:1129-1139:
+                # a huff_opt gather pass precedes every trellis pass)
+                hist_fn = trellis.make_band_hist_t(
+                    1, 63, ris=_trellis_ris(cfg, comps))
+                bh = hist_fn(finals)
+                ac_sis = [trellis.trellis_tables_from_hist(
+                    np.asarray(bh[ci])[0], tbl_slots[ci], True)[0]
+                    for ci in range(len(comp_res))]
+                packed = jnp.asarray(trellis.pack_trellis_inputs(
+                    lams, ac_sis, dc_sis, qtblzz))
             finals = run(raws, finals, packed)
     if cfg.trellis_q_opt:
         _apply_q_opt(comp_res, finals, qtables, qt_slots)
@@ -850,11 +862,22 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
                                          tuple(ncands), batch=b,
                                          precision=cfg.precision,
                                          eob_opt=cfg.trellis_eob_opt,
+                                         delta_w=float(
+                                             cfg.trellis_delta_dc_weight),
                                          use_pallas=upal, interpret=uint)
-        finals = run(tuple(m[1] for m in merged),
-                     tuple(m[0] for m in merged), packed)
+        raws_b = tuple(m[1] for m in merged)
+        finals = run(raws_b, tuple(m[0] for m in merged), packed)
         for _ in range(max(1, cfg.trellis_num_loops) - 1):
-            finals = run(tuple(m[1] for m in merged), finals, packed)
+            if cfg.optimize_coding and not cfg.arithmetic:
+                hist_fn = trellis.make_band_hist_t(
+                    1, 63, batch=b, ris=_trellis_ris(cfg, comps))
+                bhh = hist_fn(finals)
+                ac_sis = [trellis.trellis_tables_from_hist(
+                    np.asarray(bhh[ci])[0], 0 if ci == 0 else 1, True)[0]
+                    for ci in range(len(comps))]
+                packed = jnp.asarray(trellis.pack_trellis_inputs(
+                    lams, ac_sis, dc_sis, qtblzz))
+            finals = run(raws_b, finals, packed)
     else:
         finals = tuple(m[0] for m in merged)
 

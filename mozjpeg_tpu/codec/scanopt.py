@@ -26,17 +26,9 @@ AL_MAX_CHROMA = scans.AL_MAX_CHROMA      # 2
 NUM_FREQ_SPLITS = len(scans.FREQUENCY_SPLITS)  # 5
 
 
-def _scan_restart(scan, geom, cfg, ncomps, restart):
+def _scan_restart(scan, geom, cfg, ncomps):
     from .encoder import scan_restart_interval
     return scan_restart_interval(cfg, scan, geom, ncomps)
-
-
-class _Candidate:
-    __slots__ = ("buf", "size")
-
-    def __init__(self, buf: bytes):
-        self.buf = buf
-        self.size = len(buf)
 
 
 def _scan_result(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
@@ -192,7 +184,7 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
                 elif ncomps == 3 and chroma_split_start <= sj < num_scans:
                     sc = ScanInfo(sc.comps, sc.Ss, sc.Se, sc.Ah,
                                   best_Al_chroma)
-                rj = _scan_restart(sc, geom, cfg, ncomps, restart)
+                rj = _scan_restart(sc, geom, cfg, ncomps)
                 futures[sj] = executor.submit(
                     _scan_result, sc, geom, planes, dc_tbls, ac_tbls, rj,
                     dev, precision)
@@ -205,98 +197,100 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
         executor = ThreadPoolExecutor(
             max_workers=min(8, _os.cpu_count() or 1))
 
-    sn = 0
-    while sn < num_scans:
-        scan = script[sn]
-        # Al override for frequency-split scans (jcmaster.c:483-494)
-        if luma_split_start <= sn < num_scans_luma:
-            scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
-                            best_Al_luma)
-        elif ncomps == 3 and chroma_split_start <= sn < num_scans:
-            scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
-                            best_Al_chroma)
-        mk = _scan_buffer_arith if arith else functools.partial(
-            _scan_buffer, device=dev, precision=precision,
-            sr=prefetch(sn, scan))
-        # per-scan restart interval; DRI emitted when it changes along the
-        # candidate-encode order -- the search captures scan buffers in
-        # trial order and stitches them verbatim (jcmaster.c:672-683,
-        # jcmarker.c:778-780)
-        r = _scan_restart(scan, geom, cfg, ncomps, restart)
-        buf = mk(scan, geom, planes, dc_tbls, ac_tbls, r,
-                 frame_header if sn == 0 else None,
-                 emit_dri=(r != last_dri))
-        last_dri = r if r != last_dri else last_dri
-        bufs[sn] = buf
-        used_scans[sn] = scan
-        sizes[sn] = len(buf) - (len(frame_header) if sn == 0 else 0)
-        report.pass_done("candidate scan %d/%d" % (sn + 1, num_scans))
-        nxt = sn + 1
+    try:
+        sn = 0
+        while sn < num_scans:
+            scan = script[sn]
+            # Al override for frequency-split scans (jcmaster.c:483-494)
+            if luma_split_start <= sn < num_scans_luma:
+                scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
+                                best_Al_luma)
+            elif ncomps == 3 and chroma_split_start <= sn < num_scans:
+                scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
+                                best_Al_chroma)
+            mk = _scan_buffer_arith if arith else functools.partial(
+                _scan_buffer, device=dev, precision=precision,
+                sr=prefetch(sn, scan))
+            # per-scan restart interval; DRI emitted when it changes along the
+            # candidate-encode order -- the search captures scan buffers in
+            # trial order and stitches them verbatim (jcmaster.c:672-683,
+            # jcmarker.c:778-780)
+            r = _scan_restart(scan, geom, cfg, ncomps)
+            buf = mk(scan, geom, planes, dc_tbls, ac_tbls, r,
+                     frame_header if sn == 0 else None,
+                     emit_dri=(r != last_dri))
+            last_dri = r if r != last_dri else last_dri
+            bufs[sn] = buf
+            used_scans[sn] = scan
+            sizes[sn] = len(buf) - (len(frame_header) if sn == 0 else 0)
+            report.pass_done("candidate scan %d/%d" % (sn + 1, num_scans))
+            nxt = sn + 1
 
-        # --- selection state machine (select_scans) ---
-        if 1 < nxt <= luma_split_start:
-            if (nxt - 1) % 3 == 2:
-                Al = (nxt - 1) // 3
-                cost = sizes[nxt - 2] + sizes[nxt - 1] \
-                    + sum(sizes[3 + 3 * i] for i in range(Al))
-                if Al == 0 or cost < best_cost:
-                    best_cost = cost
-                    best_Al_luma = Al
-                else:
-                    sn = luma_split_start - 1  # jump: next is split start
-        elif luma_split_start < nxt <= num_scans_luma:
-            if nxt == luma_split_start + 1:
-                best_split_luma = 0
-                best_cost = sizes[nxt - 1]
-            elif (nxt - luma_split_start) % 2 == 1:
-                idx = (nxt - luma_split_start) >> 1
-                cost = sizes[nxt - 2] + sizes[nxt - 1]
-                if cost < best_cost:
-                    best_cost = cost
-                    best_split_luma = idx
-                if ((idx == 2 and best_split_luma == 0)
-                        or (idx == 3 and best_split_luma != 2)
-                        or (idx == 4 and best_split_luma != 4)):
-                    sn = num_scans_luma - 1
-        elif num_scans > num_scans_luma:
-            base = num_scans_luma
-            if nxt == num_scans_luma + num_scans_chroma_dc:
-                interleave_chroma_dc = (sizes[base] <= sizes[base + 1]
-                                        + sizes[base + 2])
-            elif (num_scans_luma + num_scans_chroma_dc < nxt
-                  <= chroma_split_start):
-                base = num_scans_luma + num_scans_chroma_dc
-                if (nxt - base) % 6 == 4:
-                    Al = (nxt - base) // 6
-                    cost = (sizes[nxt - 4] + sizes[nxt - 3]
-                            + sizes[nxt - 2] + sizes[nxt - 1]
-                            + sum(sizes[base + 4 + 6 * i]
-                                  + sizes[base + 5 + 6 * i]
-                                  for i in range(Al)))
+            # --- selection state machine (select_scans) ---
+            if 1 < nxt <= luma_split_start:
+                if (nxt - 1) % 3 == 2:
+                    Al = (nxt - 1) // 3
+                    cost = sizes[nxt - 2] + sizes[nxt - 1] \
+                        + sum(sizes[3 + 3 * i] for i in range(Al))
                     if Al == 0 or cost < best_cost:
                         best_cost = cost
-                        best_Al_chroma = Al
+                        best_Al_luma = Al
                     else:
-                        sn = chroma_split_start - 1
-            elif chroma_split_start < nxt <= num_scans:
-                if nxt == chroma_split_start + 2:
-                    best_split_chroma = 0
-                    best_cost = sizes[nxt - 2] + sizes[nxt - 1]
-                elif (nxt - chroma_split_start) % 4 == 2:
-                    idx = (nxt - chroma_split_start) >> 2
-                    cost = (sizes[nxt - 4] + sizes[nxt - 3]
-                            + sizes[nxt - 2] + sizes[nxt - 1])
+                        sn = luma_split_start - 1  # jump: next is split start
+            elif luma_split_start < nxt <= num_scans_luma:
+                if nxt == luma_split_start + 1:
+                    best_split_luma = 0
+                    best_cost = sizes[nxt - 1]
+                elif (nxt - luma_split_start) % 2 == 1:
+                    idx = (nxt - luma_split_start) >> 1
+                    cost = sizes[nxt - 2] + sizes[nxt - 1]
                     if cost < best_cost:
                         best_cost = cost
-                        best_split_chroma = idx
-                    if ((idx == 2 and best_split_chroma == 0)
-                            or (idx == 3 and best_split_chroma != 2)
-                            or (idx == 4 and best_split_chroma != 4)):
-                        sn = num_scans - 1
-        sn += 1
+                        best_split_luma = idx
+                    if ((idx == 2 and best_split_luma == 0)
+                            or (idx == 3 and best_split_luma != 2)
+                            or (idx == 4 and best_split_luma != 4)):
+                        sn = num_scans_luma - 1
+            elif num_scans > num_scans_luma:
+                base = num_scans_luma
+                if nxt == num_scans_luma + num_scans_chroma_dc:
+                    interleave_chroma_dc = (sizes[base] <= sizes[base + 1]
+                                            + sizes[base + 2])
+                elif (num_scans_luma + num_scans_chroma_dc < nxt
+                      <= chroma_split_start):
+                    base = num_scans_luma + num_scans_chroma_dc
+                    if (nxt - base) % 6 == 4:
+                        Al = (nxt - base) // 6
+                        cost = (sizes[nxt - 4] + sizes[nxt - 3]
+                                + sizes[nxt - 2] + sizes[nxt - 1]
+                                + sum(sizes[base + 4 + 6 * i]
+                                      + sizes[base + 5 + 6 * i]
+                                      for i in range(Al)))
+                        if Al == 0 or cost < best_cost:
+                            best_cost = cost
+                            best_Al_chroma = Al
+                        else:
+                            sn = chroma_split_start - 1
+                elif chroma_split_start < nxt <= num_scans:
+                    if nxt == chroma_split_start + 2:
+                        best_split_chroma = 0
+                        best_cost = sizes[nxt - 2] + sizes[nxt - 1]
+                    elif (nxt - chroma_split_start) % 4 == 2:
+                        idx = (nxt - chroma_split_start) >> 2
+                        cost = (sizes[nxt - 4] + sizes[nxt - 3]
+                                + sizes[nxt - 2] + sizes[nxt - 1])
+                        if cost < best_cost:
+                            best_cost = cost
+                            best_split_chroma = idx
+                        if ((idx == 2 and best_split_chroma == 0)
+                                or (idx == 3 and best_split_chroma != 2)
+                                or (idx == 4 and best_split_chroma != 4)):
+                            sn = num_scans - 1
+            sn += 1
 
-    if executor is not None:
-        executor.shutdown(wait=False, cancel_futures=True)
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=False, cancel_futures=True)
 
     # --- final assembly (display order) ---
     out = marker.MarkerWriter()

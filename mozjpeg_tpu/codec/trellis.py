@@ -46,138 +46,6 @@ def _nbits(v):
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
-def trellis_ac(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int):
-    """AC trellis over a batch of blocks (zigzag order everywhere).
-
-    raw: (N, 64) int32 unquantized (x8 scale); qcoef: (N, 64) int16
-    round-nearest quantized; qtbl_zz: (64,) int32; ac_si: (256,) int32 AC
-    code lengths; lam: (N,) float32 per-block lambda.
-    Returns (N, 64) int16 with positions Ss..Se re-quantized.
-    """
-    N = raw.shape[0]
-    pos = jnp.arange(64)
-    in_band = (pos >= Ss) & (pos <= Se)
-
-    x = jnp.abs(raw)
-    sign = jnp.where(raw < 0, -1, 1)
-    q8 = qtbl_zz.astype(jnp.int32) << 3
-    qval = jnp.minimum((x + (q8 >> 1)[None, :]) // q8[None, :], 1023)
-
-    # mode==1 weights; C computes 1.0/(q*q) in double then stores float
-    ltbl = (1.0 / (qtbl_zz.astype(jnp.float64)
-                   * qtbl_zz.astype(jnp.float64))).astype(jnp.float32) \
-        if jax.config.jax_enable_x64 else \
-        (1.0 / (qtbl_zz.astype(jnp.float32) * qtbl_zz.astype(jnp.float32)))
-
-    # zero-distortion prefix: azd[i] = sum over band of ((x^2)*lam)*ltbl,
-    # accumulated SEQUENTIALLY in f32 with C's multiply order (left-assoc)
-    zdist = ((x * x).astype(jnp.float32) * lam[:, None]) * ltbl[None, :]
-    zterm = jnp.where(in_band[None, :], zdist, 0.0)
-
-    def azd_step(c, i):
-        c = c + zterm[:, i]
-        return c, c
-
-    _, azd_t = jax.lax.scan(azd_step, jnp.zeros((N,), jnp.float32),
-                            jnp.arange(64))
-    azd = jnp.moveaxis(azd_t, 0, 1)                    # (N, 64)
-    azd_prev = jnp.concatenate(
-        [jnp.zeros((N, 1), jnp.float32), azd[:, :-1]], axis=1)
-
-    # candidates
-    nc = _nbits(qval)                                  # (N, 64)
-    k = jnp.arange(KMAX)
-    cand = jnp.where(k[None, None, :] == nc[..., None] - 1,
-                     qval[..., None], ((2 << k) - 1)[None, None, :])
-    cand_valid = k[None, None, :] < nc[..., None]      # (N, 64, K)
-    cand_bits_f = (k + 1).astype(jnp.float32)
-    delta = cand * q8[None, :, None] - x[..., None]
-    cdist = ((delta * delta).astype(jnp.float32)
-             * lam[:, None, None]) * ltbl[None, :, None]
-
-    ac_si_f = ac_si.astype(jnp.float32)             # (B, 256)
-    zrl_bits_l = jnp.repeat(ac_si_f[:, 0xF0], n_img)   # (N,) per-lane
-    zrl_ok_l = jnp.repeat(ac_si[:, 0xF0] > 0, n_img)   # (N,)
-
-    j_idx = jnp.arange(64)
-    j_is_start = j_idx == (Ss - 1)
-    j_nonzero = (qval != 0) & in_band[None, :]
-    j_valid_static = j_is_start[None, :] | j_nonzero   # (N, 64)
-
-    init_acc = jnp.where(j_is_start[None, :],
-                         jnp.float32(0), BIG) + jnp.zeros((N, 1))
-
-    def step(acc, i):
-        run = i - 1 - j_idx                            # (64,)
-        run_ok = (run >= 0) & ((run < 16) | zrl_ok)
-        run_bits = jnp.where(run >= 16,
-                             (run >> 4).astype(jnp.float32) * zrl_bits, 0.0)
-        coef_len = ac_si_f[(16 * (run & 15))[:, None]
-                           + (k + 1)[None, :]]          # (64, K)
-        coef_ok = coef_len > 0
-        rate = coef_len + cand_bits_f[None, :] + run_bits[:, None]
-
-        cdist_i = cdist[:, i, :]                        # (N, K)
-        cand_i = cand[:, i, :]
-        cand_ok_i = cand_valid[:, i, :]
-        qval_i = qval[:, i]
-
-        # cost[n, j, k] = (rate + dist_k) + ((azd[i-1]-azd[j]) + acc[j])
-        tail = (azd_prev[:, i][:, None] - azd) + acc    # (N, 64)
-        cost = (rate[None, :, :] + cdist_i[:, None, :]) + tail[:, :, None]
-        valid = ((j_valid_static & (j_idx < i)[None, :] & run_ok[None, :])
-                 [:, :, None]
-                 & coef_ok[None, :, :] & cand_ok_i[:, None, :]
-                 & (qval_i != 0)[:, None, None])
-        cost = jnp.where(valid, cost, BIG)
-
-        flat = cost.reshape(N, -1)
-        arg = jnp.argmin(flat, axis=1)                  # first min (C tie rule)
-        best = jnp.take_along_axis(flat, arg[:, None], axis=1)[:, 0]
-        bj = (arg // KMAX).astype(jnp.int32)
-        bk = arg % KMAX
-        val = jnp.take_along_axis(cand_i, bk[:, None], axis=1)[:, 0]
-
-        new_acc_i = jnp.where(qval_i != 0, best, BIG)
-        acc = acc.at[:, i].set(new_acc_i)
-        return acc, (bj, val)
-
-    acc, (runstart_h, val_h) = jax.lax.scan(step, init_acc,
-                                            jnp.arange(Ss, Se + 1))
-    steps = Se - Ss + 1
-    run_start = jnp.zeros((N, 64), jnp.int32) \
-        .at[:, Ss:Se + 1].set(jnp.moveaxis(runstart_h, 0, 1))
-    best_val = jnp.zeros((N, 64), jnp.int32) \
-        .at[:, Ss:Se + 1].set(jnp.moveaxis(val_h, 0, 1))
-
-    # choose last nonzero index (EOB decision, jcdctmgr.c:1187-1205);
-    # C float order: ((acc + azd[Se]) - azd[i]) then += eob
-    azd_Se = azd[:, Se]
-    eob_len = ac_si_f[0]
-    end_cost = ((acc + azd_Se[:, None]) - azd) \
-        + jnp.where((pos < Se)[None, :], eob_len, 0.0)
-    end_cost = jnp.where(j_nonzero, end_cost, BIG)
-    end_cost = end_cost.at[:, Ss - 1].set(azd_Se + eob_len)  # all-zero
-    last_idx = jnp.argmin(end_cost, axis=1).astype(jnp.int32)
-
-    # path reconstruction via run_start chain
-    def walk(carry, _):
-        cur, keep = carry
-        keep = keep | ((j_idx[None, :] == cur[:, None]) & (cur >= Ss)[:, None])
-        nxt = jnp.take_along_axis(run_start, jnp.maximum(cur, 0)[:, None],
-                                  axis=1)[:, 0]
-        nxt = jnp.where(cur >= Ss, nxt, Ss - 1)
-        return (nxt, keep), None
-
-    (_, keep), _ = jax.lax.scan(
-        walk, (last_idx, jnp.zeros((N, 64), bool)), None, length=steps)
-    keep = keep & j_nonzero
-
-    new_band = jnp.where(keep, (best_val * sign), 0).astype(jnp.int16)
-    return jnp.where(in_band[None, :], new_band, qcoef)
-
-
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
 def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
                     maxq: int = 1023, delta_w: float = 0.0,
                     above_raw=None, above_dc=None):
@@ -240,157 +108,8 @@ def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
     return out, out[:, -1]
 
 
-def block_lambda_np(raw: np.ndarray, s1: float, s2: float) -> np.ndarray:
-    """Per-block lambda, exact C semantics (jcdctmgr.c:1030-1038).
-
-    norm accumulates sequentially in float32 (C's `norm += src*src` loop);
-    the lambda expression evaluates in double (pow returns double) and is
-    then stored into a float.
-    """
-    # C walks NATURAL index order; raw here is zigzag, so permute the
-    # accumulation order (float32 sequential sums are order-sensitive)
-    zz_of_nat = np.argsort(consts.JPEG_ZIGZAG)
-    norm = np.zeros(raw.shape[0], dtype=np.float32)
-    for i in range(1, 64):
-        t = raw[:, zz_of_nat[i]].astype(np.int64)
-        norm = norm + (t * t).astype(np.float32)  # f32 adds, C order
-    norm = norm / np.float32(63.0)  # f32 div == double-div-then-round
-    if s2 > 0:
-        lam = (np.float64(2.0) ** s1) / (np.float64(2.0) ** s2
-                                         + norm.astype(np.float64))
-    else:
-        lam = np.full(norm.shape, np.float64(2.0) ** (s1 - 12.0))
-    return lam.astype(np.float32)
-
-
 def get_num_dc_candidates(q0: int) -> int:
     return min(DC_CAND_MAX, (2 + 60 // q0) | 1)
-
-
-def _slabbed_ac(rb, qb, qtbl_zz, ac_si, lam, ss, se):
-    """Run trellis_ac in fixed-size slabs to bound buffer sizes."""
-    N = rb.shape[0]
-    out = np.empty((N, 64), dtype=np.int16)
-    for start in range(0, N, AC_SLAB):
-        end = min(start + AC_SLAB, N)
-        n = end - start
-        pad = AC_SLAB - n if N > AC_SLAB else 0
-        r = rb[start:end]
-        q = qb[start:end]
-        la = lam[start:end]
-        if pad:
-            r = np.pad(r, ((0, pad), (0, 0)))
-            q = np.pad(q, ((0, pad), (0, 0)))
-            la = jnp.pad(la, (0, pad))
-        res = trellis_ac(jnp.asarray(r), jnp.asarray(q),
-                         jnp.asarray(qtbl_zz), jnp.asarray(ac_si), la,
-                         ss, se)
-        out[start:end] = np.asarray(res)[:n]
-    return out
-
-
-def trellis_optimize(planes: List[np.ndarray], raw: List[np.ndarray],
-                     qtables, geom, cfg) -> List[np.ndarray]:
-    """Run the trellis passes over all components (see module docstring)."""
-    from ..codec.encoder import STD_TABLES
-    from ..ops import layout as _layout
-    mcus_x, mcus_y, comps = geom
-    ncomps = len(comps)
-
-    out_planes = list(planes)
-    for ci in range(ncomps):
-        g = comps[ci]
-        qtbl = qtables[0] if ci == 0 else qtables[1]
-        qtbl_zz = np.asarray(qtbl).reshape(64)[consts.JPEG_ZIGZAG] \
-            .astype(np.int32)
-        tbl_slot = 0 if ci == 0 else 1
-
-        if cfg.optimize_coding and not cfg.arithmetic:
-            ac_tbl = _gather_ac_table(out_planes[ci], g)
-        else:
-            ac_tbl = STD_TABLES[(1, tbl_slot)]
-        dc_tbl = STD_TABLES[(0, tbl_slot)]
-        _, ac_si = derive_codes(ac_tbl)
-        _, dc_si = derive_codes(dc_tbl)
-        ac_si = ac_si.astype(np.int32)
-        dc_si = dc_si.astype(np.int32)
-
-        rb = np.ascontiguousarray(raw[ci][:g.bh, :g.bw]) \
-            .reshape(-1, 64).astype(np.int32)
-        qb = np.ascontiguousarray(out_planes[ci][:g.bh, :g.bw]) \
-            .reshape(-1, 64)
-
-        lam = block_lambda_np(rb, cfg.lambda_log_scale1,
-                              cfg.lambda_log_scale2)
-
-        bands = [(1, 63)]
-        if cfg.use_scans_in_trellis:
-            fs = cfg.trellis_freq_split
-            bands = [(1, fs), (fs + 1, 63)]
-        lam_j = jnp.asarray(lam)
-        new_q = qb
-        for _loop in range(max(1, cfg.trellis_num_loops)):
-            for (ss, se) in bands:
-                new_q = _slabbed_ac(rb, new_q, qtbl_zz, ac_si, lam_j, ss, se)
-
-        if cfg.trellis_quant_dc:
-            q0 = int(qtbl_zz[0])
-            nc = get_num_dc_candidates(q0)
-            v = g.v
-            # lambda_dc = lambda * lambda_tbl[0] (f32 multiply, C order)
-            ltbl0 = np.float32(1.0 / (q0 * q0))
-            lam_np = (np.asarray(lam) * ltbl0).reshape(g.bh, g.bw)
-            raw_dc = rb[:, 0].reshape(g.bh, g.bw)
-            dc_out = np.zeros((g.bh, g.bw), dtype=np.int32)
-            n_imcu = -(-g.bh // v)
-            prev = np.zeros(n_imcu, dtype=np.int32)
-            # phase p = block row p of each iMCU row; lastDC carried from
-            # phase p-1 of the same iMCU row (reset to 0 at phase 0)
-            for p in range(v):
-                rows = np.arange(p, g.bh, v)            # block-row indices
-                if len(rows) == 0:
-                    continue
-                rr = raw_dc[rows]
-                ll = lam_np[rows]
-                init = (np.zeros(len(rows), np.int32) if p == 0
-                        else prev[:len(rows)])
-                dc, fin = trellis_dc_rows(
-                    jnp.asarray(rr), jnp.asarray(init), q0,
-                    jnp.asarray(dc_si), jnp.asarray(ll), nc)
-                dc_out[rows] = np.asarray(dc)
-                prev_new = np.zeros(n_imcu, dtype=np.int32)
-                prev_new[:len(rows)] = np.asarray(fin)
-                prev = prev_new
-            new_q = new_q.copy()
-            new_q[:, 0] = dc_out.reshape(-1).astype(np.int16)
-
-        full = new_q.reshape(g.bh, g.bw, 64)
-        padded = np.zeros((g.bh_pad, g.bw_pad, 64), dtype=np.int16)
-        padded[:g.bh, :g.bw] = full
-        padded = np.asarray(_layout.add_dummy_blocks(
-            jnp.asarray(padded), g.bw, g.bh, g.h, g.v))
-        out_planes[ci] = padded
-    return out_planes
-
-
-def _gather_ac_table(plane: np.ndarray, g) -> HuffTable:
-    """Optimal AC table from AC-first (Ss=1..63, Al=0) stats of this comp.
-
-    During trellis passes the reference seeds every (run,size) symbol count
-    to 1 before gathering so that all codewords get an assigned length
-    (/root/reference/jcphuff.c:257-264) — the trellis rate LUT needs them.
-    """
-    from ..codec.scans import ScanInfo
-    sg = entenc.ScanGeometry(
-        ScanInfo((0,), 1, 63, 0, 0), (0, 0, [g]),
-        [np.ascontiguousarray(plane[:g.bh, :g.bw])])
-    _, _, acc = entenc.encode_scan(sg, {0: 0}, {0: 0}, {}, {}, 0,
-                                   gather=True)
-    counts = acc[0].astype(np.int64)
-    for run in range(16):
-        for size in range(12):
-            counts[16 * run + size] += 1
-    return entenc.gen_optimal_table(counts)
 
 
 # ---------------------------------------------------------------------------
@@ -993,9 +712,7 @@ def _arith_ac_row_maker(Ss: int, Se: int, ac_K: int = 5):
             qval_i = qval[i]
             x_i = x[i]
             tail = (azd_prev[i][None, :] - azd) + acc
-            best = jnp.full((N,), BIG)
-            bj = jnp.zeros((N,), jnp.int32)
-            bval = jnp.zeros((N,), jnp.int32)
+            costs = []
             for cand, okc in ((qval_i, qval_i != 0),
                               (qval_i - 1, qval_i > 1)):
                 delta = cand * q8_v[i] - x_i
@@ -1007,13 +724,15 @@ def _arith_ac_row_maker(Ss: int, Se: int, ac_K: int = 5):
                 cost = (rate + cdist[None, :]) + tail
                 valid = ((j_valid_static & (j_idx < i)[:, None])
                          & okc[None, :])
-                cost = jnp.where(valid, cost, BIG)
-                arg = jnp.argmin(cost, axis=0)
-                c_best = jnp.take_along_axis(cost, arg[None, :], axis=0)[0]
-                upd = c_best < best
-                best = jnp.where(upd, c_best, best)
-                bj = jnp.where(upd, arg.astype(jnp.int32), bj)
-                bval = jnp.where(upd, cand, bval)
+                costs.append(jnp.where(valid, cost, BIG))
+            # first minimum in the reference's (j, candidate) iteration
+            # order (jcdctmgr.c:1552-1599: j outer, candidate inner,
+            # strict less-than)
+            flat = jnp.stack(costs, axis=1).reshape(128, N)
+            arg = jnp.argmin(flat, axis=0)
+            best = jnp.take_along_axis(flat, arg[None, :], axis=0)[0]
+            bj = (arg // 2).astype(jnp.int32)
+            bval = jnp.where(arg % 2 == 0, qval_i, qval_i - 1)
             new_acc_i = jnp.where(qval_i != 0, best, BIG)
             acc = acc.at[i].set(new_acc_i)
             return (acc, A), (bj, bval)

@@ -1414,3 +1414,54 @@ class TestCropSweep:
                                                                         None)
             assert open(ours, "rb").read() == open(ref, "rb").read(), \
                 "crop %s mismatch for %s%s" % (spec, samp, prog)
+
+
+class TestApiOnlyKnobs:
+    """Golden tests for knobs reachable only through the reference C API
+    (no cjpeg flag): built via scripts/encode_harness.c."""
+
+    @pytest.fixture(scope="class")
+    def harness(self, ref_tools):
+        import shutil
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(root, ".bench", "encode_harness")
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            build = os.path.dirname(ref_tools["cjpeg"])
+            rc = subprocess.run(
+                ["gcc", "-O2", "-I/root/reference", "-I" + build,
+                 os.path.join(root, "scripts", "encode_harness.c"),
+                 "-L" + build, "-ljpeg",
+                 "-Wl,-rpath," + build, "-lm", "-o", path],
+                capture_output=True)
+            if rc.returncode != 0 or not os.path.exists(path):
+                pytest.skip("cannot build encode_harness")
+        return path
+
+    B_OPT = 0x680C061E   # JBOOLEAN_OPTIMIZE_SCANS
+    B_SIT = 0xFD841435   # JBOOLEAN_USE_SCANS_IN_TRELLIS
+    I_NL = 0xB63EBF39    # JINT_TRELLIS_NUM_LOOPS
+
+    @pytest.mark.parametrize("loops,scanopt,sit", [
+        (2, False, False), (3, False, False),
+        (2, True, False), (2, False, True),
+    ])
+    def test_trellis_num_loops(self, harness, tmp_path, loops, scanopt,
+                               sit):
+        """Each trellis loop regathers rate statistics from the previous
+        loop's output (jcmaster.c pass structure)."""
+        import mozjpeg_tpu as mj
+        args = [harness, corpus("testorig.ppm"), "75",
+                str(tmp_path / "h.jpg"), "INT:%d=%d" % (self.I_NL, loops)]
+        kw = dict(quality=75, trellis_num_loops=loops)
+        if not scanopt:
+            args.append("BOOL:%d=0" % self.B_OPT)
+            kw["optimize_scans"] = False
+        if sit:
+            args.append("BOOL:%d=1" % self.B_SIT)
+            kw["use_scans_in_trellis"] = True
+        subprocess.run(args, check=True)
+        ref = open(str(tmp_path / "h.jpg"), "rb").read()
+        ours = mj.encode(ppm.read(corpus("testorig.ppm")),
+                         mj.EncoderConfig(**kw))
+        assert ours == ref
