@@ -125,8 +125,8 @@ def main(argv=None):
     if a.drop:
         cs = transcode.parse_crop_spec(a.drop[0])
         src = transcode.read_coefficients(open(a.drop[1], "rb").read())
-        img = transcode.drop(img, src, cs.xoff, cs.yoff,
-                             trim_requant=a.trim)
+        xo, yo = transcode.resolve_drop_offsets(img.jp, src.jp, cs)
+        img = transcode.drop(img, src, xo, yo, trim_requant=a.trim)
     if a.grayscale:
         # applied after the geometric transforms: the reference computes
         # all trim/crop geometry from the source sampling factors and only

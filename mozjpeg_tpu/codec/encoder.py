@@ -16,7 +16,7 @@ from .. import consts
 from ..entropy import encode as entenc
 from ..entropy.huffman import HuffTable
 from . import marker, pipeline, report, scans
-from .config import EncoderConfig, Profile
+from .config import DCTMethod, EncoderConfig, Profile
 
 STD_TABLES = {
     (0, 0): HuffTable(*consts.STD_DC_LUMINANCE),
@@ -227,7 +227,7 @@ def encode_scan_fixed(sg: entenc.ScanGeometry, dc_tbls, ac_tbls,
 
 
 def assemble(width: int, height: int, geom, qtables, scan_results,
-             restart: int, progressive: bool, ncomps: int,
+             progressive: bool, ncomps: int,
              icc: Optional[bytes] = None,
              com: Optional[bytes] = None,
              multi_dqt: bool = True, precision: int = 8,
@@ -596,23 +596,17 @@ def _split_flat(geom, flat):
 
 
 def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
-                   ncomps, restart, cs="ycbcr", extra_markers=None):
+                   ncomps, restart, cs="ycbcr", extra_markers=None,
+                   qt_slots=None):
     if cfg.icc:
-        # split across APP2 chunks (jcicc.c jpeg_write_icc_profile)
-        n = (len(cfg.icc) + marker.ICC_MARKER_PAYLOAD - 1) \
-            // marker.ICC_MARKER_PAYLOAD
-        chunks = tuple(
-            (0xE2, b"ICC_PROFILE\x00" + bytes([i + 1, n])
-             + cfg.icc[i * marker.ICC_MARKER_PAYLOAD:
-                       (i + 1) * marker.ICC_MARKER_PAYLOAD])
-            for i in range(n))
-        extra_markers = chunks + tuple(extra_markers or ())
+        extra_markers = tuple(marker.icc_chunks(cfg.icc)) \
+            + tuple(extra_markers or ())
     dc_tbls, ac_tbls = _std_dc_ac(ncomps, cs)
     ycbcr = cs == "ycbcr"
     if cfg.arithmetic:
         return _entropy_arith(width, height, geom, planes, qtables, config,
                               cfg, ncomps, restart, dc_tbls, ac_tbls, cs,
-                              extra_markers)
+                              extra_markers, qt_slots=qt_slots)
     progressive = cfg.progressive
     if cfg.scan_script is not None:
         # a custom script may be sequential: progressive iff the first
@@ -654,11 +648,12 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
                                              act_, r, device=dev,
                                              precision=cfg.precision))
         report.pass_done("scan %d-%d" % (scan.Ss, scan.Se))
-    return assemble(width, height, geom, qtables, results, restart,
+    return assemble(width, height, geom, qtables, results,
                     progressive, ncomps,
                     multi_dqt=config.profile != Profile.FASTEST,
                     precision=cfg.precision, cs=cs,
-                    qt_slots=_qt_slots(cfg, cs, ncomps),
+                    qt_slots=(qt_slots if qt_slots is not None
+                              else _qt_slots(cfg, cs, ncomps)),
                     extra_markers=extra_markers, density=cfg.density,
                     write_jfif=cfg.write_jfif)
 
@@ -667,12 +662,13 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
 
 def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
                    ncomps, restart, dc_tbls, ac_tbls, cs="ycbcr",
-                   extra_markers=None):
+                   extra_markers=None, qt_slots=None):
     """Arithmetic-coded output scans (SOF9/SOF10 + DAC markers)."""
     from . import arith
     _, _, comps = geom
     _, _tbl, comp_ids = _CS_INFO[cs]
-    qt_slots = _qt_slots(cfg, cs, ncomps)
+    if qt_slots is None:
+        qt_slots = _qt_slots(cfg, cs, ncomps)
     ycbcr = cs == "ycbcr"
     if cfg.progressive:
         if cfg.scan_script is not None:
@@ -781,7 +777,15 @@ def _encode_many(images, config: Optional[EncoderConfig] = None,
             geom = geometry(w, h, samp)
             if (pipeline_t.batchable(geom) and cs == "ycbcr"
                     and not cfg.trellis_q_opt
-                    and not cfg.use_scans_in_trellis):
+                    and not cfg.use_scans_in_trellis
+                    # options _p1_batch hardcodes away — fall back to the
+                    # per-image pipeline when any is in play
+                    and not cfg.arithmetic
+                    and cfg.smoothing_factor == 0
+                    and cfg.dct_method == DCTMethod.ISLOW
+                    and not cfg.restart_interval
+                    and not cfg.restart_in_rows
+                    and _qt_slots(cfg, cs, ncomps) == (0, 1, 1)):
                 return _encode_batch(images, cfg_o, cfg, ncomps, samp, qt)
     out = [None] * len(images)
     states = []
@@ -869,11 +873,13 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
         finals = run(raws_b, tuple(m[0] for m in merged), packed)
         for _ in range(max(1, cfg.trellis_num_loops) - 1):
             if cfg.optimize_coding and not cfg.arithmetic:
-                hist_fn = trellis.make_band_hist_t(
-                    1, 63, batch=b, ris=_trellis_ris(cfg, comps))
+                # regather PER-IMAGE rate tables from the previous loop's
+                # coefficients, like the first loop's per-image stats
+                hist_fn = trellis.make_band_hist_t(1, 63, batch=b)
                 bhh = hist_fn(finals)
-                ac_sis = [trellis.trellis_tables_from_hist(
-                    np.asarray(bhh[ci])[0], 0 if ci == 0 else 1, True)[0]
+                ac_sis = [np.stack([trellis.trellis_tables_from_hist(
+                    np.asarray(bhh[ci])[bi], 0 if ci == 0 else 1, True)[0]
+                    for bi in range(b)])
                     for ci in range(len(comps))]
                 packed = jnp.asarray(trellis.pack_trellis_inputs(
                     lams, ac_sis, dc_sis, qtblzz))
@@ -889,11 +895,20 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
     per_image_planes = pipeline_t.split_flat_batch(geom, np.asarray(flat_dev),
                                                    b)
     from concurrent.futures import ThreadPoolExecutor
+    import contextvars
+    report.add_passes(b)
     with ThreadPoolExecutor(max_workers=min(8, b)) as ex:
-        futs = [ex.submit(_phase_entropy, img.shape[1], img.shape[0], geom,
-                          planes, qtables, config, cfg, ncomps, restart)
-                for img, planes in zip(images, per_image_planes)]
-        return [f.result() for f in futs]
+        futs = []
+        for img, planes in zip(images, per_image_planes):
+            ctx = contextvars.copy_context()   # progress/trace reporter
+            futs.append(ex.submit(
+                ctx.run, _phase_entropy, img.shape[1], img.shape[0], geom,
+                planes, qtables, config, cfg, ncomps, restart))
+        outs = []
+        for f in futs:
+            outs.append(f.result())
+            report.pass_done("entropy")
+        return outs
 
 def encode_raw_yuv(planes, width: int, height: int, samp,
                    config: Optional[EncoderConfig] = None,

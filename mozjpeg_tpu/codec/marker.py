@@ -422,6 +422,15 @@ def _parse(data: bytes) -> ParsedJpeg:
 ICC_MARKER_PAYLOAD = 65533 - 14  # max profile bytes per APP2 chunk
 
 
+def icc_chunks(profile: bytes):
+    """APP2 ICC_PROFILE chunking (jcicc.c jpeg_write_icc_profile):
+    [(marker_code, payload), ...]."""
+    n = (len(profile) + ICC_MARKER_PAYLOAD - 1) // ICC_MARKER_PAYLOAD
+    return [(0xE2, b"ICC_PROFILE\x00" + bytes([i + 1, n])
+             + profile[i * ICC_MARKER_PAYLOAD:(i + 1) * ICC_MARKER_PAYLOAD])
+            for i in range(n)]
+
+
 def write_icc(w: MarkerWriter, profile: bytes):
     """Split an ICC profile across APP2 chunks (jcicc.c semantics)."""
     nchunks = (len(profile) + ICC_MARKER_PAYLOAD - 1) // ICC_MARKER_PAYLOAD

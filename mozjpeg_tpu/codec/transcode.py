@@ -456,10 +456,31 @@ def _requant_plane(plane, src_q, dst_q):
     dq = np.asarray(dst_q).reshape(64)[_ZZ].astype(np.int64)
     diff = (sq != dq) & (dq != 0)
     t = plane.astype(np.int64) * sq
+    # DIVIDE_BY zeroes only when |t| + (dq>>1) < dq (the rounding bias is
+    # added before the compare, transupp.c:150-161) — floor division
+    # reproduces that exactly
     mag = (np.abs(t) + (dq >> 1)) // dq
-    mag = np.where(np.abs(t) >= dq, mag, 0)        # DIVIDE_BY underflow->0
     req = np.where(t < 0, -mag, mag).astype(plane.dtype)
     return np.where(diff[None, None, :], req, plane)
+
+
+def resolve_drop_offsets(dst_jp, src_jp, cs: CropSpec):
+    """Negative drop offsets measure from the far edge minus the drop
+    extent (transupp.c:1629-1641 with crop_width = the drop source's
+    dims, jpegtran.c drop_request)."""
+    xo = cs.xoff if cs.xoff_set != "unset" else 0
+    yo = cs.yoff if cs.yoff_set != "unset" else 0
+    if cs.xoff_set == "neg":
+        if src_jp.width > dst_jp.width:      # crop extension
+            xo = src_jp.width - dst_jp.width - xo
+        else:
+            xo = dst_jp.width - src_jp.width - xo
+    if cs.yoff_set == "neg":
+        if src_jp.height > dst_jp.height:
+            yo = src_jp.height - dst_jp.height - yo
+        else:
+            yo = dst_jp.height - src_jp.height - yo
+    return xo, yo
 
 
 def drop(dst: CoefImage, src: CoefImage, x: int, y: int,
@@ -599,10 +620,13 @@ def write_coefficients(ci_img: CoefImage,
     is exactly the jpegrescan use case)."""
     from . import pipeline
     from .encoder import _phase_entropy, make_qtables
+    jp = ci_img.jp
     if config is None:
         config = EncoderConfig()
+    if jp.precision != 8 and config.precision == 8:
+        import dataclasses as _dc
+        config = _dc.replace(config, precision=jp.precision)
     cfg = config.resolved()
-    jp = ci_img.jp
     ncomps = len(jp.components)
     samp = [(c.h, c.v) for c in jp.components]
     mcus_x, mcus_y, comps = pipeline.geometry(jp.width, jp.height, samp)
@@ -621,9 +645,12 @@ def write_coefficients(ci_img: CoefImage,
         planes.append(np.ascontiguousarray(padded.T.reshape(
             g.bh_pad, g.bw_pad, 64)))
 
-    qtables = [jp.qtables.get(0, np.ones((8, 8), np.uint16)),
-               jp.qtables.get(1, jp.qtables.get(0,
-                                                np.ones((8, 8), np.uint16)))]
+    # preserve the source's per-component quant-slot mapping (a legal
+    # stream may bind components to any of slots 0..3)
+    qt_slots = tuple(c.quant_tbl for c in jp.components)
+    nslots = max(qt_slots) + 1
+    fallback = jp.qtables.get(0, np.ones((8, 8), np.uint16))
+    qtables = [jp.qtables.get(i, fallback) for i in range(max(nslots, 2))]
     from .encoder import _restart_interval
     restart = _restart_interval(cfg, mcus_x)
     from .decoder import _jpeg_colorspace
@@ -631,16 +658,11 @@ def write_coefficients(ci_img: CoefImage,
     if icc:
         # jpegtran.c:754-755: jpeg_write_icc_profile runs after the copied
         # markers, splitting across APP2 chunks (jcicc.c)
-        extra = list(extra or [])
-        n = (len(icc) + marker.ICC_MARKER_PAYLOAD - 1) \
-            // marker.ICC_MARKER_PAYLOAD
-        for i in range(n):
-            extra.append((0xE2, b"ICC_PROFILE\x00" + bytes([i + 1, n])
-                          + icc[i * marker.ICC_MARKER_PAYLOAD:
-                                (i + 1) * marker.ICC_MARKER_PAYLOAD]))
+        extra = list(extra or []) + marker.icc_chunks(icc)
     return _phase_entropy(jp.width, jp.height, geom, planes, qtables,
                           config, cfg, ncomps, restart,
-                          _jpeg_colorspace(jp), extra)
+                          _jpeg_colorspace(jp), extra,
+                          qt_slots=qt_slots)
 
 
 def perfect_possible(jp, op: str) -> bool:
@@ -649,8 +671,8 @@ def perfect_possible(jp, op: str) -> bool:
     imcu_w, imcu_h = 8 * jp.max_h, 8 * jp.max_v
     w_ok = jp.width % imcu_w == 0
     h_ok = jp.height % imcu_h == 0
-    need_w = op in ("flip_h", "rot90", "rot180", "transverse")
-    need_h = op in ("flip_v", "rot180", "rot270", "transverse")
+    need_w = op in ("flip_h", "rot270", "rot180", "transverse")
+    need_h = op in ("flip_v", "rot90", "rot180", "transverse")
     return (w_ok or not need_w) and (h_ok or not need_h)
 
 
@@ -672,8 +694,8 @@ def transform(data: bytes, op: str = "none",
     if drop is not None:
         cs = parse_crop_spec(drop[0])
         src = read_coefficients(drop[1])
-        img = globals()["drop"](img, src, cs.xoff, cs.yoff,
-                                trim_requant=trim)
+        xo, yo = resolve_drop_offsets(img.jp, src.jp, cs)
+        img = globals()["drop"](img, src, xo, yo, trim_requant=trim)
     elif op == "wipe" and crop:
         img = wipe_spec(img, parse_crop_spec(crop))
     elif op.startswith("crop:"):

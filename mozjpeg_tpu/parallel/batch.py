@@ -143,6 +143,6 @@ def encode_batch(images: np.ndarray, quality: float = 75.0,
                                             ac_tables, ri, gather=False)
         sr = ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
                         restart=ri)
-        out.append(assemble(w, h, geom, qt, [sr], ri, False, 3,
+        out.append(assemble(w, h, geom, qt, [sr], False, 3,
                             multi_dqt=False))
     return out

@@ -247,7 +247,7 @@ def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
     scan = baseline_script(ncomp)[0]
     sr = ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
                     restart=r)
-    return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], r, False,
+    return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], False,
                     ncomp, multi_dqt=False,
                     cs="grayscale" if ncomp == 1 else "ycbcr")
 
@@ -518,7 +518,7 @@ def encode_row_sharded_trellis(image: np.ndarray, quality: float = 75.0,
     scan = baseline_script(ncomp)[0]
     sr = ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
                     restart=r)
-    return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], r, False,
+    return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], False,
                     ncomp, multi_dqt=True,
                     cs="grayscale" if ncomp == 1 else "ycbcr")
 
@@ -655,6 +655,5 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
         results.append(ScanResult(scan, data, dc_tables, ac_tables,
                                   dc_tbls, ac_tbls, restart=r_scan))
     return assemble(w, h, geom, qt, results,
-                    scan_restart_interval(cfg, script[0], geom, ncomp),
                     True, ncomp, multi_dqt=True,
                     cs="grayscale" if ncomp == 1 else "ycbcr")
