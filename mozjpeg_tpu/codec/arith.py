@@ -130,6 +130,15 @@ def decode_coefficients_arith(jp, data: bytes) -> List[np.ndarray]:
     from . import marker as _marker
     from .pipeline import CompGeom
     _marker.validate_decodable(jp)
+    for cond in jp.scan_arith_cond:
+        for (tc, th), v in cond.items():
+            default = 0x10 if tc == 0 else 5    # DC (U<<4)|L=0x10, AC Kx=5
+            if v != default:
+                raise ValueError(
+                    "unsupported arithmetic conditioning "
+                    "(DAC %s table %d value 0x%02X; only the libjpeg "
+                    "defaults L=0 U=1 Kx=5 are implemented)"
+                    % ("DC" if tc == 0 else "AC", th, v))
     max_h, max_v = jp.max_h, jp.max_v
     mcus_x = -(-jp.width // (8 * max_h))
     mcus_y = -(-jp.height // (8 * max_v))

@@ -31,6 +31,12 @@ lib.mj_lossless_decode.argtypes = [
 def encode_lossless(image: np.ndarray, predictor: int = 1,
                     point_transform: int = 0, precision: int = 8) -> bytes:
     """Encode (H, W[, 3]) uint8/uint16 losslessly (SOF3 + optimal tables)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7, got %d"
+                         % predictor)
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform must be in [0, precision), "
+                         "got %d" % point_transform)
     if image.ndim == 2:
         comps = [image]
     else:
@@ -85,6 +91,16 @@ def encode_lossless(image: np.ndarray, predictor: int = 1,
 
 def decode_lossless(jp: marker.ParsedJpeg, data: bytes) -> np.ndarray:
     marker.validate_decodable(jp)
+    if jp.arithmetic:
+        raise ValueError("arithmetic-coded lossless (SOF11) is not "
+                         "supported")
+    if len(jp.scans) != 1:
+        raise ValueError("multi-scan lossless streams are not supported")
+    if jp.scan_restart[0]:
+        raise ValueError("lossless restart intervals are not supported")
+    if any(c.h != 1 or c.v != 1 for c in jp.components):
+        raise ValueError("subsampled lossless components are not "
+                         "supported")
     scan = jp.scans[0]
     predictor = scan.Ss
     pt = scan.Al

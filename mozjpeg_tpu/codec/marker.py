@@ -179,6 +179,9 @@ class ParsedJpeg:
     scan_qtables: List[Dict[int, np.ndarray]] = \
         dataclasses.field(default_factory=list)
     restart_interval: int = 0
+    # DAC arithmetic conditioning (cls, idx) -> value; snapshotted per scan
+    arith_cond: Dict = dataclasses.field(default_factory=dict)
+    scan_arith_cond: List[Dict] = dataclasses.field(default_factory=list)
     adobe_transform: Optional[int] = None
     saw_jfif: bool = False
     density: tuple = (0, 1, 1)           # JFIF (unit, X, Y)
@@ -350,6 +353,15 @@ def _parse(data: bytes) -> ParsedJpeg:
                 jp.components.append(FrameComponent(
                     cid=seg[o], h=seg[o + 1] >> 4, v=seg[o + 1] & 15,
                     quant_tbl=seg[o + 2]))
+        elif m == DAC:
+            # arithmetic conditioning (jdmarker.c get_dac)
+            i = 0
+            while i + 1 < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                if tc > 1 or th > 3:
+                    raise ValueError("bogus DAC index %d" % seg[i])
+                jp.arith_cond[(tc, th)] = seg[i + 1]
+                i += 2
         elif m == DRI:
             jp.restart_interval = (seg[0] << 8) | seg[1]
         elif m == SOS:
@@ -389,6 +401,7 @@ def _parse(data: bytes) -> ParsedJpeg:
                                        data_start, data_end,
                                        dc_tbls, ac_tbls))
             jp.scan_htables.append(dict(htables))
+            jp.scan_arith_cond.append(dict(jp.arith_cond))
             jp.scan_restart.append(jp.restart_interval)
             jp.scan_qtables.append({k: v.copy()
                                     for k, v in jp.qtables.items()})

@@ -30,84 +30,6 @@ class HuffTable:
                 and np.array_equal(self.vals, other.vals))
 
 
-def gen_optimal_table(freq: np.ndarray) -> HuffTable:
-    """freq: int64[257] symbol counts (entry 256 is forced to 1)."""
-    freq = freq.astype(np.int64).copy()
-    assert freq.shape == (257,)
-    freq[256] = 1
-
-    nz_index = np.nonzero(freq)[0]
-    f = freq[nz_index].copy()
-    n = len(nz_index)
-    codesize = np.zeros(n, dtype=np.int32)
-    others = np.full(n, -1, dtype=np.int32)
-
-    BIG = 1_000_000_000
-    while True:
-        # two smallest, ties -> larger index (scan ascending with <=)
-        c1 = c2 = -1
-        v = v2 = BIG
-        for i in range(n):
-            fi = f[i]
-            if fi <= v2:
-                if fi <= v:
-                    c2, v2 = c1, v
-                    c1, v = i, fi
-                else:
-                    c2, v2 = i, fi
-        if c2 < 0:
-            break
-        f[c1] += f[c2]
-        f[c2] = BIG + 1
-        codesize[c1] += 1
-        while others[c1] >= 0:
-            c1 = others[c1]
-            codesize[c1] += 1
-        others[c1] = c2
-        codesize[c2] += 1
-        while others[c2] >= 0:
-            c2 = others[c2]
-            codesize[c2] += 1
-
-    bits = np.zeros(MAX_CLEN + 1, dtype=np.int32)
-    for i in range(n):
-        if codesize[i] > MAX_CLEN:
-            raise ValueError("Huffman code length overflow")
-        bits[codesize[i]] += 1
-
-    bit_pos = np.zeros(MAX_CLEN + 1, dtype=np.int32)
-    p = 0
-    for i in range(1, MAX_CLEN + 1):
-        bit_pos[i] = p
-        p += bits[i]
-
-    # limit code lengths to 16 bits (Annex K.2 adjustment)
-    for i in range(MAX_CLEN, 16, -1):
-        while bits[i] > 0:
-            j = i - 2
-            while bits[j] == 0:
-                j -= 1
-            bits[i] -= 2
-            bits[i - 1] += 1
-            bits[j + 1] += 2
-            bits[j] -= 1
-
-    i = 16
-    while bits[i] == 0:
-        i -= 1
-    bits[i] -= 1  # drop the pseudo-symbol 256
-
-    out_bits = np.zeros(17, dtype=np.uint8)
-    out_bits[1:17] = bits[1:17]
-
-    # symbols sorted by original codesize; bit_pos gives stable placement
-    total = int(out_bits.sum())
-    vals = np.zeros(total, dtype=np.uint8)
-    for i in range(n - 1):  # skip pseudo-symbol (it is last, largest length)
-        vals[bit_pos[codesize[i]]] = nz_index[i]
-        bit_pos[codesize[i]] += 1
-    return HuffTable(out_bits, vals)
-
 
 def derive_codes(tbl: HuffTable):
     """-> (ehufco uint32[256], ehufsi uint8[256]); canonical JPEG codes."""
