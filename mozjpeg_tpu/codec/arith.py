@@ -130,15 +130,24 @@ def decode_coefficients_arith(jp, data: bytes) -> List[np.ndarray]:
     from . import marker as _marker
     from .pipeline import CompGeom
     _marker.validate_decodable(jp)
-    for cond in jp.scan_arith_cond:
-        for (tc, th), v in cond.items():
-            default = 0x10 if tc == 0 else 5    # DC (U<<4)|L=0x10, AC Kx=5
-            if v != default:
-                raise ValueError(
-                    "unsupported arithmetic conditioning "
-                    "(DAC %s table %d value 0x%02X; only the libjpeg "
-                    "defaults L=0 U=1 Kx=5 are implemented)"
-                    % ("DC" if tc == 0 else "AC", th, v))
+
+    def scan_cond(si):
+        """Per-scan conditioning arrays from the DAC snapshot (defaults
+        L=0 U=1 Kx=5 where no DAC value was transmitted, jdarith.c)."""
+        dl = DC_L.copy()
+        du = DC_U.copy()
+        ak = AC_K.copy()
+        for (tc, th), v in jp.scan_arith_cond[si].items():
+            if tc == 0:
+                dl[th] = v & 15
+                du[th] = v >> 4
+                if du[th] < dl[th] or du[th] > 15:
+                    raise ValueError("bogus DAC DC conditioning 0x%02X" % v)
+            else:
+                ak[th] = v
+                if not 1 <= v <= 63:
+                    raise ValueError("bogus DAC AC conditioning %d" % v)
+        return dl, du, ak
     max_h, max_v = jp.max_h, jp.max_v
     mcus_x = -(-jp.width // (8 * max_h))
     mcus_y = -(-jp.height // (8 * max_v))
@@ -185,16 +194,17 @@ def decode_coefficients_arith(jp, data: bytes) -> List[np.ndarray]:
         else:
             smx, smy = arr[0].bw, arr[0].bh
         ln = scan.data_end - scan.data_start
+        dl, du, ak = scan_cond(si)
         if not jp.progressive:
             r = lib.mj_arith_decode_seq(_ptr(seg), ln, arr,
                                         len(scan.comp_indices), smx, smy,
-                                        restart, _ptr(DC_L), _ptr(DC_U),
-                                        _ptr(AC_K))
+                                        restart, _ptr(dl), _ptr(du),
+                                        _ptr(ak))
         elif scan.Ss == 0:
             if scan.Ah == 0:
                 r = lib.mj_arith_decode_dc_first(
                     _ptr(seg), ln, arr, len(scan.comp_indices), smx, smy,
-                    restart, scan.Al, _ptr(DC_L), _ptr(DC_U))
+                    restart, scan.Al, _ptr(dl), _ptr(du))
             else:
                 r = lib.mj_arith_decode_dc_refine(
                     _ptr(seg), ln, arr, len(scan.comp_indices), smx, smy,
@@ -203,7 +213,7 @@ def decode_coefficients_arith(jp, data: bytes) -> List[np.ndarray]:
             if scan.Ah == 0:
                 r = lib.mj_arith_decode_ac_first(
                     _ptr(seg), ln, arr, scan.Ss, scan.Se, scan.Al,
-                    restart, _ptr(AC_K))
+                    restart, _ptr(ak))
             else:
                 r = lib.mj_arith_decode_ac_refine(
                     _ptr(seg), ln, arr, scan.Ss, scan.Se, scan.Al, restart)

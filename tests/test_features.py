@@ -1465,3 +1465,27 @@ class TestApiOnlyKnobs:
         ours = mj.encode(ppm.read(corpus("testorig.ppm")),
                          mj.EncoderConfig(**kw))
         assert ours == ref
+
+
+def test_arith_custom_dac_conditioning(ref_tools, tmp_path):
+    """Non-default DAC conditioning (L/U/Kx) must decode bit-exact vs
+    djpeg: the decoder takes the transmitted values per scan
+    (jdmarker get_dac + jdarith), not the libjpeg defaults."""
+    import mozjpeg_tpu as mj
+    from mozjpeg_tpu.codec import arith
+    img = ppm.read(corpus("testorig.ppm"))
+    arith.DC_L[:] = [2, 1, 0, 0]
+    arith.DC_U[:] = [8, 4, 1, 1]
+    arith.AC_K[:] = [3, 7, 5, 5]
+    try:
+        data = mj.encode(img, mj.EncoderConfig(
+            quality=75, arithmetic=True, optimize_scans=False,
+            progressive=False, trellis_quant=False))
+    finally:
+        arith.DC_L[:] = 0
+        arith.DC_U[:] = 1
+        arith.AC_K[:] = 5
+    p = tmp_path / "cond.jpg"
+    p.write_bytes(data)
+    ref = run_djpeg(str(p), str(tmp_path / "cond.ppm"))
+    np.testing.assert_array_equal(mj.decode(data), ref)
