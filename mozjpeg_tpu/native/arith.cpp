@@ -346,11 +346,18 @@ struct ArithDec {
     if (unread_marker >= 0xD0 && unread_marker <= 0xD7) {
       unread_marker = 0;
     } else {
-      // scan forward for the marker
+      // scan forward for the marker, skipping 0xFF fill bytes
+      // (T.81 B.1.1.2; jdmarker.c next_marker) and requiring RSTn
       while (pos + 1 < len) {
         if (data[pos] == 0xFF && data[pos + 1] != 0x00) {
-          pos += 2;
-          break;
+          long q = pos + 1;
+          while (q < len && data[q] == 0xFF) q++;  // FF fill
+          if (q < len && data[q] >= 0xD0 && data[q] <= 0xD7) {
+            pos = q + 1;
+            break;
+          }
+          pos = q;        // non-RST marker: resync past it
+          continue;
         }
         pos++;
       }

@@ -188,6 +188,7 @@ void box_color(Quant2 *q, const Box *b, int icolor) {
           t2 += ((c2 << kC2Shift) + ((1 << kC2Shift) >> 1)) * count;
         }
       }
+  if (total == 0) return;  // empty histogram (0-pixel image): keep zeros
   q->cmap[0][icolor] = (uint8_t)((t0 + (total >> 1)) / total);
   q->cmap[1][icolor] = (uint8_t)((t1 + (total >> 1)) / total);
   q->cmap[2][icolor] = (uint8_t)((t2 + (total >> 1)) / total);
@@ -373,6 +374,7 @@ static void run_pass2(Quant2 *q, const uint8_t *rgb, int w, int h,
     const int *elim = errlimit + 255;
     int16_t *fserr = (int16_t *)calloc((size_t)(w + 2) * 3,
                                        sizeof(int16_t));
+    if (!fserr) return;
     bool odd = false;
     for (int row = 0; row < h; row++) {
       const uint8_t *in = rgb + (size_t)row * w * 3;
@@ -564,9 +566,10 @@ int mj_quantize_onepass(const uint8_t *rgb, int w, int h, int desired,
                         int dither, int gray, uint8_t *out_idx,
                         uint8_t *out_cmap) {
   int nc = gray ? 1 : 3;
+  if (desired < 1 || desired > 256) return -1;  // MAX_Q_COLORS (jquant1.c)
   int Ncolors[3];
   int total = select_ncolors1(nc, desired, Ncolors);
-  if (total < 0) return -1;
+  if (total < 0 || total > 256) return -1;
 
   // colormap: row-major, rightmost component varies fastest
   uint8_t cmap[3][kMaxColors];
@@ -633,6 +636,7 @@ int mj_quantize_onepass(const uint8_t *rgb, int w, int h, int desired,
   } else if (dither == 2) {
     int16_t *fserr = (int16_t *)calloc((size_t)(w + 2) * nc,
                                        sizeof(int16_t));
+    if (!fserr) return -1;
     bool odd = false;
     for (int row = 0; row < h; row++) {
       for (long c = 0; c < w; c++) out_idx[(long)row * w + c] = 0;
