@@ -207,16 +207,28 @@ class TJ:
         return np.ascontiguousarray(src[:, :, [r, g, b]])
 
     @staticmethod
-    def _from_rgb(rgb: np.ndarray, pf: int) -> np.ndarray:
+    def _from_rgb(rgb: np.ndarray, pf: int,
+                  precision: int = None) -> np.ndarray:
         nch, (r, g, b) = _PF_INFO[pf]
+        cmyk_src = rgb.ndim == 3 and rgb.shape[2] == 4
         if pf == TJPF_GRAY:
+            if cmyk_src:
+                raise ValueError("unsupported color conversion "
+                                 "(CMYK/YCCK to grayscale)")
             if rgb.ndim == 3:
                 from .ops import color
                 import jax.numpy as jnp
                 return np.asarray(color.rgb_to_gray(jnp.asarray(rgb)))
             return rgb
         if pf == TJPF_CMYK:
+            if not cmyk_src:
+                # tj3Decompress: JCS_CMYK output only from CMYK/YCCK
+                raise ValueError("unsupported color conversion "
+                                 "(non-CMYK source to TJPF_CMYK)")
             return rgb
+        if cmyk_src:
+            raise ValueError("unsupported color conversion "
+                             "(CMYK/YCCK source needs TJPF_CMYK)")
         if rgb.ndim == 2:
             rgb = np.stack([rgb] * 3, axis=-1)
         out = np.zeros(rgb.shape[:2] + (nch,), rgb.dtype)
@@ -224,10 +236,12 @@ class TJ:
         out[:, :, g] = rgb[:, :, 1]
         out[:, :, b] = rgb[:, :, 2]
         if nch == 4:
-            alpha = 255 if rgb.dtype == np.uint8 else 65535
+            # padding/alpha byte = MAXJSAMPLE for the data precision
+            bits = precision if precision else (
+                8 if rgb.dtype == np.uint8 else 16)
             used = {r, g, b}
             pad = [i for i in range(4) if i not in used][0]
-            out[:, :, pad] = alpha
+            out[:, :, pad] = (1 << bits) - 1
         return out
 
     # -- tj3Compress8/12/16 --------------------------------------------------
@@ -276,6 +290,8 @@ class TJ:
                     (2, 2): TJSAMP_420, (1, 2): TJSAMP_440,
                     (4, 1): TJSAMP_411, (1, 4): TJSAMP_441} \
                 .get((c0.h, c0.v), TJSAMP_UNKNOWN)
+            if any(c.h != 1 or c.v != 1 for c in jp.components[1:]):
+                samp = TJSAMP_UNKNOWN      # getSubsamp: chroma must be 1x1
             from .codec.decoder import _jpeg_colorspace
             cs = {"ycbcr": TJCS_YCbCr, "rgb": TJCS_RGB, "cmyk": TJCS_CMYK,
                   "ycck": TJCS_YCCK,
@@ -312,7 +328,8 @@ class TJ:
             img = img[y:y + h, x:x + w]
         if self._params[TJPARAM_BOTTOMUP]:
             img = img[::-1]
-        return self._from_rgb(np.asarray(img), pixel_format)
+        return self._from_rgb(np.asarray(img), pixel_format,
+                              self._params[TJPARAM_PRECISION])
 
     # -- tj3Transform --------------------------------------------------------
     def transform(self, jpeg: bytes, op: int = TJXOP_NONE,
@@ -334,8 +351,7 @@ class TJ:
         if name != "none":
             img = transcode.TRANSFORMS[name](img)
         if options & TJXOPT_GRAY:
-            img.jp.components = img.jp.components[:1]
-            img.planes = img.planes[:1]
+            img = transcode.to_grayscale(img)
         if crop is not None or (options & TJXOPT_CROP and self._crop):
             x, y, w, h = crop if crop is not None else self._crop
             img = transcode.crop(img, x, y, w, h)
@@ -387,9 +403,13 @@ class TJ:
             elif vs == 2:
                 j = sample.downsample_h1v2(j)
             elif hs == 4:
-                j = sample.downsample_h2v1(sample.downsample_h2v1(j))
+                # 4:1 ratios use plain-average int_downsample with bias
+                # numpix/2 (jcsample.c:185-215), not chained h2v1 passes
+                a = np.asarray(pl).reshape(ph, pw // 4, 4).astype(np.int32)
+                j = jnp.asarray(((a.sum(2) + 2) >> 2).astype(np.uint8))
             elif vs == 4:
-                j = sample.downsample_h1v2(sample.downsample_h1v2(j))
+                a = np.asarray(pl).reshape(ph // 4, 4, pw).astype(np.int32)
+                j = jnp.asarray(((a.sum(1) + 2) >> 2).astype(np.uint8))
             cw, ch = yuv_plane_dims(c, w, h, p[TJPARAM_SUBSAMP])
             planes.append(np.asarray(j)[:ch, :cw])
         return planes

@@ -100,7 +100,7 @@ def read_gif(data: bytes):
 
 
 def write_gif(indices: np.ndarray, colormap, num_colors: int,
-              lzw: bool = True, gray_linear: bool = False) -> bytes:
+              lzw: bool = True) -> bytes:
     """wrgif.c emit_header + LZW stream.
 
     indices: (H, W) uint8 palette indices (or raw gray samples with
@@ -126,7 +126,8 @@ def write_gif(indices: np.ndarray, colormap, num_colors: int,
                 else:
                     out += bytes([int(cm[i])] * 3)
             else:
-                v = (i * 255 + (num_colors - 1) // 2) // (num_colors - 1)
+                d = max(num_colors - 1, 1)   # single-color map: index 0
+                v = (i * 255 + d // 2) // d
                 out += bytes([v] * 3)
         else:
             out += bytes([128] * 3)          # CENTERJSAMPLE fill

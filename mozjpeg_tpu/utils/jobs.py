@@ -105,21 +105,36 @@ def _run(inputs, out_dir, config, batch_size, prior, results, pending, mf,
                 pass
         pending.append(path)
 
-    # group loadable images by shape for batched dispatch; unreadable
-    # inputs are quarantined immediately
-    groups: Dict[tuple, List[tuple]] = {}
+    # collision-safe output paths: same-basename inputs from different
+    # directories must not clobber each other
+    outs: Dict[str, str] = {}
+    taken = {r.get("output") for r in results.values() if r.get("output")}
     for path in pending:
-        try:
-            img = read_image(path)
-        except (ValueError, OSError) as e:
-            emit({"input": path, "status": "error", "error": str(e),
-                  "ts": time.time()})
-            continue
-        groups.setdefault(img.shape, []).append((path, img))
+        stem = os.path.splitext(os.path.basename(path))[0]
+        cand = os.path.join(out_dir, stem + ".jpg")
+        k = 1
+        while cand in taken:
+            cand = os.path.join(out_dir, "%s-%d.jpg" % (stem, k))
+            k += 1
+        taken.add(cand)
+        outs[path] = cand
 
-    for shape, items in groups.items():
-        for i in range(0, len(items), batch_size):
-            chunk = items[i:i + batch_size]
+    # stream in chunks: read + group by shape per chunk so only
+    # ~batch_size decoded images are resident at a time; a reader
+    # exception on untrusted bytes quarantines the input
+    for c0 in range(0, len(pending), batch_size):
+        groups: Dict[tuple, List[tuple]] = {}
+        for path in pending[c0:c0 + batch_size]:
+            try:
+                img = read_image(path)
+            except Exception as e:              # noqa: BLE001 — quarantine
+                emit({"input": path, "status": "error",
+                      "error": "%s: %s" % (type(e).__name__, e),
+                      "ts": time.time()})
+                continue
+            groups.setdefault(img.shape, []).append((path, img))
+        for shape, items in groups.items():
+            chunk = items
             try:
                 datas = encode_many([im for _, im in chunk], config)
             except Exception:
@@ -136,8 +151,7 @@ def _run(inputs, out_dir, config, batch_size, prior, results, pending, mf,
                           "error": "%s: %s" % (type(data).__name__, data),
                           "ts": time.time()})
                     continue
-                stem = os.path.splitext(os.path.basename(path))[0]
-                out = os.path.join(out_dir, stem + ".jpg")
+                out = outs[path]
                 with open(out, "wb") as f:
                     f.write(data)
                 emit({"input": path, "output": out, "status": "done",

@@ -27,10 +27,18 @@ def read(path: str) -> np.ndarray:
     i += 1  # single whitespace after maxval
     ch = 3 if magic == b"P6" else 1
     if maxval > 255:
+        # 16-bit samples pass through raw: rdppm.c rescales to the
+        # COMPILED data precision's MAXJSAMPLE (4095 for 12-bit cjpeg,
+        # 65535 for 16-bit), which a precision-agnostic reader cannot
+        # know; callers that need it rescale against their precision
         img = np.frombuffer(data[i:i + w * h * ch * 2], dtype=">u2")
         img = img.astype(np.uint16)
     else:
         img = np.frombuffer(data[i:i + w * h * ch], dtype=np.uint8)
+        if maxval != 255:
+            # rdppm.c:844-848 rescale to MAXJSAMPLE
+            img = ((img.astype(np.uint32) * 255 + maxval // 2)
+                   // maxval).astype(np.uint8)
     img = img.reshape(h, w, ch) if ch == 3 else img.reshape(h, w)
     return img
 

@@ -1489,3 +1489,48 @@ def test_arith_custom_dac_conditioning(ref_tools, tmp_path):
     p.write_bytes(data)
     ref = run_djpeg(str(p), str(tmp_path / "cond.ppm"))
     np.testing.assert_array_equal(mj.decode(data), ref)
+
+
+def test_ppm_nonstandard_maxval(ref_tools, tmp_path):
+    """rdppm.c rescale: samples scale to MAXJSAMPLE for maxval != 255."""
+    from mozjpeg_tpu.cli import cjpeg as cli
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 101, (32, 40, 3)).astype(np.uint8)
+    p = str(tmp_path / "mx.ppm")
+    open(p, "wb").write(b"P6 40 32 100\n" + img.tobytes())
+    ref = run_cjpeg(["-revert", "-baseline", "-quality", "80"], p,
+                    str(tmp_path / "r.jpg"))
+    out = str(tmp_path / "o.jpg")
+    cli.main(["-revert", "-baseline", "-quality", "80", "-outfile", out, p])
+    assert open(out, "rb").read() == ref
+
+
+def test_tj_encode_yuv_411_441_vs_libturbojpeg(ref_tools):
+    """4:1 ratios use plain-average int_downsample (jcsample.c), byte-exact
+    vs tj3EncodeYUV8."""
+    import ctypes
+    so = os.path.join(os.path.dirname(ref_tools["cjpeg"]),
+                      "libturbojpeg.so")
+    if not os.path.exists(so):
+        pytest.skip("libturbojpeg.so not built")
+    lib = ctypes.CDLL(so)
+    lib.tj3Init.restype = ctypes.c_void_p
+    lib.tj3Set.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    ubp = ctypes.POINTER(ctypes.c_ubyte)
+    lib.tj3EncodeYUV8.restype = ctypes.c_int
+    lib.tj3EncodeYUV8.argtypes = [ctypes.c_void_p, ubp, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  ubp, ctypes.c_int]
+    from mozjpeg_tpu import turbojpeg as tj
+    img = np.ascontiguousarray(ppm.read(corpus("testorig.ppm"))[:48, :64])
+    h, w = img.shape[:2]
+    for samp in (tj.TJSAMP_420, tj.TJSAMP_411, tj.TJSAMP_441):
+        handle = lib.tj3Init(0)
+        lib.tj3Set(handle, 4, samp)          # TJPARAM_SUBSAMP
+        ref = np.zeros(tj.yuv_buf_size(w, 1, h, samp), np.uint8)
+        assert lib.tj3EncodeYUV8(handle, img.ctypes.data_as(ubp), w, 0, h,
+                                 0, ref.ctypes.data_as(ubp), 1) == 0
+        t = tj.TJ()
+        t.set(tj.TJPARAM_SUBSAMP, samp)
+        ours = np.frombuffer(t.encode_yuv(img, align=1), np.uint8)
+        np.testing.assert_array_equal(ours, ref)
