@@ -125,11 +125,20 @@ def config_from_args(a) -> EncoderConfig:
     subsampling = quality_default_subsampling(q_last)
     if a.sample:
         try:
-            subsampling = rdswitch.parse_sample(a.sample)[0]
+            factors = rdswitch.parse_sample(a.sample)
         except ValueError as e:
             import sys
             print(f"cjpeg: {e}", file=sys.stderr)
             raise SystemExit(1)
+        # rdswitch.c set_sample_factors: components beyond those given
+        # default to 1x1; non-1x1 chroma factors are not representable
+        # by this encoder's subsampling model
+        if any(f != (1, 1) for f in factors[1:]):
+            import sys
+            print("cjpeg: per-component sampling factors other than "
+                  "1x1 chroma are not supported", file=sys.stderr)
+            raise SystemExit(1)
+        subsampling = factors[0]
     restart_interval = 0
     restart_in_rows = 0
     if a.restart:
@@ -168,10 +177,20 @@ def config_from_args(a) -> EncoderConfig:
         # set_quality_ratings -> jpeg_default_qtables (cjpeg.c:721-724)
         quant_idx = 0
 
-    base_qt = (rdswitch.read_quant_tables(open(a.qtables).read())
+    def _read_text(path, what):
+        try:
+            with open(path) as f:
+                return f.read()
+        except OSError as e:
+            import sys
+            print("cjpeg: can't open %s file %s: %s"
+                  % (what, path, e.strerror), file=sys.stderr)
+            raise SystemExit(1)
+
+    base_qt = (rdswitch.read_quant_tables(_read_text(a.qtables, "qtables"))
                if a.qtables else None)
     qslots = rdswitch.parse_int_list(a.qslots) if a.qslots else None
-    scan_script = (rdswitch.read_scan_script(open(a.scans).read())
+    scan_script = (rdswitch.read_scan_script(_read_text(a.scans, "scans"))
                    if a.scans else None)
     return EncoderConfig(
         quality=quality,

@@ -145,11 +145,15 @@ def main(argv=None):
         print("mozjpeg_tpu version %s" % __version__, file=sys.stderr)
         return 0
     if a.fast:
-        # djpeg.c:285-292: quick-and-dirty processing profile
-        a.dct = "fast"
+        # djpeg.c:285-292: quick-and-dirty processing profile. Later
+        # switches win (reference parse order): only fill values the
+        # user did not set explicitly after -fast.
+        if "-dct" not in (argv or sys.argv):
+            a.dct = "fast"
         a.nosmooth = True
         a.onepass = True
-        a.dither = "ordered"
+        if "-dither" not in (argv or sys.argv):
+            a.dither = "ordered"
         if a.colors is None and (a.fmt in ("gif", "gif0")):
             a.colors = 216
     from ..codec.decoder import decode, decode_scaled
@@ -158,24 +162,37 @@ def main(argv=None):
     data = (open(a.input, "rb").read() if a.input
             else sys.stdin.buffer.read())
     from ..codec import marker as _marker
-    maxval = (1 << _marker.parse(data).precision) - 1
     jp0 = _marker.parse(data)
+    maxval = (1 << jp0.precision) - 1
     if a.maxscans and len(jp0.scans) > a.maxscans:
         # cdjpeg.c:33-40: abort when the scan count exceeds -maxscans
         print("Scan number %d exceeds maximum scans (%d)"
               % (len(jp0.scans), a.maxscans), file=sys.stderr)
         return 1
-    if a.scale:
+    if a.crop and not a.skip:
+        wh, x, y = a.crop.split("+")
+        w, h = (int(v) for v in wh.split("x"))
+        x, y = int(x), int(y)
+        if a.scale or a.rgb565 or a.colors is not None:
+            print("djpeg: -crop cannot be combined with -scale/-rgb565/"
+                  "-colors here", file=sys.stderr)
+            return 1
+        from ..codec.decoder import decode_cropped
+        img, ax, w2 = decode_cropped(
+            data, x, w, fancy_upsample=not a.nosmooth,
+            colorspace="grayscale" if a.grayscale else None)
+        if y < 0 or h <= 0 or y + h > img.shape[0]:
+            print("djpeg: crop region exceeds image height %d"
+                  % img.shape[0], file=sys.stderr)
+            return 1
+        img = img[y:y + h]
+    elif a.scale:
         num, den = (int(v) for v in a.scale.split("/"))
         # -nosmooth only suppresses fancy upsampling (djpeg.c:366-368);
         # block smoothing stays on (jdapimin.c:221)
-        img = decode_scaled(data, num, den,
-                            fancy_upsample=not a.nosmooth)
-        if a.grayscale and img.ndim == 3:
-            import numpy as np
-            from ..ops import color
-            import jax.numpy as jnp
-            img = np.asarray(color.rgb_to_gray(jnp.asarray(img)))
+        img = decode_scaled(
+            data, num, den, fancy_upsample=not a.nosmooth,
+            colorspace="grayscale" if a.grayscale else None)
     elif a.grayscale:
         from ..codec.decoder import decode_grayscale
         img = decode_grayscale(data, fancy_upsample=not a.nosmooth)
@@ -206,22 +223,13 @@ def main(argv=None):
             return 1
         import numpy as np
         img = np.concatenate([img[:y0], img[y1 + 1:]])
-    elif a.crop:
-        wh, x, y = a.crop.split("+")
-        w, h = (int(v) for v in wh.split("x"))
-        x, y = int(x), int(y)
-        # jpeg_crop_scanline region decode: x aligns down to an iMCU
-        # boundary and the width grows left; rows select [y, y+h)
-        from ..codec.decoder import decode_cropped
-        img, ax, w2 = decode_cropped(data, x, w,
-                                     fancy_upsample=not a.nosmooth)
-        img = img[y:y + h]
+
     if a.force_rgb and img.ndim == 2:
         # out_color_space=JCS_RGB on a grayscale image: replicate
         # (gray_rgb_convert, jdcolor.c)
         import numpy as np
         img = np.stack([img] * 3, axis=-1)
-    jp = _marker.parse(data)
+    jp = jp0
     # wrbmp only writes pels-per-meter when density_unit is dots/cm
     density = jp.density if jp.density[0] == 2 else None
     from ..codec.decoder import last_warnings

@@ -87,15 +87,26 @@ def main(argv=None):
             else sys.stdin.buffer.read())
     img = transcode.read_coefficients(data)
     if a.maxscans is not None and len(img.jp.scans) > a.maxscans:
+        # cdjpeg.c:39 exit(EXIT_FAILURE)
         sys.stderr.write("jpegtran: scan count exceeds -maxscans\n")
-        return 2
+        return 1
+    ops = []
+    if a.flip == "horizontal":
+        ops.append("flip_h")
+    if a.flip == "vertical":
+        ops.append("flip_v")
+    if a.transpose:
+        ops.append("transpose")
+    if a.transverse:
+        ops.append("transverse")
+    if a.rotate:
+        ops.append("rot%d" % a.rotate)
+    if len(ops) > 1:
+        # jpegtran.c select_transform: one image transformation at a time
+        sys.stderr.write("jpegtran: can only do one image transformation "
+                         "at a time\n")
+        return 1
     if a.perfect:
-        ops = []
-        if a.flip == "horizontal": ops.append("flip_h")
-        if a.flip == "vertical": ops.append("flip_v")
-        if a.transpose: ops.append("transpose")
-        if a.transverse: ops.append("transverse")
-        if a.rotate: ops.append("rot%d" % a.rotate)
         for op in ops:
             if not transcode.perfect_possible(img.jp, op):
                 sys.stderr.write("jpegtran: transformation is not "
@@ -143,7 +154,14 @@ def main(argv=None):
     scan_script = None
     if a.scans:
         from . import rdswitch
-        scan_script = rdswitch.read_scan_script(open(a.scans).read())
+        try:
+            with open(a.scans) as f:
+                scan_text = f.read()
+        except OSError as e:
+            sys.stderr.write("jpegtran: can't open scans file %s: %s\n"
+                             % (a.scans, e.strerror))
+            return 1
+        scan_script = rdswitch.read_scan_script(scan_text)
 
     profile = Profile.FASTEST if a.revert else Profile.MAX_COMPRESSION
     cfg = EncoderConfig(

@@ -37,13 +37,8 @@ def _print_com(payload: bytes, raw: bool, out):
                 out.write("\n")
         elif ch == 0x5C:
             out.write("\\\\")
-        elif 0x20 <= ch < 0x7F or ch == 0x09:
-            # isprint() in the C locale plus tab via isprint? tab is NOT
-            # printable in C locale; match isprint exactly (0x20-0x7E)
-            if 0x20 <= ch < 0x7F:
-                out.write(chr(ch))
-            else:
-                out.write("\\%03o" % ch)
+        elif 0x20 <= ch < 0x7F:          # isprint() in the C locale
+            out.write(chr(ch))
         else:
             out.write("\\%03o" % ch)
         lastch = ch

@@ -572,7 +572,8 @@ def decode_grayscale(data: bytes, fancy_upsample: bool = True,
 
 def decode_scaled(data: bytes, num: int, den: int,
                   fancy_upsample: bool = True,
-                  block_smoothing: bool = True) -> np.ndarray:
+                  block_smoothing: bool = True,
+                  colorspace: Optional[str] = None) -> np.ndarray:
     """Scaled decode (djpeg -scale num/den): output M/8 for M = 1..16.
 
     Follows jdmaster.c jpeg_core_output_dimensions, the per-component
@@ -637,7 +638,7 @@ def decode_scaled(data: bytes, num: int, den: int,
         pl = _upsample_plane_scaled(pl, mode, hexp, vexp, jp.precision)
         sample_planes.append(pl)
 
-    cs = _jpeg_colorspace(jp)
+    cs = colorspace or _jpeg_colorspace(jp)
     if cs == "grayscale":
         return np.asarray(sample_planes[0])[:out_h, :out_w]
     if cs in ("rgb", "cmyk"):
@@ -842,7 +843,8 @@ def decode_rgb565(data: bytes, fancy_upsample: bool = True,
 
 def decode_cropped(data: bytes, x: int, w: int,
                    fancy_upsample: bool = True,
-                   block_smoothing: bool = True):
+                   block_smoothing: bool = True,
+                   colorspace: Optional[str] = None):
     """Partial-width decode (jpeg_crop_scanline, jdapistd.c:186-300):
     xoffset aligns DOWN to an iMCU column boundary, the width grows left
     to compensate, and upsampling runs over the region with image-edge
@@ -861,13 +863,13 @@ def decode_cropped(data: bytes, x: int, w: int,
     if w == 0 or x + w > jp.width:
         raise ValueError("bad crop width")
     if w == jp.width:
-        img = render(jp, planes, fancy_upsample=fancy_upsample,
+        img = render(jp, planes, colorspace, fancy_upsample,
                      block_smoothing=block_smoothing)
         return img, 0, jp.width
     ax = (x // align) * align
     w2 = w + x - ax
     smoothed = _maybe_smooth(jp, planes, block_smoothing)
-    cs = _jpeg_colorspace(jp)
+    cs = colorspace or _jpeg_colorspace(jp)
     slices = []
     for ci, c in enumerate(jp.components):
         hsf = 1 if ncomps == 1 else c.h

@@ -1534,3 +1534,53 @@ def test_tj_encode_yuv_411_441_vs_libturbojpeg(ref_tools):
         t.set(tj.TJPARAM_SUBSAMP, samp)
         ours = np.frombuffer(t.encode_yuv(img, align=1), np.uint8)
         np.testing.assert_array_equal(ours, ref)
+
+
+class TestDjpegCombos:
+    """CLI combination parity found in review: -crop with -grayscale,
+    -scale with -grayscale, -fast ordering."""
+
+    @pytest.fixture(scope="class")
+    def srcjpg(self, ref_tools, tmp_path_factory):
+        p = str(tmp_path_factory.mktemp("combo") / "s.jpg")
+        run_cjpeg(["-quality", "75", "-revert"], corpus("testorig.ppm"), p)
+        return p
+
+    def test_crop_grayscale(self, ref_tools, srcjpg, tmp_path):
+        from mozjpeg_tpu.cli import djpeg as dj
+        for spec in ("64x48+32+10", "49x30+5+0"):
+            subprocess.run([ref_tools["djpeg"], "-grayscale", "-crop",
+                            spec, "-outfile", str(tmp_path / "r.pgm"),
+                            srcjpg], check=True)
+            dj.main(["-grayscale", "-crop", spec,
+                     "-outfile", str(tmp_path / "o.pgm"), srcjpg])
+            assert open(str(tmp_path / "o.pgm"), "rb").read() == \
+                open(str(tmp_path / "r.pgm"), "rb").read()
+
+    def test_scale_grayscale(self, ref_tools, srcjpg, tmp_path):
+        from mozjpeg_tpu.cli import djpeg as dj
+        for sc in ("1/2", "3/8"):
+            subprocess.run([ref_tools["djpeg"], "-scale", sc, "-grayscale",
+                            "-outfile", str(tmp_path / "r.pgm"), srcjpg],
+                           check=True)
+            dj.main(["-scale", sc, "-grayscale",
+                     "-outfile", str(tmp_path / "o.pgm"), srcjpg])
+            assert open(str(tmp_path / "o.pgm"), "rb").read() == \
+                open(str(tmp_path / "r.pgm"), "rb").read()
+
+    def test_fast_then_dct_int(self, ref_tools, srcjpg, tmp_path):
+        """Later switches win: -fast -dct int decodes with islow."""
+        from mozjpeg_tpu.cli import djpeg as dj
+        subprocess.run([ref_tools["djpeg"], "-fast", "-dct", "int",
+                        "-outfile", str(tmp_path / "r.ppm"), srcjpg],
+                       check=True)
+        dj.main(["-fast", "-dct", "int",
+                 "-outfile", str(tmp_path / "o.ppm"), srcjpg])
+        assert open(str(tmp_path / "o.ppm"), "rb").read() == \
+            open(str(tmp_path / "r.ppm"), "rb").read()
+
+    def test_jpegtran_one_transform_only(self, srcjpg, tmp_path):
+        from mozjpeg_tpu.cli import jpegtran as jt
+        rc = jt.main(["-flip", "horizontal", "-rotate", "90",
+                      "-outfile", str(tmp_path / "x.jpg"), srcjpg])
+        assert rc == 1
