@@ -931,7 +931,8 @@ def encode_raw_yuv(planes, width: int, height: int, samp,
     geom, comp_res, small = pipeline_t.run_p1_raw(
         planes, width, height, samp, qtables, cfg.overshoot_deringing,
         cfg.precision, _qt_slots(cfg, cs, ncomps),
-        ris=_trellis_ris(cfg, comps))
+        ris=_trellis_ris(cfg, comps), dct_method=cfg.dct_method.value
+        if hasattr(cfg.dct_method, "value") else cfg.dct_method)
     if cfg.trellis_quant:
         finals = _phase_trellis(geom, comp_res, small, cfg, qtables, cs)
     else:

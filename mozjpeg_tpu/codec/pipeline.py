@@ -66,6 +66,10 @@ def _encode_planes_420(rgb, mcus_x: int, mcus_y: int, geom: tuple,
     out_raw = []
     for ci, g in enumerate(geom):
         p = planes[ci]
+        if max_h > 2 * g.h or max_v > 2 * g.v:
+            raise NotImplementedError(
+                "this pipeline handles factor-2 sampling ratios only "
+                "(use the generic pipeline_t path)")
         if g.v < max_v:
             p = p[:h2]
         if g.h < max_h and g.v < max_v:

@@ -71,6 +71,8 @@ _QTBL_CACHE = {}
 def _dev_qtbl(t: np.ndarray):
     key = t.tobytes()
     if key not in _QTBL_CACHE:
+        if len(_QTBL_CACHE) >= 256:      # bound: varying tables would
+            _QTBL_CACHE.clear()          # otherwise leak device arrays
         _QTBL_CACHE[key] = jnp.asarray(t.reshape(8, 8, 1))
     return _QTBL_CACHE[key]
 
@@ -359,9 +361,10 @@ def download_final_batch(geom, planes_t, b: int):
         out.append(planes)
     return out
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _p1_raw(planes, geom: tuple, dering_on: bool, precision: int = 8,
-            ris: tuple = None, qts81=None):
+            ris: tuple = None, dct_method: str = "islow", qts81=None,
+            dts81=None):
     """Raw-YUV variant of _p1 (jpeg_write_raw_data path): the caller
     supplies already-subsampled component planes padded to the block
     grid; color conversion and downsampling are skipped."""
@@ -372,13 +375,27 @@ def _p1_raw(planes, geom: tuple, dering_on: bool, precision: int = 8,
             p[: g.bh * 8, : g.bw * 8].astype(jnp.int32)
             - (1 << (precision - 1)))
         q81 = qts81[ci]
-        if dering_on:
+        if dering_on and dct_method != "float":
             szz = layout.to_zigzag_t(blocks)
             szz = dering.dering_t(szz, q81[0, 0, 0])
             blocks = layout.from_zigzag_t(szz)
-        pass1_bits = 2 if precision == 8 else 1
-        coeffs = dct.fdct_islow_t(blocks, pass1_bits)
-        qz = quant.quantize_islow_t(coeffs, q81)
+        if dct_method == "ifast":
+            sc = dct.fdct_ifast_t(blocks)
+            qz = dct.quantize_ifast_t(sc, dts81[ci])
+            coeffs = dct.rescale_ifast_t(sc)
+        elif dct_method == "float":
+            fblocks = blocks.astype(jnp.float32)
+            if dering_on:
+                fzz = layout.to_zigzag_t(fblocks)
+                fzz = dering.dering_float_t(fzz, q81[0, 0, 0])
+                fblocks = layout.from_zigzag_t(fzz)
+            sc = dct.fdct_float_t(fblocks)
+            qz = dct.quantize_float_t(sc, dts81[ci])
+            coeffs = dct.rescale_float_t(sc)
+        else:
+            pass1_bits = 2 if precision == 8 else 1
+            coeffs = dct.fdct_islow_t(blocks, pass1_bits)
+            qz = quant.quantize_islow_t(coeffs, q81)
         if dering_on:
             maxc = (1 << (precision + 2)) - 1
             qz = jnp.clip(qz, -maxc, maxc)
@@ -396,7 +413,8 @@ def _p1_raw(planes, geom: tuple, dering_on: bool, precision: int = 8,
 
 def run_p1_raw(planes, width: int, height: int, samp, qtables,
                dering_on: bool, precision: int = 8,
-               qt_slots: tuple = None, ris: tuple = None):
+               qt_slots: tuple = None, ris: tuple = None,
+               dct_method: str = "islow"):
     """planes: per-comp uint8 arrays with tjPlaneWidth/Height dims
     (PAD(width, max_h) * h / max_h etc.). Rows and columns beyond the
     plane replicate the last row/column out to the block grid (verified
@@ -407,6 +425,17 @@ def run_p1_raw(planes, width: int, height: int, samp, qtables,
         if len(qtables) < 2:
             qt_slots = (0,) * len(geom)
     qts81 = tuple(_dev_qtbl(np.asarray(qtables[s])) for s in qt_slots)
+    dts81 = None
+    if dct_method == "ifast":
+        from ..ops import dct as _dct
+        dts81 = tuple(
+            jnp.asarray(_dct.ifast_divisors(qtables[s]).reshape(8, 8, 1))
+            for s in qt_slots)
+    elif dct_method == "float":
+        from ..ops import dct as _dct
+        dts81 = tuple(
+            jnp.asarray(_dct.float_divisors(qtables[s]).reshape(8, 8, 1))
+            for s in qt_slots)
     padded = []
     for ci, g in enumerate(geom):
         pl = np.asarray(planes[ci])
@@ -420,6 +449,6 @@ def run_p1_raw(planes, width: int, height: int, samp, qtables,
             buf[ch:] = buf[ch - 1:ch]
         padded.append(jnp.asarray(buf))
     res, small = _p1_raw(tuple(padded), tuple(geom), dering_on, precision,
-                         ris, qts81)
+                         ris, dct_method, qts81=qts81, dts81=dts81)
     return (mcus_x, mcus_y, geom), res, small
 

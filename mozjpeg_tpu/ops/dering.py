@@ -173,9 +173,6 @@ def dering_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
     cf2 = frnd(-2.0 * t3) + frnd(3.0 * t2)
     cf3 = (t3 - frnd(2.0 * t2)) + t
     cf4 = t3 - t2
-    del cf2  # value2==value3 => cf1/cf2 only appear via 127*(cf1+cf2)...
-    # keep C's exact term structure anyway:
-    cf2 = frnd(-2.0 * t3) + frnd(3.0 * t2)
     val = ((frnd(jnp.float32(MAXS) * cf1)
             + frnd(tan1.astype(jnp.float32) * cf3))
            + frnd(jnp.float32(MAXS) * cf2)) \

@@ -32,12 +32,12 @@ def downsample_h2v1(plane: jnp.ndarray) -> jnp.ndarray:
 
 
 def downsample_h1v2(plane: jnp.ndarray) -> jnp.ndarray:
-    """(..., H, W) -> (..., H/2, W); bias alternates 0,1 along y."""
+    """(..., H, W) -> (..., H/2, W). jcsample.c has no special 1x2 kernel:
+    this ratio routes through int_downsample with a CONSTANT +numpix/2
+    bias (jcsample.c:152-199), not the h2v1 alternating bias."""
     x = plane.astype(jnp.int32)
     s = x[..., 0::2, :] + x[..., 1::2, :]
-    h = s.shape[-2]
-    bias = jnp.where(jnp.arange(h) % 2 == 0, 0, 1).astype(jnp.int32)[:, None]
-    return ((s + bias) >> 1).astype(plane.dtype)
+    return ((s + 1) >> 1).astype(plane.dtype)
 
 
 def downsample_int(plane: jnp.ndarray, hexp: int, vexp: int) -> jnp.ndarray:

@@ -174,10 +174,13 @@ class TJ:
         from .codec.config import EncoderConfig, Profile
         p = self._params
         progressive = bool(p[TJPARAM_PROGRESSIVE])
+        from .codec.config import DCTMethod
         return EncoderConfig(
             quality=p[TJPARAM_QUALITY],
             precision=p[TJPARAM_PRECISION],
             profile=Profile.FASTEST,
+            dct_method=(DCTMethod.IFAST if p[TJPARAM_FASTDCT]
+                        else DCTMethod.ISLOW),
             progressive=progressive,
             optimize_coding=bool(p[TJPARAM_OPTIMIZE]) or progressive,
             optimize_scans=False,

@@ -148,3 +148,81 @@ class TestTransformYUV:
         data = t.compress(img)
         t2 = tj.TJ()
         np.testing.assert_array_equal(t2.decompress(data), img)
+
+
+class TestRawFastDCT:
+    def test_compress_from_yuv_fastdct(self, ref_tools):
+        """TJPARAM_FASTDCT maps to the ifast DCT on the raw-plane encode
+        path, byte-exact vs tj3CompressFromYUV8."""
+        import ctypes
+        import os as _os
+        so = _os.path.join(_os.path.dirname(ref_tools["cjpeg"]),
+                           "libturbojpeg.so")
+        if not _os.path.exists(so):
+            pytest.skip("libturbojpeg.so not built")
+        lib = ctypes.CDLL(so)
+        lib.tj3Init.restype = ctypes.c_void_p
+        lib.tj3Set.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        ubp = ctypes.POINTER(ctypes.c_ubyte)
+        lib.tj3CompressFromYUV8.restype = ctypes.c_int
+        lib.tj3CompressFromYUV8.argtypes = [
+            ctypes.c_void_p, ubp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        from mozjpeg_tpu import turbojpeg as tj
+        from mozjpeg_tpu.utils import ppm as _ppm
+        img = np.ascontiguousarray(
+            _ppm.read(CORPUS + "/testorig.ppm")[:48, :64])
+        h, w = img.shape[:2]
+        t = tj.TJ()
+        t.set(tj.TJPARAM_SUBSAMP, tj.TJSAMP_420)
+        yuv = np.frombuffer(t.encode_yuv(img, align=4), np.uint8).copy()
+        for fast in (0, 1):
+            handle = lib.tj3Init(0)
+            lib.tj3Set(handle, 4, tj.TJSAMP_420)
+            lib.tj3Set(handle, 3, 80)
+            lib.tj3Set(handle, 10, fast)
+            buf = ctypes.c_void_p()
+            sz = ctypes.c_size_t(0)
+            assert lib.tj3CompressFromYUV8(
+                handle, yuv.ctypes.data_as(ubp), w, 4, h,
+                ctypes.byref(buf), ctypes.byref(sz)) == 0
+            ref = ctypes.string_at(buf, sz.value)
+            t2 = tj.TJ()
+            t2.set(tj.TJPARAM_SUBSAMP, tj.TJSAMP_420)
+            t2.set(tj.TJPARAM_QUALITY, 80)
+            t2.set(tj.TJPARAM_FASTDCT, fast)
+            assert t2.compress_from_yuv(bytes(yuv), w, h, align=4) == ref
+
+
+class TestYuv440:
+    def test_encode_yuv_440(self, ref_tools):
+        """1x2 downsampling uses int_downsample's constant bias."""
+        import ctypes
+        import os as _os
+        so = _os.path.join(_os.path.dirname(ref_tools["cjpeg"]),
+                           "libturbojpeg.so")
+        if not _os.path.exists(so):
+            pytest.skip("libturbojpeg.so not built")
+        lib = ctypes.CDLL(so)
+        lib.tj3Init.restype = ctypes.c_void_p
+        lib.tj3Set.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        ubp = ctypes.POINTER(ctypes.c_ubyte)
+        lib.tj3EncodeYUV8.restype = ctypes.c_int
+        lib.tj3EncodeYUV8.argtypes = [ctypes.c_void_p, ubp, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ubp, ctypes.c_int]
+        from mozjpeg_tpu import turbojpeg as tj
+        from mozjpeg_tpu.utils import ppm as _ppm
+        img = np.ascontiguousarray(
+            _ppm.read(CORPUS + "/testorig.ppm")[:48, :64])
+        h, w = img.shape[:2]
+        handle = lib.tj3Init(0)
+        lib.tj3Set(handle, 4, tj.TJSAMP_440)
+        ref = np.zeros(tj.yuv_buf_size(w, 1, h, tj.TJSAMP_440), np.uint8)
+        assert lib.tj3EncodeYUV8(handle, img.ctypes.data_as(ubp), w, 0, h,
+                                 0, ref.ctypes.data_as(ubp), 1) == 0
+        t = tj.TJ()
+        t.set(tj.TJPARAM_SUBSAMP, tj.TJSAMP_440)
+        ours = np.frombuffer(t.encode_yuv(img, align=1), np.uint8)
+        np.testing.assert_array_equal(ours, ref)
