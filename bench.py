@@ -14,7 +14,14 @@ import statistics
 import sys
 import time
 
-import numpy as np
+try:
+    import numpy as np
+except ImportError:  # bare system python: re-exec into the jax venv
+    for _cand in ("/opt/venv/bin/python",):
+        if os.path.exists(_cand) and os.path.realpath(_cand) != \
+                os.path.realpath(sys.executable):
+            os.execv(_cand, [_cand] + sys.argv)
+    raise
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)

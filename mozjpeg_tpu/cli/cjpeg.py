@@ -85,26 +85,32 @@ def build_parser():
 
 def read_input(data: bytes, is_targa: bool):
     """Sniff the input format by first byte like cjpeg select_file_type
-    (cjpeg.c:86-126): B->BMP, G->GIF, P->PPM/PGM; Targa needs -targa.
+    (cjpeg.c:86-126): B->BMP, G->GIF, P->PPM/PGM, 0x89->PNG; Targa needs
+    -targa.
 
-    -> (img, gray, density): RGB (H, W, 3) or grayscale (H, W) uint8,
-    whether the source declares itself grayscale (GIF gray colormap or
-    Targa subtype 3 set in_color_space GRAYSCALE), and BMP density."""
+    -> (img, gray, density, icc): RGB (H, W, 3) or grayscale (H, W)
+    uint8, whether the source declares itself grayscale (GIF gray
+    colormap or Targa subtype 3 set in_color_space GRAYSCALE), BMP
+    density, and any embedded ICC profile (PNG iCCP, rdpng.c:146-165)."""
     if is_targa:
         from ..utils import targa
         img, gray = targa.read_targa(data)
-        return img, gray, None
+        return img, gray, None, None
     if not data:
         raise SystemExit("cjpeg: empty input file")
     c = data[0]
     if c == 0x42:
         from ..utils import bmp
         img, density = bmp.read_bmp(data)
-        return img, False, density
+        return img, False, density, None
     if c == 0x47:
         from ..utils import gif
         img, gray = gif.read_gif(data)
-        return img, gray, None
+        return img, gray, None, None
+    if c == 0x89:
+        from ..utils import png
+        img, gray, icc, _srgb = png.read_png(data)
+        return img, gray, None, icc
     if c == 0x50:
         import io
         import tempfile
@@ -112,7 +118,7 @@ def read_input(data: bytes, is_targa: bool):
             f.write(data)
             f.flush()
             img = ppm.read(f.name)
-        return img, img.ndim == 2, None
+        return img, img.ndim == 2, None, None
     raise SystemExit("cjpeg: unrecognized input file format")
 
 
@@ -139,6 +145,15 @@ def config_from_args(a) -> EncoderConfig:
                   "1x1 chroma are not supported", file=sys.stderr)
             raise SystemExit(1)
         subsampling = factors[0]
+    # declared grayscale SOF factors (rdswitch.c:610-642 writes comp 0 even
+    # for gray): explicit -sample, else the q>=80 heuristic; below 80 the
+    # jpeg_set_colorspace 1x1 default stands untouched
+    if a.sample:
+        gray_sample = subsampling
+    elif q_last >= 80:
+        gray_sample = (1, 1) if q_last >= 90 else (2, 1)
+    else:
+        gray_sample = None
     restart_interval = 0
     restart_in_rows = 0
     if a.restart:
@@ -196,6 +211,7 @@ def config_from_args(a) -> EncoderConfig:
         quality=quality,
         profile=profile,
         subsampling=subsampling,
+        gray_sample=gray_sample,
         grayscale=a.grayscale,
         progressive=(False if a.baseline else a.progressive),
         optimize_coding=(True if a.optimize else
@@ -255,7 +271,7 @@ def main(argv=None):
         return 1
     data = (open(a.input, "rb").read() if a.input
             else sys.stdin.buffer.read())
-    img, src_gray, density = read_input(data, a.targa)
+    img, src_gray, density, src_icc = read_input(data, a.targa)
     if a.lossless:
         from ..codec.lossless import encode_lossless
         parts = a.lossless.split(",")
@@ -266,6 +282,10 @@ def main(argv=None):
     else:
         import dataclasses
         cfg = config_from_args(a)
+        if src_icc and not a.icc:
+            # PNG iCCP profile carries over as APP2 (rdpng.c:146-165);
+            # an explicit -icc flag takes precedence (cjpeg.c:473-478)
+            cfg = dataclasses.replace(cfg, icc=src_icc)
         if src_gray and img.ndim == 2:
             # GIF gray colormap / Targa subtype 3 / PGM input set
             # in_color_space GRAYSCALE -> grayscale JPEG by default

@@ -47,6 +47,13 @@ class EncoderConfig:
 
     # colorspace / sampling
     subsampling: Tuple[int, int] = (2, 2)   # (h, v) for luma; chroma 1x1
+    # declared SOF sampling factors for single-component grayscale: cjpeg's
+    # set_sample_factors writes into comp 0 even for grayscale
+    # (rdswitch.c:610-642), so -sample and the q>=80 "2x1" heuristic
+    # (rdswitch.c:565-570) change the SOF byte while geometry stays
+    # full-resolution (factors are relative to the component max).
+    # None = the jpeg_set_colorspace default, 1x1 (jcparam.c:593).
+    gray_sample: Optional[Tuple[int, int]] = None
     grayscale: bool = False
     # None = auto (gray input -> grayscale, 3ch -> ycbcr, 4ch -> cmyk);
     # explicit: "ycbcr" | "grayscale" | "rgb" | "cmyk" | "ycck"
@@ -117,6 +124,7 @@ class EncoderConfig:
             quality=self.quality,
             precision=self.precision,
             subsampling=self.subsampling,
+            gray_sample=self.gray_sample,
             grayscale=self.grayscale,
             colorspace=self.colorspace,
             progressive=(self.progressive if self.progressive is not None
@@ -166,6 +174,7 @@ class ResolvedConfig:
     quality: float
     precision: int
     subsampling: Tuple[int, int]
+    gray_sample: Optional[Tuple[int, int]]
     grayscale: bool
     colorspace: Optional[str]
     progressive: bool

@@ -233,7 +233,7 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
              multi_dqt: bool = True, precision: int = 8,
              cs: str = "ycbcr", qt_slots=None,
              extra_markers=None, density=(0, 1, 1),
-             write_jfif: bool = True) -> bytes:
+             write_jfif: bool = True, sof_samp=None) -> bytes:
     """Write markers + scans into the final JPEG byte stream."""
     _, _, comps = geom
     comp_ids = _CS_INFO[cs][2]
@@ -265,8 +265,14 @@ def assemble(width: int, height: int, geom, qtables, scan_results,
     # >8-bit sequential uses SOF1 (extended); baseline SOF0 is 8-bit only
     sof_code = (marker.SOF2 if progressive
                 else (marker.SOF0 if precision == 8 else marker.SOF1))
+    # sof_samp: declared sampling factors when they differ from the
+    # geometry factors (grayscale -sample / q>=80 heuristic — the factors
+    # are relative to the component max, so a lone component's are
+    # cosmetic; rdswitch.c:610-642)
+    sof_samp = sof_samp or [(comps[ci].h, comps[ci].v)
+                            for ci in range(ncomps)]
     w.sof(sof_code, precision, height, width,
-          [(comp_ids[ci], comps[ci].h, comps[ci].v, qt_slots[ci])
+          [(comp_ids[ci], sof_samp[ci][0], sof_samp[ci][1], qt_slots[ci])
            for ci in range(ncomps)])
     sent_dc: Dict[int, HuffTable] = {}
     sent_ac: Dict[int, HuffTable] = {}
@@ -335,6 +341,25 @@ def _resolve(image, config, overrides):
     return config, cfg, cs, ncomps, samp, qtables
 
 
+def _gray_sof_samp(cfg, cs):
+    """Declared SOF sampling override for grayscale (see assemble)."""
+    if cs == "grayscale" and cfg.gray_sample:
+        return [tuple(cfg.gray_sample)]
+    return None
+
+
+def _trellis_comps(cfg, cs, comps):
+    """Trellis lastDC chains across the v_samp block rows of one iMCU row
+    (jccoefct.c:417-419 reset per iMCU row; :423-447 block-row loop), so
+    for grayscale the DECLARED sampling factors (-sample / q>=80 heuristic,
+    rdswitch.c:610-642) set that chaining granularity even though pixel
+    geometry stays full-resolution."""
+    if cs == "grayscale" and cfg.gray_sample and cfg.gray_sample[1] > 1:
+        return ((comps[0]._replace(v=int(cfg.gray_sample[1])),)
+                + tuple(comps[1:]))
+    return tuple(comps)
+
+
 def _trellis_ris(cfg, comps):
     """Restart interval per component for the trellis stats passes: the
     stats gather is a single-component pseudo-scan, so -restart N rows
@@ -364,6 +389,7 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
     from . import pipeline_t, trellis
     import jax.numpy as jnp
     mcus_x, mcus_y, comps = geom
+    comps = _trellis_comps(cfg, cs, comps)
     norms, hists = pipeline_t.unpack_small(geom, small)
     tbl_slots = _CS_INFO[cs][1]
     qt_slots = _qt_slots(cfg, cs, len(comp_res))
@@ -655,7 +681,8 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
                     qt_slots=(qt_slots if qt_slots is not None
                               else _qt_slots(cfg, cs, ncomps)),
                     extra_markers=extra_markers, density=cfg.density,
-                    write_jfif=cfg.write_jfif)
+                    write_jfif=cfg.write_jfif,
+                    sof_samp=_gray_sof_samp(cfg, cs))
 
 
 
@@ -708,8 +735,10 @@ def _entropy_arith(width, height, geom, planes, qtables, config, cfg,
         for i in used_qt:
             w.dqt(i, qtables[i])
     sof_code = marker.SOF10 if cfg.progressive else marker.SOF9
+    a_samp = (_gray_sof_samp(cfg, cs)
+              or [(comps[ci].h, comps[ci].v) for ci in range(ncomps)])
     w.sof(sof_code, 8, height, width,
-          [(comp_ids[ci], comps[ci].h, comps[ci].v, qt_slots[ci])
+          [(comp_ids[ci], a_samp[ci][0], a_samp[ci][1], qt_slots[ci])
            for ci in range(ncomps)])
     last_dri = 0
     for scan in script:
@@ -832,6 +861,8 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
         pass
     mcus_x, mcus_y, comps = geom
     restart = _restart_interval(cfg, mcus_x)
+    tcomps = _trellis_comps(cfg, "grayscale" if ncomps == 1 else "ycbcr",
+                            comps)
 
     if cfg.trellis_quant:
         per_img = pipeline_t.unpack_small_batch(geom, smalls, b)
@@ -861,7 +892,7 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
         packed = jnp.asarray(trellis.pack_trellis_inputs(
             lams, ac_sis, dc_sis, qtblzz))
         upal, uint = trellis.ac_impl_flags(cfg.precision)
-        run = trellis.make_trellis_all_t(tuple(comps), None, tuple(bands),
+        run = trellis.make_trellis_all_t(tuple(tcomps), None, tuple(bands),
                                          cfg.trellis_quant_dc,
                                          tuple(ncands), batch=b,
                                          precision=cfg.precision,

@@ -135,9 +135,13 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
     fh = marker.MarkerWriter()
     fh.dqt_multi([(i, qtables[i]) for i in range(min(ncomps, 2))])
     comp_ids = [1, 2, 3][:ncomps]
+    # declared gray SOF factors (rdswitch.c:610-642; see encoder.assemble)
+    sof_samp = [(comps[ci].h, comps[ci].v) for ci in range(ncomps)]
+    if ncomps == 1 and getattr(cfg, "gray_sample", None):
+        sof_samp[0] = tuple(cfg.gray_sample)
     fh.sof(marker.SOF10 if arith else marker.SOF2, precision, height, width,
-           [(comp_ids[ci], comps[ci].h, comps[ci].v, 0 if ci == 0 else 1)
-            for ci in range(ncomps)])
+           [(comp_ids[ci], sof_samp[ci][0], sof_samp[ci][1],
+             0 if ci == 0 else 1) for ci in range(ncomps)])
     frame_header = fh.bytes()
 
     sizes: Dict[int, int] = {}

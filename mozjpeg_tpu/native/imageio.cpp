@@ -322,4 +322,61 @@ long mj_tga_rle_decode(const uint8_t* data, long len, int pixel_size,
   return pos;
 }
 
+// PNG row unfiltering (ISO/IEC 15948 §9; reference reads PNG via libpng in
+// rdpng.c — this is the equivalent raw-stream reconstruction).  `raw` is the
+// zlib-inflated stream: nrows * (1 filter byte + rowbytes).  Reconstructed
+// samples are written to `out` (nrows * rowbytes).  bpp = bytes per complete
+// pixel (rounded up to 1 for sub-byte depths).  Returns 0, or -1 on a bad
+// filter type.
+int mj_png_unfilter(const uint8_t* raw, uint8_t* out, long nrows,
+                    long rowbytes, int bpp) {
+  const uint8_t* prev = nullptr;
+  for (long y = 0; y < nrows; y++) {
+    int ft = raw[y * (rowbytes + 1)];
+    const uint8_t* in = raw + y * (rowbytes + 1) + 1;
+    uint8_t* cur = out + y * rowbytes;
+    switch (ft) {
+      case 0:
+        memcpy(cur, in, rowbytes);
+        break;
+      case 1:  // Sub
+        for (long i = 0; i < bpp && i < rowbytes; i++) cur[i] = in[i];
+        for (long i = bpp; i < rowbytes; i++)
+          cur[i] = (uint8_t)(in[i] + cur[i - bpp]);
+        break;
+      case 2:  // Up
+        if (prev)
+          for (long i = 0; i < rowbytes; i++)
+            cur[i] = (uint8_t)(in[i] + prev[i]);
+        else
+          memcpy(cur, in, rowbytes);
+        break;
+      case 3:  // Average
+        for (long i = 0; i < rowbytes; i++) {
+          int a = i >= bpp ? cur[i - bpp] : 0;
+          int b = prev ? prev[i] : 0;
+          cur[i] = (uint8_t)(in[i] + ((a + b) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (long i = 0; i < rowbytes; i++) {
+          int a = i >= bpp ? cur[i - bpp] : 0;
+          int b = prev ? prev[i] : 0;
+          int c = (prev && i >= bpp) ? prev[i - bpp] : 0;
+          int p = a + b - c;
+          int pa = p > a ? p - a : a - p;
+          int pb = p > b ? p - b : b - p;
+          int pc = p > c ? p - c : c - p;
+          int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          cur[i] = (uint8_t)(in[i] + pred);
+        }
+        break;
+      default:
+        return -1;
+    }
+    prev = cur;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -12,6 +12,17 @@ Usage: python rd_collect.py corpus/*.ppm [-q 50,60,...,95] [-o out.tsv]
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+try:
+    import numpy as _np  # noqa: F401
+except ImportError:  # bare system python: re-exec into the jax venv
+    _cand = "/opt/venv/bin/python"
+    if _os.path.exists(_cand) and _os.path.realpath(_cand) != \
+            _os.path.realpath(_sys.executable):
+        _os.execv(_cand, [_cand] + _sys.argv)
+    raise
+
 import argparse
 import json
 import math

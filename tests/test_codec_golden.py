@@ -75,6 +75,29 @@ def test_grayscale_byte_exact(ref_tools, tmp_path, testorig):
 
 
 @pytest.mark.parametrize("args", [
+    ["-quality", "80"],                      # q>=80 heuristic: SOF 2x1
+    ["-quality", "92"],                      # q>=90 heuristic: SOF 1x1
+    ["-quality", "60", "-sample", "1x2"],    # declared v>1: trellis lastDC
+    ["-quality", "85", "-sample", "2x2"],    # chains across v block rows
+    ["-quality", "75", "-fastcrush"],
+])
+def test_grayscale_declared_sampling(ref_tools, tmp_path, args):
+    """cjpeg's set_sample_factors writes the -sample / q>=80 default into
+    the gray component (rdswitch.c:610-642), changing the SOF factors and
+    the trellis iMCU-row chaining granularity (jccoefct.c:417-419)."""
+    from mozjpeg_tpu.cli import cjpeg as cli
+    rng = np.random.RandomState(22)
+    g = rng.randint(0, 256, (37, 29)).astype(np.uint8)
+    src = str(tmp_path / "g.pgm")
+    ppm.write(src, g)
+    subprocess.run([ref_tools["cjpeg"]] + args
+                   + ["-outfile", str(tmp_path / "r.jpg"), src], check=True)
+    cli.main(args + ["-outfile", str(tmp_path / "o.jpg"), src])
+    assert ((tmp_path / "o.jpg").read_bytes()
+            == (tmp_path / "r.jpg").read_bytes())
+
+
+@pytest.mark.parametrize("args", [
     ["-quality", "75", "-revert", "-baseline"],
     ["-quality", "75", "-revert", "-progressive", "-optimize"],
     ["-quality", "30", "-revert", "-baseline"],

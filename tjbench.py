@@ -9,6 +9,17 @@ Prints per-operation throughput in MP/s like tjbench.
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+try:
+    import numpy as _np  # noqa: F401
+except ImportError:  # bare system python: re-exec into the jax venv
+    _cand = "/opt/venv/bin/python"
+    if _os.path.exists(_cand) and _os.path.realpath(_cand) != \
+            _os.path.realpath(_sys.executable):
+        _os.execv(_cand, [_cand] + _sys.argv)
+    raise
+
 import argparse
 import json
 import sys
