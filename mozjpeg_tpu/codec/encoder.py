@@ -610,13 +610,26 @@ def _phase_pack(geom, planes_t):
     return pipeline_t._pack_all(tuple(planes_t), tuple(comps))
 
 
-def _split_flat(geom, flat):
+class DualPlane(np.ndarray):
+    """Host coefficient plane that also carries its device-resident twin
+    (``.dev``): the host engine and stats passes read the ndarray, while
+    the device bit packers reuse ``.dev`` directly instead of re-uploading
+    the plane for every candidate scan (the dominant H2D cost of
+    optimize_scans on remote-attached TPUs)."""
+    dev = None
+
+
+def _split_flat(geom, flat, flat_dev=None):
     _, _, comps = geom
     out = []
     off = 0
     for g in comps:
         n = g.bh_pad * g.bw_pad * 64
-        out.append(flat[off:off + n].reshape(g.bh_pad, g.bw_pad, 64))
+        arr = flat[off:off + n].reshape(g.bh_pad, g.bw_pad, 64)
+        if flat_dev is not None:
+            arr = arr.view(DualPlane)
+            arr.dev = flat_dev[off:off + n].reshape(g.bh_pad, g.bw_pad, 64)
+        out.append(arr)
         off += n
     return out
 
@@ -838,7 +851,8 @@ def _encode_many(images, config: Optional[EncoderConfig] = None,
     # stage 3: download + host entropy
     for i, (st, img, (cfg_o, cfg, cs, ncomps, samp, qt)) in \
             enumerate(zip(states, images, resolved)):
-        planes = _split_flat(st["geom"], _np.asarray(st["flat"]))
+        planes = _split_flat(st["geom"], _np.asarray(st["flat"]),
+                             flat_dev=st["flat"])
         mcus_x = st["geom"][0]
         restart = _restart_interval(cfg, mcus_x)
         out[i] = _phase_entropy(img.shape[1], img.shape[0], st["geom"],
@@ -969,7 +983,7 @@ def encode_raw_yuv(planes, width: int, height: int, samp,
     else:
         finals = tuple(r[0] for r in comp_res)
     flat = _phase_pack(geom, finals)
-    out_planes = _split_flat(geom, _np.asarray(flat))
+    out_planes = _split_flat(geom, _np.asarray(flat), flat_dev=flat)
     restart = _restart_interval(cfg, geom[0])
     return _phase_entropy(width, height, geom, out_planes, qtables,
                           config, cfg, ncomps, restart, cs)

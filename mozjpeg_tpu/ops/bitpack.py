@@ -209,6 +209,28 @@ def _scatter_bits(vals, lens, off, nwords: int):
     return out.reshape(S, nwords)
 
 
+def _as_dev(p):
+    """Device twin of a plane: DualPlane.dev when the encoder attached
+    one (no transfer), else upload the host array."""
+    d = getattr(p, "dev", None)
+    return d if d is not None else jnp.asarray(np.asarray(p))
+
+
+def _fetch_trimmed(words, bits):
+    """Sync the per-segment bit counts (tiny), then download only the
+    word prefix actually filled: the packers allocate worst-case
+    capacity (max_block_bits per block), which is 10-100x the real scan
+    size, and capacity-sized D2H transfers dominate encode time on
+    remote-attached TPUs.  -> (words_host, bits_host)."""
+    bits_h = np.asarray(bits)
+    if bits_h.size == 0:
+        return np.asarray(words), bits_h
+    maxw = max(1, (int(bits_h.max()) + 31) // 32)
+    if maxw < words.shape[1]:
+        words = words[:, :maxw]
+    return np.asarray(words), bits_h
+
+
 def _finish_segments(words: np.ndarray, bits: np.ndarray,
                      restart: bool, rst_offset: int = 0,
                      trailing_rst: bool = False) -> bytes:
@@ -262,10 +284,11 @@ def encode_scan_bitpar(planes: Sequence, geoms: Sequence[Tuple[int, int]],
                                  si.astype(np.uint32)])
                        for co, si in ac_tables])
     words, bits = _pack_segments(
-        tuple(jnp.asarray(p) for p in planes),
+        tuple(_as_dev(p) for p in planes),
         jnp.asarray(dc_tab), jnp.asarray(ac_tab),
         tuple(geoms), mcus_x, mcus_y, r, nwords)
-    return _finish_segments(np.asarray(words), np.asarray(bits),
+    words_h, bits_h = _fetch_trimmed(words, bits)
+    return _finish_segments(words_h, bits_h,
                             restart > 0, rst_offset, trailing_rst)
 
 
@@ -473,23 +496,29 @@ def encode_scan_progressive_device(planes, geoms, mcus_x: int, mcus_y: int,
                                      si.astype(np.uint32)])
                            for co, si in dc_tables])
         words, bits = _pack_dc_first(
-            tuple(jnp.asarray(p) for p in planes), jnp.asarray(dc_tab),
+            tuple(_as_dev(p) for p in planes), jnp.asarray(dc_tab),
             tuple(geoms), mcus_x, mcus_y, r, scan_Al, nwords)
     elif scan_Ss == 0:                                # DC refine
         bpm = sum(h * v for h, v in geoms)
         nwords = -(-(r * bpm) // 32) + 1
         words, bits = _pack_dc_refine(
-            tuple(jnp.asarray(p) for p in planes),
+            tuple(_as_dev(p) for p in planes),
             tuple(geoms), mcus_x, mcus_y, r, scan_Al, nwords)
     elif scan_Ah == 0:                                # AC first
         W = scan_Se - scan_Ss + 1
         S = -(-num_mcus // r)
         N_p = S * r
         co, si = ac_tables[0]
-        p = np.asarray(planes[0])
-        band = np.zeros((N_p, W), np.int32)
-        band[:num_mcus] = p[:mcus_y, :mcus_x, scan_Ss:scan_Se + 1] \
-            .reshape(num_mcus, W)
+        if getattr(planes[0], "dev", None) is not None:
+            pd = planes[0].dev
+            band = pd[:mcus_y, :mcus_x, scan_Ss:scan_Se + 1] \
+                .astype(jnp.int32).reshape(num_mcus, W)
+            band = jnp.pad(band, ((0, N_p - num_mcus), (0, 0)))
+        else:
+            p = np.asarray(planes[0])
+            band = np.zeros((N_p, W), np.int32)
+            band[:num_mcus] = p[:mcus_y, :mcus_x, scan_Ss:scan_Se + 1] \
+                .reshape(num_mcus, W)
         max_bits = 30 + W * acbits + 48
         nwords = -(-(r * max_bits) // 32) + 2
         words, bits = _pack_ac_first(
@@ -500,7 +529,8 @@ def encode_scan_progressive_device(planes, geoms, mcus_x: int, mcus_y: int,
         words, bits = _pack_ac_refine_host(
             np.asarray(planes[0]), mcus_x, mcus_y, scan_Ss, scan_Se,
             scan_Al, r, ac_tables[0])
-    return _finish_segments(np.asarray(words), np.asarray(bits),
+    words_h, bits_h = _fetch_trimmed(words, bits)
+    return _finish_segments(words_h, bits_h,
                             restart > 0, rst_offset, trailing_rst)
 
 
