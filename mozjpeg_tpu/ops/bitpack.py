@@ -216,18 +216,40 @@ def _as_dev(p):
     return d if d is not None else jnp.asarray(np.asarray(p))
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _trim_words(w, n):
+    return w[:, :n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bh", "bw", "Ss", "Se", "N_p"))
+def _band_extract(plane, bh, bw, Ss, Se, N_p):
+    """(bh_pad, bw_pad, 64) zigzag plane -> (N_p, W) int32 band in raster
+    block order, zero-padded to the segment grid (one fused program; the
+    eager equivalent is 4 dispatches per candidate scan)."""
+    W = Se - Ss + 1
+    band = plane[:bh, :bw, Ss:Se + 1].astype(jnp.int32).reshape(bh * bw, W)
+    return jnp.pad(band, ((0, N_p - bh * bw), (0, 0)))
+
+
 def _fetch_trimmed(words, bits):
     """Sync the per-segment bit counts (tiny), then download only the
     word prefix actually filled: the packers allocate worst-case
     capacity (max_block_bits per block), which is 10-100x the real scan
     size, and capacity-sized D2H transfers dominate encode time on
-    remote-attached TPUs.  -> (words_host, bits_host)."""
+    remote-attached TPUs.  The trim length is rounded up to a power of
+    two so the slice program cache stays bounded (this backend compiles
+    remotely — every distinct shape is a network round trip).
+    -> (words_host, bits_host)."""
     bits_h = np.asarray(bits)
-    if bits_h.size == 0:
+    if bits_h.size == 0 or not hasattr(words, "devices"):
         return np.asarray(words), bits_h
-    maxw = max(1, (int(bits_h.max()) + 31) // 32)
-    if maxw < words.shape[1]:
-        words = words[:, :maxw]
+    need = max(1, (int(bits_h.max()) + 31) // 32)
+    cap = words.shape[1]
+    if need < cap:
+        bucket = 1 << (need - 1).bit_length()
+        if bucket < cap:
+            words = _trim_words(words, bucket)
     return np.asarray(words), bits_h
 
 
@@ -510,10 +532,8 @@ def encode_scan_progressive_device(planes, geoms, mcus_x: int, mcus_y: int,
         N_p = S * r
         co, si = ac_tables[0]
         if getattr(planes[0], "dev", None) is not None:
-            pd = planes[0].dev
-            band = pd[:mcus_y, :mcus_x, scan_Ss:scan_Se + 1] \
-                .astype(jnp.int32).reshape(num_mcus, W)
-            band = jnp.pad(band, ((0, N_p - num_mcus), (0, 0)))
+            band = _band_extract(planes[0].dev, mcus_y, mcus_x,
+                                 scan_Ss, scan_Se, N_p)
         else:
             p = np.asarray(planes[0])
             band = np.zeros((N_p, W), np.int32)
