@@ -99,7 +99,11 @@ def main():
 
     log("bytes (first image): %d" % sizes[0])
     log("batched encode_many: %.2f MP/s" % batched_mps)
-    assert len(datas[0]) == sizes[0], "batched vs serial output mismatch"
+    # full byte equality batched-vs-serial over the corpus (a TPU numerics
+    # divergence or batching bug must fail the bench, not ship silently)
+    serial_datas = [encode(img, cfg) for img in corpus]
+    for i, (a, b) in enumerate(zip(datas, serial_datas)):
+        assert a == b, "batched vs serial output mismatch on image %d" % i
     mps = max(serial_mps, batched_mps)
     log("headline mode: %s" % ("batched" if batched_mps >= serial_mps
                                else "serial"))

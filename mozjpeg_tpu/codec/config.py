@@ -217,5 +217,10 @@ def _auto_device_entropy(flag):
         return False
     if env in ("1", "true", "on"):
         return True
-    import jax
-    return jax.default_backend() == "tpu"
+    # auto: OFF everywhere.  Measured on the remote-attached TPU tunnel
+    # (scripts/profile_batch.py): per-candidate device emission costs one
+    # ~33 ms table upload + dispatch round trip per scan, 5x slower than
+    # the threaded host engine; the batched fused-scanopt path
+    # (codec/scanopt_dev.py) is where device entropy pays off, and it is
+    # selected separately.
+    return False
