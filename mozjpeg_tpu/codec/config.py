@@ -113,6 +113,13 @@ class EncoderConfig:
     # CPU where the serial C++ engine wins.
     device_entropy: Optional[bool] = None
 
+    # run the optimize_scans candidate search on device (two batched
+    # programs for all ~130 candidate variants; codec/scanopt_dev.py)
+    # instead of per-candidate host encoding. Byte-identical output.
+    # None = auto: on for TPU backends (where it avoids downloading the
+    # coefficient planes), off on CPU where the threaded host engine wins.
+    device_scanopt: Optional[bool] = None
+
     def resolved(self) -> "ResolvedConfig":
         if self.precision not in (8, 12):
             raise ValueError(
@@ -166,6 +173,7 @@ class EncoderConfig:
             dct_method=self.dct_method,
             scan_script=self.scan_script,
             device_entropy=_auto_device_entropy(self.device_entropy),
+            device_scanopt=_auto_device_scanopt(self.device_scanopt),
         )
 
 
@@ -207,6 +215,7 @@ class ResolvedConfig:
     dct_method: DCTMethod
     scan_script: Optional[Sequence]
     device_entropy: bool
+    device_scanopt: bool
 
 
 def _auto_device_entropy(flag):
@@ -224,3 +233,15 @@ def _auto_device_entropy(flag):
     # (codec/scanopt_dev.py) is where device entropy pays off, and it is
     # selected separately.
     return False
+
+
+def _auto_device_scanopt(flag):
+    if flag is not None:
+        return bool(flag)
+    env = os.environ.get("MJ_DEVICE_SCANOPT", "auto").lower()
+    if env in ("0", "false", "off"):
+        return False
+    if env in ("1", "true", "on"):
+        return True
+    import jax
+    return jax.default_backend() == "tpu"

@@ -932,6 +932,27 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
     else:
         finals = tuple(m[0] for m in merged)
 
+    # fully-device scan search: coefficients never leave the device; two
+    # small transfers replace the whole-plane download + host entropy
+    # (codec/scanopt_dev.py)
+    if (cfg.progressive and cfg.optimize_scans and cfg.scan_script is None
+            and not cfg.arithmetic and cfg.device_scanopt):
+        from . import scanopt_dev
+        if scanopt_dev.supported(cfg, "ycbcr" if ncomps == 3 else
+                                 "grayscale", ncomps,
+                                 _restart_interval(cfg, mcus_x), geom):
+            extra = None
+            if cfg.icc:
+                chunks = tuple(marker.icc_chunks(cfg.icc))
+                extra = [chunks] * b
+            try:
+                return scanopt_dev.encode_batch_scans(
+                    [img.shape[1] for img in images],
+                    [img.shape[0] for img in images], geom, finals,
+                    qtables, cfg, ncomps, b, extra_markers_per_img=extra)
+            except scanopt_dev._FallbackNeeded:
+                pass
+
     flat_dev = pipeline_t._pack_all_batch(tuple(finals), tuple(comps), b)
     try:
         flat_dev.copy_to_host_async()

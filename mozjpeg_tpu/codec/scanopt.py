@@ -113,6 +113,190 @@ def _scan_buffer_arith(scan: ScanInfo, geom, planes, dc_tbls, ac_tbls,
     return w.bytes()
 
 
+class SearchLayout:
+    """Index arithmetic of the 64-scan (YCbCr) / 23-scan (gray) search
+    script (select_scans, jcmaster.c:773-962)."""
+
+    def __init__(self, ncomps: int):
+        self.ncomps = ncomps
+        self.num_scans_luma_dc = 1
+        self.num_scans_luma = (self.num_scans_luma_dc
+                               + (3 * AL_MAX_LUMA + 2)
+                               + (2 * NUM_FREQ_SPLITS + 1))      # 23
+        self.num_scans_chroma_dc = 3 if ncomps == 3 else 0
+        self.luma_split_start = (self.num_scans_luma_dc
+                                 + 3 * AL_MAX_LUMA + 2)          # 12
+        self.chroma_split_start = (self.num_scans_luma
+                                   + self.num_scans_chroma_dc
+                                   + (6 * AL_MAX_CHROMA + 4))    # 42
+        self.num_scans = self.num_scans_luma if ncomps == 1 else 64
+
+    def scan_al(self, sn: int, scan, best_Al_luma: int,
+                best_Al_chroma: int):
+        """The Al actually used when candidate sn is emitted: frequency-
+        split scans inherit the winning successive-approximation depth
+        (jcmaster.c:482-494)."""
+        if self.luma_split_start <= sn < self.num_scans_luma:
+            return ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
+                            best_Al_luma)
+        if self.ncomps == 3 and self.chroma_split_start <= sn:
+            return ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
+                            best_Al_chroma)
+        return scan
+
+
+class SearchResult:
+    __slots__ = ("sizes", "used_scans", "best_Al_luma", "best_Al_chroma",
+                 "best_split_luma", "best_split_chroma",
+                 "interleave_chroma_dc")
+
+
+def _run_selection(layout: SearchLayout, script, get_size,
+                   on_candidate=None) -> SearchResult:
+    """The greedy selection state machine, shared verbatim between the
+    host path (get_size encodes the candidate) and the device path
+    (codec/scanopt_dev.py: get_size reads a precomputed size array).
+    Candidates are visited in exactly the reference's trial order
+    including its skip-ahead early-exits; get_size(sn, scan) must return
+    the FULL buffer size (DHT [+DRI] + SOS + entropy bytes; frame header
+    excluded)."""
+    L = layout
+    num_scans = L.num_scans
+    luma_split_start = L.luma_split_start
+    num_scans_luma = L.num_scans_luma
+    num_scans_chroma_dc = L.num_scans_chroma_dc
+    chroma_split_start = L.chroma_split_start
+    ncomps = L.ncomps
+
+    sizes: Dict[int, int] = {}
+    used_scans: Dict[int, ScanInfo] = {}
+    best_Al_luma = 0
+    best_Al_chroma = 0
+    best_cost = 0
+    best_split_luma = 0
+    best_split_chroma = 0
+    interleave_chroma_dc = False
+
+    sn = 0
+    while sn < num_scans:
+        scan = L.scan_al(sn, script[sn], best_Al_luma, best_Al_chroma)
+        sizes[sn] = get_size(sn, scan)
+        used_scans[sn] = scan
+        if on_candidate is not None:
+            on_candidate(sn)
+        nxt = sn + 1
+
+        # --- selection state machine (select_scans) ---
+        if 1 < nxt <= luma_split_start:
+            if (nxt - 1) % 3 == 2:
+                Al = (nxt - 1) // 3
+                cost = sizes[nxt - 2] + sizes[nxt - 1] \
+                    + sum(sizes[3 + 3 * i] for i in range(Al))
+                if Al == 0 or cost < best_cost:
+                    best_cost = cost
+                    best_Al_luma = Al
+                else:
+                    sn = luma_split_start - 1  # jump: next is split start
+        elif luma_split_start < nxt <= num_scans_luma:
+            if nxt == luma_split_start + 1:
+                best_split_luma = 0
+                best_cost = sizes[nxt - 1]
+            elif (nxt - luma_split_start) % 2 == 1:
+                idx = (nxt - luma_split_start) >> 1
+                cost = sizes[nxt - 2] + sizes[nxt - 1]
+                if cost < best_cost:
+                    best_cost = cost
+                    best_split_luma = idx
+                if ((idx == 2 and best_split_luma == 0)
+                        or (idx == 3 and best_split_luma != 2)
+                        or (idx == 4 and best_split_luma != 4)):
+                    sn = num_scans_luma - 1
+        elif num_scans > num_scans_luma:
+            base = num_scans_luma
+            if nxt == num_scans_luma + num_scans_chroma_dc:
+                interleave_chroma_dc = (sizes[base] <= sizes[base + 1]
+                                        + sizes[base + 2])
+            elif (num_scans_luma + num_scans_chroma_dc < nxt
+                  <= chroma_split_start):
+                base = num_scans_luma + num_scans_chroma_dc
+                if (nxt - base) % 6 == 4:
+                    Al = (nxt - base) // 6
+                    cost = (sizes[nxt - 4] + sizes[nxt - 3]
+                            + sizes[nxt - 2] + sizes[nxt - 1]
+                            + sum(sizes[base + 4 + 6 * i]
+                                  + sizes[base + 5 + 6 * i]
+                                  for i in range(Al)))
+                    if Al == 0 or cost < best_cost:
+                        best_cost = cost
+                        best_Al_chroma = Al
+                    else:
+                        sn = chroma_split_start - 1
+            elif chroma_split_start < nxt <= num_scans:
+                if nxt == chroma_split_start + 2:
+                    best_split_chroma = 0
+                    best_cost = sizes[nxt - 2] + sizes[nxt - 1]
+                elif (nxt - chroma_split_start) % 4 == 2:
+                    idx = (nxt - chroma_split_start) >> 2
+                    cost = (sizes[nxt - 4] + sizes[nxt - 3]
+                            + sizes[nxt - 2] + sizes[nxt - 1])
+                    if cost < best_cost:
+                        best_cost = cost
+                        best_split_chroma = idx
+                    if ((idx == 2 and best_split_chroma == 0)
+                            or (idx == 3 and best_split_chroma != 2)
+                            or (idx == 4 and best_split_chroma != 4)):
+                        sn = num_scans - 1
+        sn += 1
+
+    r = SearchResult()
+    r.sizes = sizes
+    r.used_scans = used_scans
+    r.best_Al_luma = best_Al_luma
+    r.best_Al_chroma = best_Al_chroma
+    r.best_split_luma = best_split_luma
+    r.best_split_chroma = best_split_chroma
+    r.interleave_chroma_dc = interleave_chroma_dc
+    return r
+
+
+def display_order(layout: SearchLayout, r: SearchResult,
+                  dc_scan_opt_mode: int) -> List[int]:
+    """Final scan ordering from the search result (copy_buffer stitching
+    order, jcmaster.c:898-961)."""
+    L = layout
+    ncomps = L.ncomps
+    min_Al = min(r.best_Al_luma, r.best_Al_chroma)
+    order: List[int] = [0]
+    if ncomps == 3 and dc_scan_opt_mode != 0:
+        base = L.num_scans_luma
+        if r.interleave_chroma_dc and dc_scan_opt_mode != 1:
+            order.append(base)
+        else:
+            order += [base + 1, base + 2]
+    if r.best_split_luma == 0:
+        order.append(L.luma_split_start)
+    else:
+        order += [L.luma_split_start + 2 * (r.best_split_luma - 1) + 1,
+                  L.luma_split_start + 2 * (r.best_split_luma - 1) + 2]
+    for Al in range(r.best_Al_luma - 1, min_Al - 1, -1):
+        order.append(3 + 3 * Al)
+    if ncomps == 3:
+        if r.best_split_chroma == 0:
+            order += [L.chroma_split_start, L.chroma_split_start + 1]
+        else:
+            b = L.chroma_split_start + 4 * (r.best_split_chroma - 1)
+            order += [b + 2, b + 3, b + 4, b + 5]
+        cbase = L.num_scans_luma + L.num_scans_chroma_dc
+        for Al in range(r.best_Al_chroma - 1, min_Al - 1, -1):
+            order += [cbase + 6 * Al + 4, cbase + 6 * Al + 5]
+    for Al in range(min_Al - 1, -1, -1):
+        order.append(3 + 3 * Al)
+        if ncomps == 3:
+            cbase = L.num_scans_luma + L.num_scans_chroma_dc
+            order += [cbase + 6 * Al + 4, cbase + 6 * Al + 5]
+    return order
+
+
 def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
                           cfg, ncomps: int, restart: int,
                           precision: int = 8, extra_markers=None,
@@ -123,13 +307,12 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
     dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomps)}
     ac_tbls = dict(dc_tbls)
 
-    num_scans_luma_dc = 1
-    num_scans_luma = (num_scans_luma_dc + (3 * AL_MAX_LUMA + 2)
-                      + (2 * NUM_FREQ_SPLITS + 1))             # 23
-    num_scans_chroma_dc = 3 if ncomps == 3 else 0
-    luma_split_start = num_scans_luma_dc + 3 * AL_MAX_LUMA + 2  # 12
-    chroma_split_start = (num_scans_luma + num_scans_chroma_dc
-                          + (6 * AL_MAX_CHROMA + 4))            # 42
+    layout = SearchLayout(ncomps)
+    num_scans_luma_dc = layout.num_scans_luma_dc
+    num_scans_luma = layout.num_scans_luma
+    num_scans_chroma_dc = layout.num_scans_chroma_dc
+    luma_split_start = layout.luma_split_start
+    chroma_split_start = layout.chroma_split_start
 
     # frame header: DQT(s) + SOF2, goes into scan 0's buffer
     fh = marker.MarkerWriter()
@@ -144,18 +327,9 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
              0 if ci == 0 else 1) for ci in range(ncomps)])
     frame_header = fh.bytes()
 
-    sizes: Dict[int, int] = {}
     bufs: Dict[int, bytes] = {}
-    used_scans: Dict[int, ScanInfo] = {}
-    last_dri = 0
+    dri_state = [0]
     report.add_passes(num_scans)
-
-    best_Al_luma = 0
-    best_Al_chroma = 0
-    best_cost = 0
-    best_split_luma = 0
-    best_split_chroma = 0
-    interleave_chroma_dc = False
 
     dev = (not arith) and bool(getattr(cfg, "device_entropy", False)) \
         and precision <= 12
@@ -171,9 +345,10 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
 
     def prefetch(sn_, scan_):
         """On first touch of a greedy group, submit every candidate in it
-        (Al overrides are fixed at group entry); selection order and all
-        emitted bytes stay exactly the serial machine's — skipped
-        candidates are merely wasted work."""
+        (Al overrides are fixed at group entry, so the group's override is
+        read off the triggering scan); selection order and all emitted
+        bytes stay exactly the serial machine's — skipped candidates are
+        merely wasted work."""
         if arith or executor is None:
             return None
         for gi, (g0, g1) in enumerate(groups):
@@ -182,12 +357,10 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
             submitted.add(gi)
             for sj in range(g0, g1):
                 sc = script[sj]
-                if luma_split_start <= sj < num_scans_luma:
-                    sc = ScanInfo(sc.comps, sc.Ss, sc.Se, sc.Ah,
-                                  best_Al_luma)
-                elif ncomps == 3 and chroma_split_start <= sj < num_scans:
-                    sc = ScanInfo(sc.comps, sc.Ss, sc.Se, sc.Ah,
-                                  best_Al_chroma)
+                if (luma_split_start <= sj < num_scans_luma
+                        or (ncomps == 3
+                            and chroma_split_start <= sj < num_scans)):
+                    sc = ScanInfo(sc.comps, sc.Ss, sc.Se, sc.Ah, scan_.Al)
                 rj = _scan_restart(sc, geom, cfg, ncomps)
                 futures[sj] = executor.submit(
                     _scan_result, sc, geom, planes, dc_tbls, ac_tbls, rj,
@@ -201,100 +374,30 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
         executor = ThreadPoolExecutor(
             max_workers=min(8, _os.cpu_count() or 1))
 
+    def get_size(sn, scan):
+        mk = _scan_buffer_arith if arith else functools.partial(
+            _scan_buffer, device=dev, precision=precision,
+            sr=prefetch(sn, scan))
+        # per-scan restart interval; DRI emitted when it changes along the
+        # candidate-encode order -- the search captures scan buffers in
+        # trial order and stitches them verbatim (jcmaster.c:672-683,
+        # jcmarker.c:778-780)
+        r = _scan_restart(scan, geom, cfg, ncomps)
+        buf = mk(scan, geom, planes, dc_tbls, ac_tbls, r,
+                 frame_header if sn == 0 else None,
+                 emit_dri=(r != dri_state[0]))
+        if r != dri_state[0]:
+            dri_state[0] = r
+        bufs[sn] = buf
+        report.pass_done("candidate scan %d/%d" % (sn + 1, num_scans))
+        return len(buf) - (len(frame_header) if sn == 0 else 0)
+
     try:
-        sn = 0
-        while sn < num_scans:
-            scan = script[sn]
-            # Al override for frequency-split scans (jcmaster.c:483-494)
-            if luma_split_start <= sn < num_scans_luma:
-                scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
-                                best_Al_luma)
-            elif ncomps == 3 and chroma_split_start <= sn < num_scans:
-                scan = ScanInfo(scan.comps, scan.Ss, scan.Se, scan.Ah,
-                                best_Al_chroma)
-            mk = _scan_buffer_arith if arith else functools.partial(
-                _scan_buffer, device=dev, precision=precision,
-                sr=prefetch(sn, scan))
-            # per-scan restart interval; DRI emitted when it changes along the
-            # candidate-encode order -- the search captures scan buffers in
-            # trial order and stitches them verbatim (jcmaster.c:672-683,
-            # jcmarker.c:778-780)
-            r = _scan_restart(scan, geom, cfg, ncomps)
-            buf = mk(scan, geom, planes, dc_tbls, ac_tbls, r,
-                     frame_header if sn == 0 else None,
-                     emit_dri=(r != last_dri))
-            last_dri = r if r != last_dri else last_dri
-            bufs[sn] = buf
-            used_scans[sn] = scan
-            sizes[sn] = len(buf) - (len(frame_header) if sn == 0 else 0)
-            report.pass_done("candidate scan %d/%d" % (sn + 1, num_scans))
-            nxt = sn + 1
-
-            # --- selection state machine (select_scans) ---
-            if 1 < nxt <= luma_split_start:
-                if (nxt - 1) % 3 == 2:
-                    Al = (nxt - 1) // 3
-                    cost = sizes[nxt - 2] + sizes[nxt - 1] \
-                        + sum(sizes[3 + 3 * i] for i in range(Al))
-                    if Al == 0 or cost < best_cost:
-                        best_cost = cost
-                        best_Al_luma = Al
-                    else:
-                        sn = luma_split_start - 1  # jump: next is split start
-            elif luma_split_start < nxt <= num_scans_luma:
-                if nxt == luma_split_start + 1:
-                    best_split_luma = 0
-                    best_cost = sizes[nxt - 1]
-                elif (nxt - luma_split_start) % 2 == 1:
-                    idx = (nxt - luma_split_start) >> 1
-                    cost = sizes[nxt - 2] + sizes[nxt - 1]
-                    if cost < best_cost:
-                        best_cost = cost
-                        best_split_luma = idx
-                    if ((idx == 2 and best_split_luma == 0)
-                            or (idx == 3 and best_split_luma != 2)
-                            or (idx == 4 and best_split_luma != 4)):
-                        sn = num_scans_luma - 1
-            elif num_scans > num_scans_luma:
-                base = num_scans_luma
-                if nxt == num_scans_luma + num_scans_chroma_dc:
-                    interleave_chroma_dc = (sizes[base] <= sizes[base + 1]
-                                            + sizes[base + 2])
-                elif (num_scans_luma + num_scans_chroma_dc < nxt
-                      <= chroma_split_start):
-                    base = num_scans_luma + num_scans_chroma_dc
-                    if (nxt - base) % 6 == 4:
-                        Al = (nxt - base) // 6
-                        cost = (sizes[nxt - 4] + sizes[nxt - 3]
-                                + sizes[nxt - 2] + sizes[nxt - 1]
-                                + sum(sizes[base + 4 + 6 * i]
-                                      + sizes[base + 5 + 6 * i]
-                                      for i in range(Al)))
-                        if Al == 0 or cost < best_cost:
-                            best_cost = cost
-                            best_Al_chroma = Al
-                        else:
-                            sn = chroma_split_start - 1
-                elif chroma_split_start < nxt <= num_scans:
-                    if nxt == chroma_split_start + 2:
-                        best_split_chroma = 0
-                        best_cost = sizes[nxt - 2] + sizes[nxt - 1]
-                    elif (nxt - chroma_split_start) % 4 == 2:
-                        idx = (nxt - chroma_split_start) >> 2
-                        cost = (sizes[nxt - 4] + sizes[nxt - 3]
-                                + sizes[nxt - 2] + sizes[nxt - 1])
-                        if cost < best_cost:
-                            best_cost = cost
-                            best_split_chroma = idx
-                        if ((idx == 2 and best_split_chroma == 0)
-                                or (idx == 3 and best_split_chroma != 2)
-                                or (idx == 4 and best_split_chroma != 4)):
-                            sn = num_scans - 1
-            sn += 1
-
+        res = _run_selection(layout, script, get_size)
     finally:
         if executor is not None:
             executor.shutdown(wait=False, cancel_futures=True)
+    used_scans = res.used_scans
 
     # --- final assembly (display order) ---
     out = marker.MarkerWriter()
@@ -304,35 +407,7 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
                       yd=cfg.density[2])
     for code, payload in (extra_markers or ()):
         out.segment(code, payload)
-    min_Al = min(best_Al_luma, best_Al_chroma)
-    order: List[int] = [0]
-    if ncomps == 3 and cfg.dc_scan_opt_mode != 0:
-        base = num_scans_luma
-        if interleave_chroma_dc and cfg.dc_scan_opt_mode != 1:
-            order.append(base)
-        else:
-            order += [base + 1, base + 2]
-    if best_split_luma == 0:
-        order.append(luma_split_start)
-    else:
-        order += [luma_split_start + 2 * (best_split_luma - 1) + 1,
-                  luma_split_start + 2 * (best_split_luma - 1) + 2]
-    for Al in range(best_Al_luma - 1, min_Al - 1, -1):
-        order.append(3 + 3 * Al)
-    if ncomps == 3:
-        if best_split_chroma == 0:
-            order += [chroma_split_start, chroma_split_start + 1]
-        else:
-            b = chroma_split_start + 4 * (best_split_chroma - 1)
-            order += [b + 2, b + 3, b + 4, b + 5]
-        cbase = num_scans_luma + num_scans_chroma_dc
-        for Al in range(best_Al_chroma - 1, min_Al - 1, -1):
-            order += [cbase + 6 * Al + 4, cbase + 6 * Al + 5]
-    for Al in range(min_Al - 1, -1, -1):
-        order.append(3 + 3 * Al)
-        if ncomps == 3:
-            cbase = num_scans_luma + num_scans_chroma_dc
-            order += [cbase + 6 * Al + 4, cbase + 6 * Al + 5]
+    order = display_order(layout, res, cfg.dc_scan_opt_mode)
 
     for idx in order:
         # scan-size trace at the reference's copy_buffer point
