@@ -120,6 +120,13 @@ class EncoderConfig:
     # coefficient planes), off on CPU where the threaded host engine wins.
     device_scanopt: Optional[bool] = None
 
+    # download coefficient planes for host entropy as [nonzero masks |
+    # compacted values] (ops/sparsepack.py) instead of dense (64, N)
+    # int16 — ~10x fewer transferred elements on the remote TPU tunnel.
+    # Falls back to dense automatically on capacity overflow.
+    # None = auto: on for TPU backends.
+    sparse_download: Optional[bool] = None
+
     def resolved(self) -> "ResolvedConfig":
         if self.precision not in (8, 12):
             raise ValueError(
@@ -174,6 +181,8 @@ class EncoderConfig:
             scan_script=self.scan_script,
             device_entropy=_auto_device_entropy(self.device_entropy),
             device_scanopt=_auto_device_scanopt(self.device_scanopt),
+            sparse_download=_auto_backend_flag(self.sparse_download,
+                                               "MJ_SPARSE_DL"),
         )
 
 
@@ -216,6 +225,7 @@ class ResolvedConfig:
     scan_script: Optional[Sequence]
     device_entropy: bool
     device_scanopt: bool
+    sparse_download: bool
 
 
 def _auto_device_entropy(flag):
@@ -239,6 +249,22 @@ def _auto_device_scanopt(flag):
     if flag is not None:
         return bool(flag)
     env = os.environ.get("MJ_DEVICE_SCANOPT", "auto").lower()
+    if env in ("0", "false", "off"):
+        return False
+    if env in ("1", "true", "on"):
+        return True
+    # auto: OFF for now. The device search is byte-exact but its packing
+    # kernels are scatter-bound (~8.7 ns/lane on TPU; scripts/
+    # profile_prims2.py) — the sparse-download + threaded-host-search
+    # hybrid (ops/sparsepack.py) measures faster until the matmul-based
+    # pack lands.
+    return False
+
+
+def _auto_backend_flag(flag, env_name):
+    if flag is not None:
+        return bool(flag)
+    env = os.environ.get(env_name, "auto").lower()
     if env in ("0", "false", "off"):
         return False
     if env in ("1", "true", "on"):

@@ -636,7 +636,7 @@ def _split_flat(geom, flat, flat_dev=None):
 
 def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
                    ncomps, restart, cs="ycbcr", extra_markers=None,
-                   qt_slots=None):
+                   qt_slots=None, parallel=True):
     if cfg.icc:
         extra_markers = tuple(marker.icc_chunks(cfg.icc)) \
             + tuple(extra_markers or ())
@@ -656,9 +656,16 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
     elif cfg.progressive:
         if cfg.optimize_scans and (ncomps == 1 or (ncomps == 3 and ycbcr)):
             from . import scanopt
+            import os as _os
+            if _os.environ.get("MJ_NATIVE_SCANSEARCH", "1") != "0":
+                data = scanopt.encode_optimize_scans_native(
+                    width, height, geom, planes, qtables, cfg, ncomps,
+                    cfg.precision, extra_markers)
+                if data is not None:
+                    return data
             return scanopt.encode_optimize_scans(
                 width, height, geom, planes, qtables, cfg, ncomps, restart,
-                cfg.precision, extra_markers)
+                cfg.precision, extra_markers, parallel=parallel)
         elif (config.profile == Profile.MAX_COMPRESSION
               or cfg.optimize_scans):
             # scan search bails for non-YCbCr multi-component images
@@ -811,7 +818,7 @@ def _encode_many(images, config: Optional[EncoderConfig] = None,
     from . import pipeline_t
     if len(images) > 1:
         shapes = {img.shape for img in images}
-        if len(shapes) == 1:
+        if len(shapes) == 1 and images[0].ndim == 3:
             cfg_o, cfg, cs, ncomps, samp, qt = _resolve(
                 images[0], config, overrides)
             from .pipeline import geometry
@@ -828,7 +835,8 @@ def _encode_many(images, config: Optional[EncoderConfig] = None,
                     and not cfg.restart_interval
                     and not cfg.restart_in_rows
                     and _qt_slots(cfg, cs, ncomps) == (0, 1, 1)):
-                return _encode_batch(images, cfg_o, cfg, ncomps, samp, qt)
+                return _encode_pipelined(images, cfg_o, cfg, ncomps, samp,
+                                         qt)
     out = [None] * len(images)
     states = []
     resolved = [_resolve(img, config, overrides) for img in images]
@@ -862,6 +870,53 @@ def _encode_many(images, config: Optional[EncoderConfig] = None,
 
 def _encode_batch(images, config, cfg, ncomps, samp, qtables):
     """Fully batched group encode (one dispatch / one transfer per stage)."""
+    st = _batch_device(images, config, cfg, ncomps, samp, qtables)
+    if isinstance(st, list):
+        return st                       # device scan search produced bytes
+    return _batch_host(images, st, config, cfg, ncomps, qtables)
+
+
+def _group_size() -> int:
+    import os as _os
+    return max(1, int(_os.environ.get("MJ_BATCH_GROUP", "8")))
+
+
+def _encode_pipelined(images, config, cfg, ncomps, samp, qtables):
+    """Software pipeline over same-shape groups: while the IO thread syncs
+    group k's coefficient download and the entropy pool encodes its scans,
+    the main thread is already uploading and dispatching group k+1 — the
+    tunnel (the bottleneck on remote-attached TPUs) stays busy and host
+    CPU work hides under device compute."""
+    from concurrent.futures import ThreadPoolExecutor
+    import os as _os
+    g = _group_size()
+    chunks = [images[i:i + g] for i in range(0, len(images), g)]
+    if len(chunks) == 1:
+        return _encode_batch(chunks[0], config, cfg, ncomps, samp, qtables)
+    nthreads = max(2, (_os.cpu_count() or 4) - 1)
+    out = []
+    with ThreadPoolExecutor(max_workers=1) as io_pool, \
+            ThreadPoolExecutor(max_workers=nthreads) as ent_pool:
+        jobs = []
+        for chunk in chunks:
+            st = _batch_device(chunk, config, cfg, ncomps, samp, qtables)
+            if isinstance(st, list):
+                jobs.append(st)
+            else:
+                jobs.append(io_pool.submit(
+                    _batch_host, chunk, st, config, cfg, ncomps, qtables,
+                    ent_pool))
+        for j in jobs:
+            out.extend(j if isinstance(j, list) else j.result())
+    return out
+
+
+def _batch_device(images, config, cfg, ncomps, samp, qtables):
+    """Device half of the batched encode: p1 + trellis (+ the fully-device
+    scan search when enabled). Returns either the finished byte list (scan
+    search path) or a state dict whose downloads haven't been synced — the
+    pipelined driver runs _batch_host for it on an IO thread while the
+    device starts the next group."""
     import numpy as _np
     import jax.numpy as jnp
     from . import pipeline_t, trellis
@@ -953,28 +1008,74 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
             except scanopt_dev._FallbackNeeded:
                 pass
 
-    flat_dev = pipeline_t._pack_all_batch(tuple(finals), tuple(comps), b)
+    st = {"geom": geom, "finals": finals, "b": b, "restart": restart}
+    if cfg.sparse_download:
+        # dispatch the sparse masks+values pack (ops/sparsepack.py):
+        # ~5-10x fewer tunnel elements than the dense planes; the actual
+        # D2H sync happens in _batch_host (possibly on an IO thread).
+        # Capacity is picked from the pre-trellis symbol histograms
+        # (trellis only zeroes coefficients, so they upper-bound density).
+        from ..ops import sparsepack
+        if not cfg.trellis_quant:
+            per_img = pipeline_t.unpack_small_batch(geom, smalls, b)
+        nblocks = sum(g.bh * g.bw for g in comps) * b
+        nz_est = float(sum(int(np.asarray(h).sum())
+                           for (_norms, hists) in per_img
+                           for h in hists)) / nblocks
+        cap = sparsepack.choose_cap_sb(nz_est)
+        st["sparse"] = sparsepack.pack_planes(finals, comps, b, cap)
+    return st
+
+
+def _batch_fetch(st, cfg):
+    """Sync the coefficient download -> per-image host plane lists."""
+    from . import pipeline_t
+    geom = st["geom"]
+    _, _, comps = geom
+    b = st["b"]
+    if "sparse" in st:
+        from ..ops import sparsepack
+        buf_dev, nt, n_tot, cap = st["sparse"]
+        planes = sparsepack.expand_to_planes(np.asarray(buf_dev), nt,
+                                             n_tot, b, comps, cap)
+        if planes is not None:
+            return planes
+    flat_dev = pipeline_t._pack_all_batch(tuple(st["finals"]),
+                                          tuple(comps), b)
     try:
         flat_dev.copy_to_host_async()
     except Exception:
         pass
-    per_image_planes = pipeline_t.split_flat_batch(geom, np.asarray(flat_dev),
-                                                   b)
+    return pipeline_t.split_flat_batch(geom, np.asarray(flat_dev), b)
+
+
+def _batch_host(images, st, config, cfg, ncomps, qtables, ent_pool=None):
+    """Host half: coefficient download + per-image entropy (threaded)."""
     from concurrent.futures import ThreadPoolExecutor
     import contextvars
+    per_image_planes = _batch_fetch(st, cfg)
+    geom = st["geom"]
+    restart = st["restart"]
+    b = st["b"]
     report.add_passes(b)
-    with ThreadPoolExecutor(max_workers=min(8, b)) as ex:
+    own_pool = ent_pool is None
+    ex = ent_pool or ThreadPoolExecutor(max_workers=min(8, b))
+    try:
         futs = []
         for img, planes in zip(images, per_image_planes):
             ctx = contextvars.copy_context()   # progress/trace reporter
             futs.append(ex.submit(
                 ctx.run, _phase_entropy, img.shape[1], img.shape[0], geom,
-                planes, qtables, config, cfg, ncomps, restart))
+                planes, qtables, config, cfg, ncomps, restart,
+                parallel=(b == 1)))
         outs = []
         for f in futs:
             outs.append(f.result())
             report.pass_done("entropy")
         return outs
+    finally:
+        if own_pool:
+            ex.shutdown(wait=False)
 
 def encode_raw_yuv(planes, width: int, height: int, samp,
                    config: Optional[EncoderConfig] = None,

@@ -300,7 +300,8 @@ def display_order(layout: SearchLayout, r: SearchResult,
 def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
                           cfg, ncomps: int, restart: int,
                           precision: int = 8, extra_markers=None,
-                          arith: bool = False) -> bytes:
+                          arith: bool = False,
+                          parallel: bool = True) -> bytes:
     script = scans.search_progression(ncomps, cfg.dc_scan_opt_mode)
     num_scans = len(script)
     _, _, comps = geom
@@ -368,9 +369,12 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
         f = futures.pop(sn_, None)
         return f.result() if f is not None else None
 
-    if not arith:
+    import os as _os
+    # candidate prefetch threads pay off for a SINGLE image on an idle
+    # host, but thrash when the caller already runs one image per core
+    # (encoder._batch_host); parallel=False disables them.
+    if not arith and parallel:
         from concurrent.futures import ThreadPoolExecutor
-        import os as _os
         executor = ThreadPoolExecutor(
             max_workers=min(8, _os.cpu_count() or 1))
 
@@ -417,3 +421,83 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
         out.raw(bufs[idx])
     out.eoi()
     return out.bytes()
+
+
+def encode_optimize_scans_native(width: int, height: int, geom, planes,
+                                 qtables, cfg, ncomps: int,
+                                 precision: int = 8,
+                                 extra_markers=None) -> Optional[bytes]:
+    """One-call native scan search (native/scansearch.cpp): the whole
+    candidate sweep, greedy selection and stitching run in C++ with the
+    GIL released — ~0.4 ms/candidate of Python orchestration used to
+    serialize batched encodes across host threads. Byte-identical to
+    encode_optimize_scans (pinned by tests/test_scansearch_native.py).
+    Returns None when the native engine bails (buffer overflow)."""
+    import ctypes
+    import numpy as np
+    from ..native import lib, SearchComp, i32p, u8p
+    from . import report as _report
+    from .encoder import scan_restart_interval
+
+    mcus_x, mcus_y, comps = geom
+    script = scans.search_progression(ncomps, cfg.dc_scan_opt_mode)
+    restarts = np.asarray(
+        [scan_restart_interval(cfg, s, geom, ncomps) for s in script],
+        dtype=np.int32)
+
+    arr = (SearchComp * ncomps)()
+    keep = []
+    for ci in range(ncomps):
+        p = np.ascontiguousarray(planes[ci], dtype=np.int16)
+        keep.append(p)
+        g = comps[ci]
+        arr[ci].coef = p.ctypes.data
+        arr[ci].bw = g.bw
+        arr[ci].bh = g.bh
+        arr[ci].bw_pad = g.bw_pad
+        arr[ci].bh_pad = g.bh_pad
+        arr[ci].stride = p.shape[1]
+        arr[ci].h = g.h
+        arr[ci].v = g.v
+
+    total_blocks = sum(g.bw_pad * g.bh_pad for g in comps[:ncomps])
+    cap = total_blocks * 384 + (1 << 20)
+    out = np.empty(cap, np.uint8)
+    meta = np.zeros(1 + 8 * 40, np.int32)
+    n = lib.mj_scan_search(arr, ncomps, mcus_x, mcus_y,
+                           cfg.dc_scan_opt_mode,
+                           restarts.ctypes.data_as(i32p),
+                           out.ctypes.data_as(u8p), cap,
+                           meta.ctypes.data_as(i32p))
+    del keep
+    if n < 0:
+        return None
+
+    # frame header + assembly (mirrors encode_optimize_scans tail)
+    w = marker.MarkerWriter()
+    w.soi()
+    if cfg.write_jfif:
+        w.jfif_app0(unit=cfg.density[0], xd=cfg.density[1],
+                    yd=cfg.density[2])
+    for code, payload in (extra_markers or ()):
+        w.segment(code, payload)
+    w.dqt_multi([(i, qtables[i]) for i in range(min(ncomps, 2))])
+    comp_ids = [1, 2, 3][:ncomps]
+    sof_samp = [(comps[ci].h, comps[ci].v) for ci in range(ncomps)]
+    if ncomps == 1 and getattr(cfg, "gray_sample", None):
+        sof_samp[0] = tuple(cfg.gray_sample)
+    w.sof(marker.SOF2, precision, height, width,
+          [(comp_ids[ci], sof_samp[ci][0], sof_samp[ci][1],
+            0 if ci == 0 else 1) for ci in range(ncomps)])
+    nord = int(meta[0])
+    _report.add_passes(1)
+    for i in range(nord):
+        nc0, c0, Ss, Se, Ah, Al = (int(meta[1 + 8 * i + k])
+                                   for k in range(1, 7))
+        cs_ = (tuple(range(nc0)) if c0 == 0 and nc0 > 1
+               else ((1, 2) if nc0 == 2 else (c0,)))
+        _report.trace_scan(cs_, Ss, Se, Ah, Al)
+    _report.pass_done("scan search (native)")
+    w.raw(out[:n].tobytes())
+    w.eoi()
+    return w.bytes()

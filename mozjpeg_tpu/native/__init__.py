@@ -14,17 +14,18 @@ _SRC2 = os.path.join(_DIR, "arith.cpp")
 _SRC3 = os.path.join(_DIR, "lossless.cpp")
 _SRC4 = os.path.join(_DIR, "quant.cpp")
 _SRC5 = os.path.join(_DIR, "imageio.cpp")
+_SRC6 = os.path.join(_DIR, "scansearch.cpp")
 
 
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", _SRC, _SRC2, _SRC3, _SRC4, _SRC5, "-o", _LIB + ".tmp"]
+           "-pthread", _SRC, _SRC2, _SRC3, _SRC4, _SRC5, _SRC6, "-o", _LIB + ".tmp"]
     subprocess.run(cmd, check=True)
     os.replace(_LIB + ".tmp", _LIB)
 
 
 def _ensure_built():
-    srcs = [s for s in (_SRC, _SRC2, _SRC3, _SRC4, _SRC5)
+    srcs = [s for s in (_SRC, _SRC2, _SRC3, _SRC4, _SRC5, _SRC6)
             if os.path.exists(s)]
     if (not os.path.exists(_LIB)
             or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
@@ -53,6 +54,20 @@ i16p = _p(ctypes.c_int16)
 i32p = _p(ctypes.c_int32)
 i64p = _p(ctypes.c_int64)
 cpp = _p(CompPlane)
+
+class SearchComp(ctypes.Structure):
+    _fields_ = [
+        ("coef", ctypes.c_void_p),
+        ("bw", ctypes.c_int32), ("bh", ctypes.c_int32),
+        ("bw_pad", ctypes.c_int32), ("bh_pad", ctypes.c_int32),
+        ("stride", ctypes.c_int32),
+        ("h", ctypes.c_int32), ("v", ctypes.c_int32),
+    ]
+
+
+lib.mj_sparse_expand.restype = ctypes.c_long
+lib.mj_sparse_expand.argtypes = [
+    u32p, i16p, i32p, ctypes.c_long, ctypes.c_int, ctypes.c_int, i16p]
 
 lib.mj_encode_seq.restype = ctypes.c_long
 lib.mj_encode_seq.argtypes = [
@@ -125,3 +140,9 @@ lib.mj_decode_ac_first.argtypes = [
 
 lib.mj_decode_ac_refine.restype = ctypes.c_long
 lib.mj_decode_ac_refine.argtypes = lib.mj_decode_ac_first.argtypes
+
+scp = _p(SearchComp)
+lib.mj_scan_search.restype = ctypes.c_long
+lib.mj_scan_search.argtypes = [
+    scp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    i32p, u8p, ctypes.c_long, i32p]

@@ -1126,3 +1126,31 @@ extern "C" long mj_ac_refine_schedule(
   }
   return S;
 }
+
+// --------------------------------------------------------------------------
+// Sparse coefficient expansion (ops/sparsepack.py): per-block 64-bit
+// nonzero masks + superblock-compacted value stream -> dense zigzag
+// planes. Popcount walk; returns nonzero on count mismatch.
+// --------------------------------------------------------------------------
+extern "C" long mj_sparse_expand(const uint32_t* masks, const int16_t* vals,
+                                 const int32_t* sb_counts, long nblocks,
+                                 int g, int cap_sb, int16_t* out) {
+  const long S = nblocks / g;
+  for (long s = 0; s < S; s++) {
+    const int16_t* v = vals + s * cap_sb;
+    long used = 0;
+    for (int j = 0; j < g; j++) {
+      long b = s * g + j;
+      uint64_t m = (uint64_t)masks[b * 2] |
+                   ((uint64_t)masks[b * 2 + 1] << 32);
+      int16_t* o = out + b * 64;
+      while (m) {
+        int k = __builtin_ctzll(m);
+        o[k] = v[used++];
+        m &= m - 1;
+      }
+    }
+    if (used != sb_counts[s]) return s + 1;
+  }
+  return 0;
+}

@@ -19,6 +19,31 @@ import jax.numpy as jnp
 MAXS = 127  # 255 - CENTERJSAMPLE
 
 
+def _hold_op(a, b):
+    va, ka = a
+    vb, kb = b
+    return jnp.where(kb, vb, va), ka | kb
+
+
+def _hold(values, valid, axis: int, reverse: bool, seed):
+    """Last-valid-value propagation along `axis` (first-valid when
+    reverse), seeded at the edge so out-of-range reads clamp like the
+    reference's `at(maximum(idx, 0))` indexing. Replaces take_along_axis
+    gathers (which cost ~8 ns/element on TPU) with a log-depth
+    associative scan of selects."""
+    n = values.shape[axis]
+    edge = n - 1 if reverse else 0
+    idx = jnp.arange(n)
+    shape = [1] * values.ndim
+    shape[axis] = n
+    at_edge = (idx == edge).reshape(shape)
+    v = jnp.where(at_edge, seed, values)
+    k = valid | at_edge
+    out, _ = jax.lax.associative_scan(_hold_op, (v, k), axis=axis,
+                                      reverse=reverse)
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=())
 def dering(zz: jnp.ndarray, q0: jnp.ndarray, one=None) -> jnp.ndarray:
     del one  # retained for call compatibility; no longer needed
@@ -46,14 +71,14 @@ def dering(zz: jnp.ndarray, q0: jnp.ndarray, one=None) -> jnp.ndarray:
     notm_idx_f = jnp.where(~m, pos[None, :], 64)
     end = jnp.flip(jax.lax.cummin(jnp.flip(notm_idx_f, 1), axis=1), 1)
 
-    # edge samples around the run (C's clamped indexing quirks kept)
-    def at(idx):
-        return jnp.take_along_axis(zz, idx, axis=1)
-
-    f1 = at(jnp.maximum(start - 1, 0))
-    f2 = at(jnp.maximum(start - 2, 0))
-    l1 = at(jnp.where(end < 63, end, 63))
-    l2 = at(jnp.where(end < 62, end + 1, 63))
+    # edge samples around the run via hold-scans (no gathers); seeding
+    # the edges reproduces C's clamped `zz[max(start-2, 0)]` indexing
+    zdn = jnp.concatenate([zz[:, :1], zz[:, :-1]], axis=1)   # zz[i-1]
+    zup = jnp.concatenate([zz[:, 1:], zz[:, -1:]], axis=1)   # zz[i+1]
+    f1 = _hold(zz, ~m, 1, False, zz[:, :1])
+    f2 = _hold(zdn, ~m, 1, False, zz[:, :1])
+    l1 = _hold(zz, ~m, 1, True, zz[:, -1:])
+    l2 = _hold(zup, ~m, 1, True, zz[:, -1:])
 
     fslope = jnp.maximum(f1 - f2, MAXS - f1)
     lslope = jnp.maximum(l1 - l2, MAXS - l1)
@@ -135,13 +160,12 @@ def dering_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
     notm_idx_f = jnp.where(~m, pos, 64)
     end = jnp.flip(jax.lax.cummin(jnp.flip(notm_idx_f, 0), axis=0), 0)
 
-    def at(idx):
-        return jnp.take_along_axis(zz, idx, axis=0)
-
-    f1 = at(jnp.maximum(start - 1, 0))
-    f2 = at(jnp.maximum(start - 2, 0))
-    l1 = at(jnp.where(end < 63, end, 63))
-    l2 = at(jnp.where(end < 62, end + 1, 63))
+    zdn = jnp.concatenate([zz[:1], zz[:-1]], axis=0)         # zz[i-1]
+    zup = jnp.concatenate([zz[1:], zz[-1:]], axis=0)          # zz[i+1]
+    f1 = _hold(zz, ~m, 0, False, zz[:1])
+    f2 = _hold(zdn, ~m, 0, False, zz[:1])
+    l1 = _hold(zz, ~m, 0, True, zz[-1:])
+    l2 = _hold(zup, ~m, 0, True, zz[-1:])
 
     fslope = jnp.maximum(f1 - f2, MAXS - f1)
     lslope = jnp.maximum(l1 - l2, MAXS - l1)
@@ -204,13 +228,12 @@ def dering_float_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
     notm_idx_f = jnp.where(~m, pos, 64)
     end = jnp.flip(jax.lax.cummin(jnp.flip(notm_idx_f, 0), axis=0), 0)
 
-    def at(idx):
-        return jnp.take_along_axis(zz, idx, axis=0)
-
-    f1 = at(jnp.maximum(start - 1, 0))
-    f2 = at(jnp.maximum(start - 2, 0))
-    l1 = at(jnp.where(end < 63, end, 63))
-    l2 = at(jnp.where(end < 62, end + 1, 63))
+    zdn = jnp.concatenate([zz[:1], zz[:-1]], axis=0)         # zz[i-1]
+    zup = jnp.concatenate([zz[1:], zz[-1:]], axis=0)          # zz[i+1]
+    f1 = _hold(zz, ~m, 0, False, zz[:1])
+    f2 = _hold(zdn, ~m, 0, False, zz[:1])
+    l1 = _hold(zz, ~m, 0, True, zz[-1:])
+    l2 = _hold(zup, ~m, 0, True, zz[-1:])
 
     fslope = jnp.maximum(f1 - f2, fmax - f1)
     lslope = jnp.maximum(l1 - l2, fmax - l1)

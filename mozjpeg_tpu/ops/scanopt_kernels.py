@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .bitpack import _nbits, _scatter_bits
+from .symbols import hist256
 
 
 class ACFirstSyms(NamedTuple):
@@ -96,9 +97,7 @@ def ac_first_symbolize_rt(plane_t, Ss, Se, Al):
     end_run = (C[-1] - last_D) % 32767
 
     # gather-mode histogram (jcphuff.c AC_first with gather_statistics)
-    hist = jnp.zeros(256, jnp.int32)
-    hist = hist.at[jnp.where(nz, sym, 0).reshape(-1)] \
-        .add(nz.astype(jnp.int32).reshape(-1))
+    hist = hist256(jnp.where(nz, sym, 0), nz.astype(jnp.int32))
     hist = hist.at[0xF0].add(jnp.sum(zrl_ct))
     hist = hist.at[14 << 4].add(jnp.sum(forced.astype(jnp.int32)))
 
@@ -271,10 +270,8 @@ def ac_refine_symbolize_rt(plane_t, Ss, Se, Al):
     e = jnp.where(EOB < Se, 1, 0)            # trailing zeros/bits -> EOB
     br = jnp.sum((prevnz & (k1 > EOB[:, None])).astype(jnp.int32), axis=1)
 
-    hist = jnp.zeros(256, jnp.int32)
     sym = (r_sym << 4) + 1
-    hist = hist.at[jnp.where(newly, sym, 0).reshape(-1)] \
-        .add(newly.astype(jnp.int32).reshape(-1))
+    hist = hist256(jnp.where(newly, sym, 0), newly.astype(jnp.int32))
     hist = hist.at[0xF0].add(jnp.sum(zrl_ct))
 
     return ACRefSyms(newly, prevnz, sgn, corr, r_sym, zrl_ct,

@@ -20,6 +20,27 @@ def _nbits(v):
     return jnp.where(v > 0, 32 - jax.lax.clz(jnp.maximum(v, 1)), 0)
 
 
+def hist256(sym, w):
+    """Weighted 256-bin histogram as a one-hot contraction (MXU) instead
+    of a scatter-add (~8.7 ns per scattered element on TPU — a (63, N)
+    plane histogram costs ~28 ms as a scatter, <1 ms as a matmul).
+    sym: int array (any shape) with values in [0, 256); w: same-shape
+    int32 weights. Counts must stay < 2^24 per bin (f32-exact)."""
+    sf = sym.reshape(-1)
+    wf = w.reshape(-1).astype(jnp.float32)
+    pad = (-sf.shape[0]) % 256
+    if pad:
+        sf = jnp.pad(sf, (0, pad))
+        wf = jnp.pad(wf, (0, pad))
+    c = sf.shape[0] // 256
+    s2 = sf.reshape(c, 256)
+    w2 = wf.reshape(c, 256)
+    oh = (s2[:, :, None] == jnp.arange(256, dtype=sf.dtype)[None, None, :]
+          ).astype(jnp.float32)                      # (c, 256, 256)
+    return jnp.einsum("clv,cl->v", oh, w2,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
 def ac_histogram(zz: jnp.ndarray) -> jnp.ndarray:
     """(N, 64) int zigzag blocks -> (256,) int32 AC symbol counts.
 
@@ -42,10 +63,7 @@ def ac_histogram(zz: jnp.ndarray) -> jnp.ndarray:
     sym = ((run & 15) << 4) | size                     # valid where nz
     zrl_count = jnp.where(nz, run >> 4, 0)
 
-    hist = jnp.zeros(256, jnp.int32)
-    flat_sym = jnp.where(nz, sym, 0).reshape(-1)
-    flat_w = nz.astype(jnp.int32).reshape(-1)
-    hist = hist.at[flat_sym].add(flat_w)
+    hist = hist256(jnp.where(nz, sym, 0), nz.astype(jnp.int32))
     hist = hist.at[0xF0].add(jnp.sum(zrl_count))
     # EOB: one per block whose last AC (pos 63) is zero... unless all-zero
     # block (still EOB). EOB emitted iff trailing zeros exist.
@@ -68,8 +86,7 @@ def dc_histogram_interleaved(plane: jnp.ndarray, h: int, v: int,
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), seq[:-1]])
     delta = seq - prev
     size = _nbits(jnp.abs(delta))
-    hist = jnp.zeros(256, jnp.int32)
-    return hist.at[size].add(1)
+    return hist256(size, jnp.ones_like(size))
 
 
 def dc_histogram_restart(plane: jnp.ndarray, h: int, v: int,
@@ -86,8 +103,7 @@ def dc_histogram_restart(plane: jnp.ndarray, h: int, v: int,
     idx = jnp.arange(seq.shape[0])
     prev = jnp.where((idx % (r * bpm)) == 0, 0, prev)
     size = _nbits(jnp.abs(seq - prev))
-    hist = jnp.zeros(256, jnp.int32)
-    return hist.at[size].add(1)
+    return hist256(size, jnp.ones_like(size))
 
 
 def dc_histogram_single(plane: jnp.ndarray, bw: int, bh: int) -> jnp.ndarray:
@@ -95,8 +111,7 @@ def dc_histogram_single(plane: jnp.ndarray, bw: int, bh: int) -> jnp.ndarray:
     dc = plane[:bh, :bw, 0].astype(jnp.int32).reshape(-1)
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), dc[:-1]])
     size = _nbits(jnp.abs(dc - prev))
-    hist = jnp.zeros(256, jnp.int32)
-    return hist.at[size].add(1)
+    return hist256(size, jnp.ones_like(size))
 
 
 # ---------------------------------------------------------------------------
@@ -148,9 +163,7 @@ def _ac_first_hist_seg(zz: jnp.ndarray, Ss: int, Se: int,
     sym = ((run & 15) << 4) | size
     zrl = jnp.where(nz, run >> 4, 0)
 
-    hist = jnp.zeros(256, jnp.int32)
-    hist = hist.at[jnp.where(nz, sym, 0).reshape(-1)] \
-        .add(nz.astype(jnp.int32).reshape(-1))
+    hist = hist256(jnp.where(nz, sym, 0), nz.astype(jnp.int32))
     hist = hist.at[0xF0].add(jnp.sum(zrl))
 
     # EOB runs across blocks: a run starts at a block with trailing zeros,
@@ -244,10 +257,8 @@ def ac_refine_histogram_parts_t(zz: jnp.ndarray, Ss: int, Se: int,
     zrl_ct = jnp.where(nz & le_eob, r_before >> 4, 0)
     r_sym = r_before & 15
 
-    hist = jnp.zeros(256, jnp.int32)
     sym = (r_sym << 4) + 1
-    hist = hist.at[jnp.where(newly, sym, 0).reshape(-1)] \
-        .add(newly.astype(jnp.int32).reshape(-1))      # weight 0 off-newly
+    hist = hist256(jnp.where(newly, sym, 0), newly.astype(jnp.int32))
     hist = hist.at[0xF0].add(jnp.sum(zrl_ct))
 
     ev = (EOB > 0).astype(jnp.int32)
