@@ -127,6 +127,11 @@ class EncoderConfig:
     # None = auto: on for TPU backends.
     sparse_download: Optional[bool] = None
 
+    # run RGB->YCbCr + chroma downsampling on host CPU (native/prep.cpp,
+    # bit-exact) so the batched path uploads 1.5 B/px instead of 3.
+    # None = auto: on for TPU backends (tunnel-bandwidth-bound).
+    host_prep: Optional[bool] = None
+
     def resolved(self) -> "ResolvedConfig":
         if self.precision not in (8, 12):
             raise ValueError(
@@ -183,6 +188,7 @@ class EncoderConfig:
             device_scanopt=_auto_device_scanopt(self.device_scanopt),
             sparse_download=_auto_backend_flag(self.sparse_download,
                                                "MJ_SPARSE_DL"),
+            host_prep=_auto_backend_flag(self.host_prep, "MJ_HOST_PREP"),
         )
 
 
@@ -226,6 +232,7 @@ class ResolvedConfig:
     device_entropy: bool
     device_scanopt: bool
     sparse_download: bool
+    host_prep: bool
 
 
 def _auto_device_entropy(flag):

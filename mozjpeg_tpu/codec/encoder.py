@@ -921,9 +921,14 @@ def _batch_device(images, config, cfg, ncomps, samp, qtables):
     import jax.numpy as jnp
     from . import pipeline_t, trellis
     b = len(images)
-    stack = _np.stack(images)
-    geom, merged, smalls = pipeline_t.run_p1_batch(
-        stack, samp, qtables, cfg.overshoot_deringing, cfg.precision)
+    if cfg.host_prep:
+        # host C++ color+downsample halves the pixel upload (prep.cpp)
+        geom, merged, smalls = pipeline_t.run_p1_batch_pre(
+            images, samp, qtables, cfg.overshoot_deringing, cfg.precision)
+    else:
+        stack = _np.stack(images)
+        geom, merged, smalls = pipeline_t.run_p1_batch(
+            stack, samp, qtables, cfg.overshoot_deringing, cfg.precision)
     try:
         smalls.copy_to_host_async()
     except Exception:

@@ -452,3 +452,64 @@ def run_p1_raw(planes, width: int, height: int, samp, qtables,
                          ris, dct_method, qts81=qts81, dts81=dts81)
     return (mcus_x, mcus_y, geom), res, small
 
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _p1_batch_pre(bufs, geom: tuple, dering_on: bool, precision: int = 8,
+                  ris: tuple = None, qts81=None):
+    """Batched p1 from host-prepared YCbCr planes (native/prep.cpp):
+    bufs (B, total_bytes) uint8 = per image [Y | Cb | Cr] edge-padded
+    planes. Skips color conversion and downsampling on device — the
+    host did them (bit-exact) to halve the tunnel upload."""
+    sizes = [g.bh_pad * 8 * g.bw_pad * 8 for g in geom]
+
+    def one(buf):
+        planes = []
+        off = 0
+        for g, n in zip(geom, sizes):
+            planes.append(buf[off:off + n].reshape(g.bh_pad * 8,
+                                                   g.bw_pad * 8))
+            off += n
+        return _p1_raw.__wrapped__(tuple(planes), geom, dering_on,
+                                   precision, ris, "islow", qts81, None)
+
+    res, smalls = jax.vmap(one)(bufs)
+    merged = []
+    for (q_zz, raw_zz) in res:
+        q2 = jnp.moveaxis(q_zz, 0, 1).reshape(64, -1)
+        r2 = jnp.moveaxis(raw_zz, 0, 1).reshape(64, -1)
+        merged.append((q2, r2))
+    return merged, smalls.reshape(-1)
+
+
+def run_p1_batch_pre(images, samp, qtables, dering_on: bool,
+                     precision: int = 8, ris: tuple = None):
+    """Host color+downsample (multithreaded C++) -> one packed uint8
+    upload -> batched p1. Byte-identical results to run_p1_batch."""
+    import os as _os
+    from ..native import lib, u8p
+    b = len(images)
+    h, w = images[0].shape[:2]
+    mcus_x, mcus_y, geom = geometry(w, h, samp)
+    q81 = [_dev_qtbl(np.asarray(t)) for t in qtables[:2]]
+    qts81 = tuple(q81[0 if i == 0 else min(1, len(q81) - 1)]
+                  for i in range(len(geom)))
+    gy, gc = geom[0], geom[1]
+    pw_y, ph_y = gy.bw_pad * 8, gy.bh_pad * 8
+    pw_c, ph_c = gc.bw_pad * 8, gc.bh_pad * 8
+    total = ph_y * pw_y + 2 * ph_c * pw_c
+    bufs = np.empty((b, total), np.uint8)
+    nt = max(1, (_os.cpu_count() or 4) - 1)
+    for i, img in enumerate(images):
+        rgb = np.ascontiguousarray(img)
+        yp = bufs[i, :ph_y * pw_y]
+        cbp = bufs[i, ph_y * pw_y:ph_y * pw_y + ph_c * pw_c]
+        crp = bufs[i, ph_y * pw_y + ph_c * pw_c:]
+        lib.mj_prep_ycc(rgb.ctypes.data_as(u8p), w, h,
+                        samp[0][0], samp[0][1],
+                        pw_y, ph_y, pw_c, ph_c,
+                        yp.ctypes.data_as(u8p), cbp.ctypes.data_as(u8p),
+                        crp.ctypes.data_as(u8p), nt)
+    merged, small = _p1_batch_pre(jnp.asarray(bufs), tuple(geom),
+                                  dering_on, precision, ris, qts81)
+    return (mcus_x, mcus_y, geom), merged, small

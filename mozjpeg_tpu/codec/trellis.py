@@ -338,7 +338,8 @@ def _trellis_dc_t(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
 def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
                        batch: int = 1, precision: int = 8,
                        eob_opt: bool = False, delta_w: float = 0.0,
-                       use_pallas: bool = False, interpret: bool = False):
+                       use_pallas: bool = False, interpret: bool = False,
+                       dev_tables: bool = False):
     """Build a single jitted program running trellis for every component
     (cached per configuration — a fresh closure per call would recompile).
 
@@ -346,7 +347,13 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
     per-comp DC candidate counts (static). use_pallas selects the VMEM-
     resident Pallas kernel for the AC DP (8-bit precision only; see
     ac_impl_flags) — identical outputs either way.
-    """
+
+    dev_tables: build the per-image AC rate tables INSIDE the program
+    from device-resident AC-first histograms (ops/tablegen.py) instead
+    of taking host-built tables in `packed` — run(raws, qs, packed,
+    hists) with hists a tuple of (B, 256) int32 arrays; removes the
+    host tablegen from the dispatch critical path (optimize_coding
+    semantics only)."""
     geoms = tuple(geoms)
     kmax = precision + 2           # NBITS((1 << max_coef_bits) - 1)
     maxq = (1 << (precision + 2)) - 1
@@ -355,18 +362,25 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
     nlam = [batch * g.bh * g.bw for g in geoms]
 
     @jax.jit
-    def run(raws, qs, packed):
-        # packed (int32 1D): [lam bits/comp | ac_si (B,256)/comp | dc_si |
-        # qtbl_zz]
+    def run(raws, qs, packed, hists=None):
+        # packed (int32 1D): [lam bits/comp | ac_si (B,256)/comp unless
+        # dev_tables | dc_si | qtbl_zz]
         off = 0
         lams, ac_sis, dc_sis, qtbl_zzs = [], [], [], []
         for n in nlam:
             lams.append(jax.lax.bitcast_convert_type(
                 packed[off:off + n], jnp.float32))
             off += n
-        for _ in geoms:
-            ac_sis.append(packed[off:off + batch * 256].reshape(batch, 256))
-            off += batch * 256
+        if dev_tables:
+            from ..ops import tablegen as _tg
+            for ci in range(len(geoms)):
+                ac_sis.append(_tg.trellis_rate_tables_t.__wrapped__(
+                    hists[ci]))
+        else:
+            for _ in geoms:
+                ac_sis.append(
+                    packed[off:off + batch * 256].reshape(batch, 256))
+                off += batch * 256
         for lst, sz in ((dc_sis, 256), (qtbl_zzs, 64)):
             for _ in geoms:
                 lst.append(packed[off:off + sz])

@@ -15,17 +15,20 @@ _SRC3 = os.path.join(_DIR, "lossless.cpp")
 _SRC4 = os.path.join(_DIR, "quant.cpp")
 _SRC5 = os.path.join(_DIR, "imageio.cpp")
 _SRC6 = os.path.join(_DIR, "scansearch.cpp")
+_SRC7 = os.path.join(_DIR, "prep.cpp")
 
 
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", _SRC, _SRC2, _SRC3, _SRC4, _SRC5, _SRC6, "-o", _LIB + ".tmp"]
+           "-pthread", _SRC, _SRC2, _SRC3, _SRC4, _SRC5, _SRC6, _SRC7,
+           "-o", _LIB + ".tmp"]
     subprocess.run(cmd, check=True)
     os.replace(_LIB + ".tmp", _LIB)
 
 
 def _ensure_built():
-    srcs = [s for s in (_SRC, _SRC2, _SRC3, _SRC4, _SRC5, _SRC6)
+    srcs = [s for s in (_SRC, _SRC2, _SRC3, _SRC4, _SRC5, _SRC6,
+                        _SRC7)
             if os.path.exists(s)]
     if (not os.path.exists(_LIB)
             or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
@@ -146,3 +149,9 @@ lib.mj_scan_search.restype = ctypes.c_long
 lib.mj_scan_search.argtypes = [
     scp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     i32p, u8p, ctypes.c_long, i32p]
+
+lib.mj_prep_ycc.restype = ctypes.c_long
+lib.mj_prep_ycc.argtypes = [
+    u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    u8p, u8p, u8p, ctypes.c_int]
