@@ -882,11 +882,12 @@ def _group_size() -> int:
 
 
 def _encode_pipelined(images, config, cfg, ncomps, samp, qtables):
-    """Software pipeline over same-shape groups: while the IO thread syncs
-    group k's coefficient download and the entropy pool encodes its scans,
-    the main thread is already uploading and dispatching group k+1 — the
-    tunnel (the bottleneck on remote-attached TPUs) stays busy and host
-    CPU work hides under device compute."""
+    """Software pipeline over same-shape groups: the main thread only
+    preps (host C++ color+downsample) and uploads group k+1 while stage
+    workers run everything downstream for group k — the smalls sync,
+    trellis dispatch, scan search syncs, and host entropy/stitching.
+    The tunnel (the bottleneck on remote-attached TPUs) stays busy and
+    all blocking host<->device syncs happen off the dispatch path."""
     from concurrent.futures import ThreadPoolExecutor
     import os as _os
     g = _group_size()
@@ -895,32 +896,44 @@ def _encode_pipelined(images, config, cfg, ncomps, samp, qtables):
         return _encode_batch(chunks[0], config, cfg, ncomps, samp, qtables)
     nthreads = max(2, (_os.cpu_count() or 4) - 1)
     out = []
-    with ThreadPoolExecutor(max_workers=1) as io_pool, \
+    with ThreadPoolExecutor(max_workers=2) as stage_pool, \
             ThreadPoolExecutor(max_workers=nthreads) as ent_pool:
         jobs = []
         for chunk in chunks:
-            st = _batch_device(chunk, config, cfg, ncomps, samp, qtables)
-            if isinstance(st, list):
-                jobs.append(st)
-            else:
-                jobs.append(io_pool.submit(
-                    _batch_host, chunk, st, config, cfg, ncomps, qtables,
-                    ent_pool))
+            p1 = _batch_p1(chunk, cfg, samp, qtables)
+            jobs.append(stage_pool.submit(
+                _batch_finish, chunk, p1, config, cfg, ncomps, samp,
+                qtables, ent_pool))
         for j in jobs:
-            out.extend(j if isinstance(j, list) else j.result())
+            out.extend(j.result())
     return out
+
+
+def _batch_finish(images, p1, config, cfg, ncomps, samp, qtables,
+                  ent_pool=None):
+    """Everything downstream of the p1 dispatch for one group: trellis +
+    scan-search dispatch and their blocking syncs, then host entropy.
+    Runs on a stage worker so the main thread can keep uploading."""
+    st = _batch_rest(images, p1, config, cfg, ncomps, samp, qtables)
+    if isinstance(st, list):
+        return st                       # device scan search produced bytes
+    return _batch_host(images, st, config, cfg, ncomps, qtables, ent_pool)
 
 
 def _batch_device(images, config, cfg, ncomps, samp, qtables):
     """Device half of the batched encode: p1 + trellis (+ the fully-device
     scan search when enabled). Returns either the finished byte list (scan
-    search path) or a state dict whose downloads haven't been synced — the
-    pipelined driver runs _batch_host for it on an IO thread while the
-    device starts the next group."""
+    search path) or a state dict whose downloads haven't been synced."""
+    p1 = _batch_p1(images, cfg, samp, qtables)
+    return _batch_rest(images, p1, config, cfg, ncomps, samp, qtables)
+
+
+def _batch_p1(images, cfg, samp, qtables):
+    """Upload + p1 dispatch for one group (async; nothing blocks). The
+    smalls D2H starts immediately so the stage worker's later sync is
+    usually already resident."""
     import numpy as _np
-    import jax.numpy as jnp
-    from . import pipeline_t, trellis
-    b = len(images)
+    from . import pipeline_t
     if cfg.host_prep:
         # host C++ color+downsample halves the pixel upload (prep.cpp)
         geom, merged, smalls = pipeline_t.run_p1_batch_pre(
@@ -933,6 +946,17 @@ def _batch_device(images, config, cfg, ncomps, samp, qtables):
         smalls.copy_to_host_async()
     except Exception:
         pass
+    return geom, merged, smalls
+
+
+def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
+    """Post-p1 device work for one group: trellis (+ device scan search).
+    Blocks on the smalls sync; run it off the main dispatch thread."""
+    import numpy as _np
+    import jax.numpy as jnp
+    from . import pipeline_t, trellis
+    b = len(images)
+    geom, merged, smalls = p1
     mcus_x, mcus_y, comps = geom
     restart = _restart_interval(cfg, mcus_x)
     tcomps = _trellis_comps(cfg, "grayscale" if ncomps == 1 else "ycbcr",
