@@ -1,0 +1,246 @@
+"""Multi-host (N >= 2 processes) scale-out over DCN.
+
+The reference is a single-process, single-threaded library; SURVEY.md
+SS2.6's cross-host row is the TPU-native capability it never had. This
+module connects N processes into one JAX runtime (jax.distributed), builds
+a global mesh spanning every process's local devices, and runs the same
+sharded programs as parallel/batch.py / parallel/rows.py with the
+histogram all-reduce (psum) now crossing hosts over DCN:
+
+  * encode_batch_multihost - the image batch is sharded over the global
+    'batch' axis; each host uploads only its local images
+    (jax.make_array_from_process_local_data), the psum makes one optimal
+    Huffman table set global, and each host emits the bitstreams for its
+    own shard.  Byte-identical to parallel.batch.encode_batch on one host.
+
+  * encode_row_sharded_multihost - ONE image's iMCU rows are sharded over
+    every device of every host; each host bit-packs its devices' restart
+    segments and rank 0 stitches the full JPEG from the (replicated)
+    packed words.  Byte-identical to parallel.rows.encode_row_sharded.
+
+Tested in tests/test_multihost.py by spawning real 2-process CPU meshes
+(xla_force_host_platform_device_count) and comparing against the
+single-process encoders byte for byte, including uneven bottom shards
+(769-px heights) on Kodak-size inputs.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import batch as _batch
+from . import rows as _rows
+from ..codec import pipeline
+
+
+def init(coordinator_address: str, num_processes: int, process_id: int):
+    """Connect this process to the multi-host runtime (idempotent).
+
+    coordinator_address: "host:port" of process 0. After this call
+    jax.devices() spans every process; jax.local_devices() is this
+    host's slice."""
+    if jax.process_count() == num_processes:
+        return
+    jax.distributed.initialize(coordinator_address, num_processes,
+                               process_id)
+
+
+def global_mesh(axis: str = "batch") -> Mesh:
+    """1-D mesh over every device of every process, in process order."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def encode_batch_multihost(local_images: np.ndarray, quality: float = 75.0,
+                           restart_interval: int = 0,
+                           mesh: Optional[Mesh] = None) -> List[bytes]:
+    """Encode a globally-sharded batch; every process passes ITS shard.
+
+    local_images: (B_local, H, W, 3) uint8 - this process's images. The
+    global batch is the process-order concatenation; B_local must spread
+    evenly over this host's devices (B_global % total_devices == 0).
+    Returns the JPEG bytes for the LOCAL images (this host's shard),
+    byte-identical to parallel.batch.encode_batch run on the full batch.
+    """
+    from ..codec.encoder import make_qtables, assemble, ScanResult
+    from ..codec.config import EncoderConfig, Profile
+    from ..codec.scans import baseline_script
+    from ..entropy import encode as entenc
+
+    mesh = mesh or global_mesh()
+    bl, h, w, _ = local_images.shape
+    bg = bl * jax.process_count()
+    cfg = EncoderConfig(quality=quality, profile=Profile.FASTEST,
+                        progressive=False, optimize_coding=True,
+                        optimize_scans=False, trellis_quant=False,
+                        overshoot_deringing=False).resolved()
+    qt = make_qtables(cfg)
+    samp = [cfg.subsampling, (1, 1), (1, 1)]
+    step, _geom = _batch.make_batch_encode_step(mesh, h, w, samp)
+    mcus_x, mcus_y, comps = pipeline.geometry(w, h, samp)
+
+    sharding = NamedSharding(mesh, P("batch"))
+    imgs = jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(local_images), (bg, h, w, 3))
+    planes, ac_g, dc_g = step(imgs, jnp.asarray(qt[0]), jnp.asarray(qt[1]))
+    # psum output is replicated -> every host can read it directly
+    ac_g = np.asarray(ac_g)
+    dc_g = np.asarray(dc_g)
+
+    def mk(counts):
+        f = np.zeros(257, np.int64)
+        f[:256] = counts
+        return entenc.gen_optimal_table(f)
+
+    dc_tables = {0: mk(dc_g[0]), 1: mk(dc_g[1])}
+    ac_tables = {0: mk(ac_g[0]), 1: mk(ac_g[1])}
+    dc_tbls = {0: 0, 1: 1, 2: 1}
+    ac_tbls = {0: 0, 1: 1, 2: 1}
+
+    # gather this host's images from its addressable shards, in global
+    # batch order (shard.index[0].start orders them)
+    local_planes: List[List[np.ndarray]] = [None] * bl
+    base = jax.process_index() * bl
+    per_comp_shards = []
+    for ci in range(3):
+        shards = {s.index[0].start: np.asarray(s.data)
+                  for s in planes[ci].addressable_shards}
+        per_comp_shards.append(shards)
+    starts = sorted(per_comp_shards[0])
+    for start in starts:
+        n_sh = per_comp_shards[0][start].shape[0]
+        for j in range(n_sh):
+            gi = start + j
+            local_planes[gi - base] = [per_comp_shards[ci][start][j]
+                                       for ci in range(3)]
+
+    out = []
+    scan = baseline_script(3)[0]
+    geom = (mcus_x, mcus_y, comps)
+    for pl in local_planes:
+        sg = entenc.ScanGeometry(scan, geom, [np.asarray(p) for p in pl])
+        data, _, _ = entenc.encode_scan(sg, dc_tbls, ac_tbls, dc_tables,
+                                        ac_tables, restart_interval,
+                                        gather=False)
+        sr = ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
+                        restart=restart_interval)
+        out.append(assemble(w, h, geom, qt, [sr], False, 3,
+                            multi_dqt=False))
+    return out
+
+
+def encode_row_sharded_multihost(image: np.ndarray, quality: float = 75.0,
+                                 restart_rows: int = 1,
+                                 subsampling: Tuple[int, int] = (2, 2),
+                                 mesh: Optional[Mesh] = None
+                                 ) -> Optional[bytes]:
+    """Encode ONE image with its iMCU rows sharded across every host.
+
+    Every process calls this with the SAME full image (the classic
+    multi-host SPMD contract: inputs replicated, compute sharded). Row
+    bands that do not divide evenly are handled the same way as the
+    single-host encoder (the rows mesh shrinks to a dividing device
+    count). Each host packs its devices' restart segments on its own
+    devices; the packed words are replicated so every host returns the
+    identical complete JPEG (rank-agnostic), byte-identical to
+    parallel.rows.encode_row_sharded on one host."""
+    from ..codec.config import EncoderConfig, Profile
+    from ..codec.encoder import make_qtables, assemble, ScanResult
+    from ..codec.scans import baseline_script
+    from ..entropy.huffman import derive_codes
+    from ..ops import bitpack
+
+    h, w = image.shape[:2]
+    samp, ncomp = _rows._samp_of(image, subsampling)
+    mcus_x0, mcus_y0, geom0 = pipeline.geometry(w, h, samp)
+    mesh = _rows._rows_mesh(mesh or Mesh(np.array(jax.devices()),
+                                         ("rows",)),
+                            mcus_y0, restart_rows, mcus_x0)
+    ndev = mesh.devices.size
+
+    step, (mcus_x, mcus_y, comps), rps = _rows.make_row_sharded_p1(
+        mesh, w, h, samp, restart_rows)
+
+    cfg = EncoderConfig(quality=quality, profile=Profile.FASTEST,
+                        progressive=False, optimize_coding=True,
+                        optimize_scans=False, trellis_quant=False,
+                        overshoot_deringing=False, subsampling=subsampling,
+                        restart_in_rows=restart_rows).resolved()
+    qt = make_qtables(cfg)
+
+    h16 = mcus_y * 8 * comps[0].v
+    img16 = image
+    if h16 != h:
+        img16 = np.concatenate(
+            [image, np.repeat(image[-1:], h16 - h, axis=0)], axis=0)
+
+    # replicate the input on every participating device, then let the
+    # sharded program slice its band (in_specs P("rows") shards dim 0)
+    sharding = NamedSharding(mesh, P("rows"))
+    img_g = jax.make_array_from_callback(
+        img16.shape, sharding,
+        lambda idx: np.ascontiguousarray(img16[idx]))
+    planes, ac_g, dc_g = step(img_g, jnp.asarray(qt[0]),
+                              jnp.asarray(qt[1 if len(qt) > 1 else 0]))
+    ac_g = np.asarray(ac_g)
+    dc_g = np.asarray(dc_g)
+
+    nt = min(ncomp, 2)
+    dc_tables = {t: _rows._optimal_table(dc_g[t]) for t in range(nt)}
+    ac_tables = {t: _rows._optimal_table(ac_g[t]) for t in range(nt)}
+    dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomp)}
+    ac_tbls = dict(dc_tbls)
+    codes = {k: derive_codes(t) for k, t in dc_tables.items()}
+    acodes = {k: derive_codes(t) for k, t in ac_tables.items()}
+
+    r = min(restart_rows * mcus_x, 65535)
+    segs_per_shard = (rps * mcus_x) // r
+
+    # each host packs ITS shards; shard index s = global row-band index
+    local_parts = {}
+    local_idx = {ci: {s.index[0].start: s for s in
+                      planes[ci].addressable_shards} for ci in range(ncomp)}
+    bh0_per_shard = planes[0].shape[1]
+    for start, sh in local_idx[0].items():
+        s = start  # leading dim is the stacked shard axis (size 1/shard)
+        shard_planes = [np.asarray(local_idx[ci][start].data)[0]
+                        for ci in range(ncomp)]
+        local_parts[s] = bitpack.encode_scan_bitpar(
+            shard_planes, [(g.h, g.v) for g in comps], mcus_x, rps, r,
+            [codes[dc_tbls[ci]] for ci in range(ncomp)],
+            [acodes[ac_tbls[ci]] for ci in range(ncomp)],
+            rst_offset=s * segs_per_shard,
+            trailing_rst=(s != ndev - 1))
+
+    # exchange the per-shard byte strings so every host can emit the full
+    # stream: lengths + padded payload all-gathered over DCN
+    from jax.experimental import multihost_utils
+    nshards = ndev
+    maxlen = 0
+    for s in range(nshards):
+        if s in local_parts:
+            maxlen = max(maxlen, len(local_parts[s]))
+    maxlen = int(multihost_utils.process_allgather(
+        np.asarray([maxlen], np.int64)).max())
+    lens = np.zeros(nshards, np.int64)
+    payload = np.zeros((nshards, max(maxlen, 1)), np.uint8)
+    for s, b in local_parts.items():
+        lens[s] = len(b)
+        payload[s, :len(b)] = np.frombuffer(b, np.uint8)
+    lens = multihost_utils.process_allgather(lens).reshape(
+        jax.process_count(), nshards).max(axis=0)
+    payload = multihost_utils.process_allgather(payload).reshape(
+        jax.process_count(), nshards, -1).max(axis=0)
+    data = b"".join(payload[s, :lens[s]].tobytes()
+                    for s in range(nshards))
+
+    scan = baseline_script(ncomp)[0]
+    sr = ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
+                    restart=r)
+    return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], False,
+                    ncomp, multi_dqt=False,
+                    cs="grayscale" if ncomp == 1 else "ycbcr")
