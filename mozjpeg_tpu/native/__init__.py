@@ -3,37 +3,20 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
+
+from . import build as _buildmod
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "entropy.cpp")
-_LIB = os.path.join(_DIR, "libmjentropy.so")
-
-
-_SRC2 = os.path.join(_DIR, "arith.cpp")
-_SRC3 = os.path.join(_DIR, "lossless.cpp")
-_SRC4 = os.path.join(_DIR, "quant.cpp")
-_SRC5 = os.path.join(_DIR, "imageio.cpp")
-_SRC6 = os.path.join(_DIR, "scansearch.cpp")
-_SRC7 = os.path.join(_DIR, "prep.cpp")
-
-
-def _build():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", _SRC, _SRC2, _SRC3, _SRC4, _SRC5, _SRC6, _SRC7,
-           "-o", _LIB + ".tmp"]
-    subprocess.run(cmd, check=True)
-    os.replace(_LIB + ".tmp", _LIB)
+_LIB = os.path.join(_DIR, _buildmod.LIB_NAME)
 
 
 def _ensure_built():
-    srcs = [s for s in (_SRC, _SRC2, _SRC3, _SRC4, _SRC5, _SRC6,
-                        _SRC7)
-            if os.path.exists(s)]
+    srcs = [os.path.join(_DIR, s) for s in _buildmod.SOURCES
+            if os.path.exists(os.path.join(_DIR, s))]
     if (not os.path.exists(_LIB)
             or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
                    for s in srcs)):
-        _build()
+        _buildmod.build(_DIR, _LIB)
 
 
 _ensure_built()

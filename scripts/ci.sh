@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# CI entry point: native build, unit + golden tests, multi-chip dryrun,
+# wheel build smoke. Mirrors what the reference's CMake/CTest wiring
+# covers (CMakeLists.txt:903+) plus the TPU-specific dryrun.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== native build (pinned flags) =="
+python - <<'EOF'
+from mozjpeg_tpu.native import lib
+print("libmjentropy loaded:", lib is not None)
+EOF
+
+echo "== reference binaries for golden tests =="
+if [ ! -x .refbuild/cjpeg ] && [ -d /root/reference ]; then
+  mkdir -p .refbuild
+  (cd .refbuild && cmake -G Ninja -DCMAKE_BUILD_TYPE=Release -DWITH_SIMD=0 \
+      -DENABLE_SHARED=0 -DPNG_SUPPORTED=0 /root/reference >/dev/null \
+      && ninja >/dev/null)
+fi
+
+echo "== corpus =="
+python scripts/make_corpus.py
+
+echo "== test suite (CPU, 8 virtual devices) =="
+python -m pytest tests/ -q
+
+echo "== multi-chip dryrun (8-device virtual mesh) =="
+python - <<'EOF'
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+print("dryrun_multichip(8): ok")
+EOF
+
+echo "== wheel build =="
+pip wheel --no-deps --no-build-isolation -w dist/ . >/dev/null
+ls dist/*.whl
+
+echo "CI PASS"
