@@ -555,20 +555,28 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
             delta_w=float(cfg.trellis_delta_dc_weight),
             use_pallas=upal, interpret=uint)
         finals = run(raws, tuple(r[0] for r in comp_res), packed)
-        for _ in range(max(1, cfg.trellis_num_loops) - 1):
-            if opt:
-                # each loop regathers rate statistics from the previous
-                # loop's trellised coefficients (jcmaster.c:1129-1139:
-                # a huff_opt gather pass precedes every trellis pass)
-                hist_fn = trellis.make_band_hist_t(
-                    1, 63, ris=_trellis_ris(cfg, comps))
-                bh = hist_fn(finals)
-                ac_sis = [trellis.trellis_tables_from_hist(
-                    np.asarray(bh[ci])[0], tbl_slots[ci], True)[0]
-                    for ci in range(len(comp_res))]
-                packed = jnp.asarray(trellis.pack_trellis_inputs(
-                    lams, ac_sis, dc_sis, qtblzz))
-            finals = run(raws, finals, packed)
+        nloops = max(1, cfg.trellis_num_loops)
+        if nloops > 1 and opt:
+            # each loop regathers rate statistics from the previous
+            # loop's trellised coefficients (jcmaster.c:1129-1139: a
+            # huff_opt gather pass precedes every trellis pass) — with
+            # the Annex-K tablegen fused INTO the trellis program
+            # (ops/tablegen.py) so no loop iteration syncs to host
+            run2 = trellis.make_trellis_all_t(
+                tuple(comps), None, ((1, 63),), cfg.trellis_quant_dc,
+                tuple(ncands), precision=cfg.precision,
+                eob_opt=cfg.trellis_eob_opt,
+                delta_w=float(cfg.trellis_delta_dc_weight),
+                use_pallas=upal, interpret=uint, dev_tables=True)
+            packed2 = jnp.asarray(trellis.pack_trellis_inputs(
+                lams, [], dc_sis, qtblzz))
+            hist_fn = trellis.make_band_hist_t(
+                1, 63, ris=_trellis_ris(cfg, comps))
+            for _ in range(nloops - 1):
+                finals = run2(raws, finals, packed2, hist_fn(finals))
+        else:
+            for _ in range(nloops - 1):
+                finals = run(raws, finals, packed)
     if cfg.trellis_q_opt:
         _apply_q_opt(comp_res, finals, qtables, qt_slots)
     return finals
@@ -877,8 +885,11 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
 
 
 def _group_size() -> int:
+    # 16 measured fastest on the remote-TPU bench (8: 8.4 MP/s, 16: 10.3,
+    # 24: 8.6, 32: 7.3 — bigger groups amortize sync latency until the
+    # batch stops overlapping with its neighbor)
     import os as _os
-    return max(1, int(_os.environ.get("MJ_BATCH_GROUP", "8")))
+    return max(1, int(_os.environ.get("MJ_BATCH_GROUP", "16")))
 
 
 def _encode_pipelined(images, config, cfg, ncomps, samp, qtables):
@@ -1000,19 +1011,26 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
                                          use_pallas=upal, interpret=uint)
         raws_b = tuple(m[1] for m in merged)
         finals = run(raws_b, tuple(m[0] for m in merged), packed)
-        for _ in range(max(1, cfg.trellis_num_loops) - 1):
-            if cfg.optimize_coding and not cfg.arithmetic:
-                # regather PER-IMAGE rate tables from the previous loop's
-                # coefficients, like the first loop's per-image stats
-                hist_fn = trellis.make_band_hist_t(1, 63, batch=b)
-                bhh = hist_fn(finals)
-                ac_sis = [np.stack([trellis.trellis_tables_from_hist(
-                    np.asarray(bhh[ci])[bi], 0 if ci == 0 else 1, True)[0]
-                    for bi in range(b)])
-                    for ci in range(len(comps))]
-                packed = jnp.asarray(trellis.pack_trellis_inputs(
-                    lams, ac_sis, dc_sis, qtblzz))
-            finals = run(raws_b, finals, packed)
+        nloops = max(1, cfg.trellis_num_loops)
+        if nloops > 1 and cfg.optimize_coding and not cfg.arithmetic:
+            # regather PER-IMAGE rate tables from the previous loop's
+            # coefficients, like the first loop's per-image stats — with
+            # the Annex-K tablegen fused INTO the trellis program
+            # (ops/tablegen.py), so the loop never syncs to host
+            run2 = trellis.make_trellis_all_t(
+                tuple(tcomps), None, tuple(bands), cfg.trellis_quant_dc,
+                tuple(ncands), batch=b, precision=cfg.precision,
+                eob_opt=cfg.trellis_eob_opt,
+                delta_w=float(cfg.trellis_delta_dc_weight),
+                use_pallas=upal, interpret=uint, dev_tables=True)
+            packed2 = jnp.asarray(trellis.pack_trellis_inputs(
+                lams, [], dc_sis, qtblzz))
+            hist_fn = trellis.make_band_hist_t(1, 63, batch=b)
+            for _ in range(nloops - 1):
+                finals = run2(raws_b, finals, packed2, hist_fn(finals))
+        else:
+            for _ in range(nloops - 1):
+                finals = run(raws_b, finals, packed)
     else:
         finals = tuple(m[0] for m in merged)
 

@@ -45,6 +45,39 @@ def _nbits(v):
     return jnp.where(v > 0, 32 - jax.lax.clz(jnp.maximum(v, 1)), 0)
 
 
+def _frnd(x):
+    """Rounding barrier for f32 products that feed adds.
+
+    XLA:TPU contracts `a*b + c` into an FMA (one rounding); the C
+    reference rounds every f32 product separately, and a single knife-
+    edge cost tie then flips a trellis decision (seen as a 1-coefficient
+    divergence at q92 on the real chip). minimum() is the identity for
+    every finite cost here but blocks the contraction. XLA:CPU does not
+    contract, so guarded and unguarded CPU outputs are identical."""
+    return jnp.minimum(x, jnp.float32(3.0e38))
+
+
+@functools.lru_cache(maxsize=1)
+def _recip2_np():
+    """IEEE f32 table of 1/(q*q) for q in [0, 32767].
+
+    TPU f32 division is reciprocal-based and lands 1 ulp off the IEEE
+    quotient for some quant values (measured on v5e: q=22,35,...), while
+    the C reference divides in IEEE f32 — a knife-edge trellis cost tie
+    then flips a coefficient decision. All 1/(q*q) lambda tables are
+    therefore looked up from this host-built (numpy, IEEE) table instead
+    of divided on device; multiplication IS bit-exact on TPU. 32767 is
+    libjpeg's quant-entry ceiling (jcparam.c jpeg_add_quant_table)."""
+    q = np.arange(32768, dtype=np.float32)
+    with np.errstate(divide="ignore"):
+        return np.float32(1.0) / (q * q)
+
+
+def _ltbl_lookup(qvals):
+    """1/(q*q) per entry, IEEE-exact on every backend (see _recip2_np)."""
+    return jnp.asarray(_recip2_np())[qvals.astype(jnp.int32)]
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6))
 def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
                     maxq: int = 1023, delta_w: float = 0.0,
@@ -64,15 +97,15 @@ def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
     ks = jnp.arange(nc)
     cand_mag = jnp.clip(qval[..., None] - nc // 2 + ks, -maxq, maxq)
     delta = cand_mag * q8 - x[..., None]
-    dist = (delta * delta).astype(jnp.float32) * lam_dc[..., None]
+    dist = _frnd((delta * delta).astype(jnp.float32) * lam_dc[..., None])
     cand = cand_mag * sign[..., None]                   # (R, L, nc) signed
     if delta_w > 0.0 and above_raw is not None:
         # vertical-gradient distortion (jcdctmgr.c:1069-1084): compare the
         # original and reconstructed DC gradients against the row above
         vd = ((above_raw - raw_dc)[..., None]
               - (above_dc[..., None] * q8 - cand * q8))
-        vdist = (vd * vd).astype(jnp.float32) * lam_dc[..., None]
-        dist = dist + jnp.float32(delta_w) * (vdist - dist)
+        vdist = _frnd((vd * vd).astype(jnp.float32) * lam_dc[..., None])
+        dist = dist + _frnd(jnp.float32(delta_w) * (vdist - dist))
 
     dc_si_f = dc_si.astype(jnp.float32)
 
@@ -140,10 +173,10 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int,
     q8 = q8_v[:, None]
     qval = jnp.minimum((x + (q8 >> 1)) // q8, maxq)    # (64, N)
 
-    ltbl = (1.0 / (qtbl_zz.astype(jnp.float32)
-                   * qtbl_zz.astype(jnp.float32)))     # (64,)
+    ltbl = _ltbl_lookup(qtbl_zz)                       # (64,)
 
-    zdist = ((x * x).astype(jnp.float32) * lam[None, :]) * ltbl[:, None]
+    zdist = _frnd(_frnd((x * x).astype(jnp.float32) * lam[None, :])
+                  * ltbl[:, None])
     zterm = jnp.where(in_band, zdist, 0.0)
 
     def azd_step(c, i):
@@ -179,11 +212,10 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int,
                            qval_i[None, :], ((2 << kv) - 1)[:, None])
         cand_ok_i = kv[:, None] < nc_i[None, :]        # (K, N)
         delta = cand_i * q8_v[i] - x_i[None, :]
-        # minimum() forbids FMA contraction of the product chain into the
+        # _frnd forbids FMA contraction of the product chain into the
         # cost add (C rounds each f32 product; see ops/dering.py)
-        cdist_i = jnp.minimum(((delta * delta).astype(jnp.float32)
-                               * lam[None, :]) * ltbl[i],
-                              jnp.float32(3.0e38))     # (K, N)
+        cdist_i = _frnd(_frnd((delta * delta).astype(jnp.float32)
+                              * lam[None, :]) * ltbl[i])   # (K, N)
 
         run = i - 1 - j_idx                            # (64,)
         run_ok = ((run >= 0)[:, None]
@@ -404,8 +436,7 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
                                           eob_opt=eob_opt)
             if dc_on:
                 q0 = qtbl_zzs[ci][0]
-                ltbl0 = (1.0 / (qtbl_zzs[ci][0].astype(jnp.float32)
-                                * qtbl_zzs[ci][0].astype(jnp.float32)))
+                ltbl0 = _ltbl_lookup(qtbl_zzs[ci][0])
                 bh_t = batch * g.bh
                 lam_dc_full = (lam * ltbl0).reshape(bh_t, g.bw)
                 raw_dc = raw[0].reshape(bh_t, g.bw)
@@ -572,7 +603,8 @@ def _trellis_ac_pallas(raw, qcoef, qtbl_zz, rate_luts, ac_si, lam,
         lam_p = jnp.pad(lam.reshape(B, n_img),
                         ((0, 0), (0, n_pad - n_img))).reshape(-1)
     acc, run_start, best_val, qval, azd = pt.trellis_ac_dp_pallas(
-        raw_p, qtbl_zz, rate_luts, lam_p, Ss, Se, n_pad, interpret)
+        raw_p, qtbl_zz, _ltbl_lookup(qtbl_zz), rate_luts, lam_p,
+        Ss, Se, n_pad, interpret)
     if n_pad != n_img:
         def unpad(a):
             return a.reshape(64, B, n_pad)[:, :, :n_img].reshape(64, N)
@@ -663,8 +695,7 @@ def _arith_ac_row_maker(Ss: int, Se: int, ac_K: int = 5):
         q8 = q8_v[:, None]
         qval = (x + (q8 >> 1)) // q8                    # no clamp (arith)
 
-        ltbl = (1.0 / (qtbl_zz.astype(jnp.float32)
-                       * qtbl_zz.astype(jnp.float32)))
+        ltbl = _ltbl_lookup(qtbl_zz)
         zdist = ((x * x).astype(jnp.float32) * lam[None, :]) * ltbl[:, None]
         zterm = jnp.where(in_band, zdist, 0.0)
 

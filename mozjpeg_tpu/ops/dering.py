@@ -15,8 +15,21 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MAXS = 127  # 255 - CENTERJSAMPLE
+
+# IEEE f32 1/n for n in [0, 65]: TPU f32 division is reciprocal-based and
+# can be 1 ulp off IEEE (codec/trellis.py _recip2_np), while C computes
+# step = 1/(length+1) as an IEEE f32 divide. length+1 is 0 at non-run
+# positions (inf, exactly like the former on-device 1/0) and in [2, 65]
+# inside a run.
+with np.errstate(divide="ignore"):
+    _STEP_LUT = np.float32(1.0) / np.arange(66, dtype=np.float32)
+
+
+def _step_of(length):
+    return jnp.asarray(_STEP_LUT)[jnp.clip(length + 1, 0, 65)]
 
 
 def _hold_op(a, b):
@@ -89,7 +102,7 @@ def dering(zz: jnp.ndarray, q0: jnp.ndarray, one=None) -> jnp.ndarray:
     # whole line is a run (cnt==64, inactive) — order is safe.
 
     length = end - start                               # (N, 64) per position
-    step = (1.0 / (length + 1).astype(jnp.float32))
+    step = _step_of(length)
 
     # exact position accumulation: position starts at `step` for the first
     # run element and += step per element (sequential f32 adds)
@@ -173,7 +186,7 @@ def dering_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
     lslope_ = jnp.where(end == 64, fslope, lslope)
 
     length = end - start
-    step = 1.0 / (length + 1).astype(jnp.float32)
+    step = _step_of(length)
     run_first = m & ~jnp.concatenate(
         [jnp.zeros((1, N), bool), m[:-1]], axis=0)
 
@@ -219,6 +232,11 @@ def dering_float_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
     total = jnp.sum(zz, axis=0)                        # f32 (exact: ints)
     cnt = jnp.sum(m.astype(jnp.int32), axis=0)
     active = (cnt > 0) & (cnt < 64)
+    # NOTE: true f32 division kept here (operands are data-dependent, not
+    # LUT-able). TPU's divide can be 1 ulp off IEEE; the quotient only
+    # CAPS the replacement value (no further arithmetic), so a flip needs
+    # val to land exactly between two adjacent f32 caps — and this runs
+    # only under -dct float + overshoot, off the default profile.
     head = (fmax * 64 - total) / jnp.maximum(cnt, 1).astype(jnp.float32)
     cap = jnp.minimum(31, 2 * q0.astype(jnp.int32)).astype(jnp.float32)
     maxovershoot = fmax + jnp.minimum(cap, head)       # (N,)
@@ -241,7 +259,7 @@ def dering_float_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
     lslope_ = jnp.where(end == 64, fslope, lslope)
 
     length = end - start
-    step = 1.0 / (length + 1).astype(jnp.float32)
+    step = _step_of(length)
     run_first = m & ~jnp.concatenate(
         [jnp.zeros((1, N), bool), m[:-1]], axis=0)
 

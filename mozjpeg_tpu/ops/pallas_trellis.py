@@ -38,7 +38,7 @@ def _frnd(x):
 
 
 def _make_kernel(Ss: int, Se: int):
-    def kernel(qtbl_ref, lut_ref, raw_ref, lam_ref,
+    def kernel(qtbl_ref, ltbl_ref, lut_ref, raw_ref, lam_ref,
                acc_ref, rs_ref, bv_ref, qval_ref, azd_ref):
         L = raw_ref.shape[1]
         lut = lut_ref[0]                               # (64, KMAX*64)
@@ -48,8 +48,10 @@ def _make_kernel(Ss: int, Se: int):
         qval = jnp.minimum((x + (q8 >> 1)) // q8, 1023)
         qval_ref[:, :] = qval
 
-        qf = qtbl_ref[:, :].astype(jnp.float32)
-        ltbl = 1.0 / (qf * qf)                         # (64, 1)
+        # 1/(q*q) arrives host-computed (IEEE f32): TPU's reciprocal-based
+        # f32 divide is 1 ulp off for some quant values (codec/trellis.py
+        # _recip2_np), which flips knife-edge trellis cost ties
+        ltbl = ltbl_ref[:, :]                          # (64, 1)
         lam = lam_ref[:, :]                            # (1, L)
 
         pos = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
@@ -137,13 +139,13 @@ def build_rate_lut(ac_si: np.ndarray, Ss: int, Se: int) -> np.ndarray:
     return lut
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def trellis_ac_dp_pallas(raw, qtbl_zz, rate_luts, lam,
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def trellis_ac_dp_pallas(raw, qtbl_zz, ltbl, rate_luts, lam,
                          Ss: int, Se: int, n_img: int,
                          interpret: bool = False):
     """raw (64, N) int32 image-major (N = B*n_img, n_img % LANES == 0);
-    rate_luts (B, 64, KMAX*64) f32; lam (N,) f32.
-    -> acc, run_start, best_val, qval, azd — each (64, N)."""
+    ltbl (64,) f32 host-IEEE 1/(q*q); rate_luts (B, 64, KMAX*64) f32;
+    lam (N,) f32. -> acc, run_start, best_val, qval, azd — each (64, N)."""
     N = raw.shape[1]
     B = rate_luts.shape[0]
     chunks = n_img // LANES
@@ -156,6 +158,8 @@ def trellis_ac_dp_pallas(raw, qtbl_zz, rate_luts, lam,
         _make_kernel(Ss, Se),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((64, 1), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 1), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64, KMAX * 64), lambda b, c: (b, 0, 0),
@@ -176,6 +180,7 @@ def trellis_ac_dp_pallas(raw, qtbl_zz, rate_luts, lam,
                    jax.ShapeDtypeStruct((64, N), jnp.int32),
                    jax.ShapeDtypeStruct((64, N), jnp.float32)],
         interpret=interpret,
-    )(qtbl_zz.reshape(64, 1).astype(jnp.int32), rate_luts,
+    )(qtbl_zz.reshape(64, 1).astype(jnp.int32),
+      ltbl.reshape(64, 1).astype(jnp.float32), rate_luts,
       raw, lam.reshape(1, -1))
     return out

@@ -1584,3 +1584,18 @@ class TestDjpegCombos:
         rc = jt.main(["-flip", "horizontal", "-rotate", "90",
                       "-outfile", str(tmp_path / "x.jpg"), srcjpg])
         assert rc == 1
+
+
+def test_trellis_num_loops_batched_matches_serial():
+    """The batched multi-loop trellis fuses Annex-K tablegen into the
+    device program (make_trellis_all_t dev_tables); outputs must equal
+    the serial per-image encoder exactly."""
+    import numpy as np
+    import mozjpeg_tpu as mj
+    img = ppm.read(corpus("testorig.ppm"))
+    imgs = [np.roll(img, 13 * i, axis=1).copy() for i in range(3)]
+    cfg = mj.EncoderConfig(quality=75, trellis_num_loops=2,
+                           optimize_scans=False)
+    batched = mj.encode_many(imgs, cfg)
+    for i, im in enumerate(imgs):
+        assert batched[i] == mj.encode(im, cfg), "image %d" % i
