@@ -78,7 +78,8 @@ def main():
     t0 = time.perf_counter()
     serial_first = encode(corpus[0], cfg)
     log("warmup+compile serial: %.1fs" % (time.perf_counter() - t0))
-    group = max(1, int(os.environ.get("MJ_BATCH_GROUP", "8")))
+    from mozjpeg_tpu.codec.encoder import _group_size
+    group = _group_size()
     t0 = time.perf_counter()
     encode_many(corpus[:group], cfg)
     log("warmup+compile batched: %.1fs" % (time.perf_counter() - t0))

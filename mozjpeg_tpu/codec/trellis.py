@@ -696,7 +696,8 @@ def _arith_ac_row_maker(Ss: int, Se: int, ac_K: int = 5):
         qval = (x + (q8 >> 1)) // q8                    # no clamp (arith)
 
         ltbl = _ltbl_lookup(qtbl_zz)
-        zdist = ((x * x).astype(jnp.float32) * lam[None, :]) * ltbl[:, None]
+        zdist = _frnd(_frnd((x * x).astype(jnp.float32) * lam[None, :])
+                      * ltbl[:, None])
         zterm = jnp.where(in_band, zdist, 0.0)
 
         def azd_step(c, i):
@@ -761,8 +762,8 @@ def _arith_ac_row_maker(Ss: int, Se: int, ac_K: int = 5):
             for cand, okc in ((qval_i, qval_i != 0),
                               (qval_i - 1, qval_i > 1)):
                 delta = cand * q8_v[i] - x_i
-                cdist = jnp.minimum(((delta * delta).astype(jnp.float32)
-                                     * lam) * ltbl[i], jnp.float32(3.0e38))
+                cdist = _frnd(_frnd((delta * delta).astype(jnp.float32)
+                                    * lam) * ltbl[i])
                 cb = coef_bits(jnp.maximum(cand, 1), i)
                 rate = (cb[None, :] + run_bits).astype(jnp.int32) \
                     .astype(jnp.float32)        # `int rate` truncation
@@ -832,7 +833,7 @@ def _arith_dc_row(raw_dc, last_dc0, q0, dc_rates, nc: int, lam_dc=None):
     ks = jnp.arange(nc)
     cand_mag = qval[:, None] - nc // 2 + ks              # (L, nc), no clamp
     delta_q = cand_mag * q8 - x[:, None]
-    dist = (delta_q * delta_q).astype(jnp.float32) * lam_dc[:, None]
+    dist = _frnd((delta_q * delta_q).astype(jnp.float32) * lam_dc[:, None])
     cand = cand_mag * sign[:, None]
     MAXNB = 15
     dcl = dc_rates[20:20 + MAXNB, 1]                     # ladder states

@@ -102,6 +102,32 @@ def main():
         cjpeg(img, "-quality", "92")
     print("OK grayscale + 4:4:4 byte-identical", file=sys.stderr)
 
+    # arithmetic full default (arith trellis + arith scan search on device)
+    assert mj.encode(small, mj.EncoderConfig(quality=75,
+                                             arithmetic=True)) == \
+        cjpeg(small, "-quality", "75", "-arithmetic")
+    print("OK arithmetic full default byte-identical", file=sys.stderr)
+
+    # 12-bit with overshoot deringing (12-bit DCT + dering device paths;
+    # the reference cannot run trellis/scan-opt at 12-bit)
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:67, 0:101]
+    im12 = (np.stack([yy * 40 + xx * 13, xx * 31, (yy + xx) * 17],
+                     -1) % 4096)
+    im12 = (im12 * 0.7
+            + rng.integers(0, 1200, (67, 101, 3))).astype(np.uint16) % 4096
+    from mozjpeg_tpu.utils import ppm as _ppm
+    _ppm.write("/tmp/_smoke12.ppm", im12, maxval=4095)
+    ref12 = subprocess.run(
+        [CJPEG, "-precision", "12", "-quality", "75", "-fastcrush",
+         "-notrellis", "-notrellis-dc", "/tmp/_smoke12.ppm"],
+        capture_output=True, check=True).stdout
+    ours12 = mj.encode(im12, mj.EncoderConfig(
+        quality=75, precision=12, optimize_scans=False,
+        trellis_quant=False))
+    assert ours12 == ref12, "12-bit dering"
+    print("OK 12-bit progressive+dering byte-identical", file=sys.stderr)
+
     # batched/pipelined vs serial (12 imgs -> multiple groups)
     corpus = [np.roll(img, 31 * i, axis=1).copy() for i in range(12)]
     outs = mj.encode_many(corpus, mj.EncoderConfig(quality=75))
