@@ -538,27 +538,30 @@ def pack_trellis_inputs(lams, ac_sis, dc_sis, qtbl_zzs) -> np.ndarray:
 
 
 def rate_lut_dev(ac_si, Ss: int, Se: int, kmax: int):
-    """Device-side (run,size) rate LUT for the Pallas DP.
+    """Device-side run-indexed rate table for the Pallas DP.
 
-    ac_si (B, 256) int32 code lengths -> (B, 64_j, kmax*64_i) f32 where
-    [b, j, k*64+i] = ehufsi[16*(run&15) + k+1] + (k+1) + (run>>4)*zrl_len
-    for run = i-1-j, and BIG wherever the j->i transition with bit-length
-    k+1 is invalid (code length 0, run>=16 without a ZRL code, j >= i, or
-    outside the band) -- the same table build_rate_lut constructs on host
-    (ops/pallas_trellis.py), as one gather so it runs inside the jit."""
+    ac_si (B, 256) int32 code lengths -> (B, 128, RR_K) f32 where
+    [b, 63-run, k] = ehufsi[16*(run&15) + k+1] + (k+1) + (run>>4)*zrl_len,
+    BIG where invalid (code length 0, run>=16 without a ZRL code, row
+    t>=64 i.e. run<0, or k >= kmax) -- the same table build_rate_lut
+    constructs on host (ops/pallas_trellis.py), as one gather so it runs
+    inside the jit. The DP step at position i slices rows [64-i, 128-i);
+    band bounds are enforced by the kernel's j_ok mask, not the table."""
+    from ..ops.pallas_trellis import RR_K
+    del Ss, Se
     ac_si_f = ac_si.astype(jnp.float32)                  # (B, 256)
-    jj = jnp.arange(64)[:, None, None]                   # j (prev nonzero)
-    kk = jnp.arange(kmax)[None, :, None]                 # k (bit length-1)
-    ii = jnp.arange(64)[None, None, :]                   # i (this position)
-    r = ii - 1 - jj                                      # (64, 1, 64)
-    valid = (ii >= Ss) & (ii <= Se) & (jj >= Ss - 1) & (r >= 0)
-    sym = 16 * (r & 15) + kk + 1                         # (64, kmax, 64)
-    cl = ac_si_f[:, sym]                                 # (B, 64, kmax, 64)
-    zrl = ac_si_f[:, 0xF0][:, None, None, None]          # (B, 1, 1, 1)
-    rb = (r >> 4).astype(jnp.float32)[None] * zrl
-    ok = valid[None] & (cl > 0) & ((r < 16)[None] | (zrl > 0))
-    lut = jnp.where(ok, (cl + (kk + 1).astype(jnp.float32)[None]) + rb, BIG)
-    return lut.reshape(ac_si.shape[0], 64, kmax * 64)
+    tt = jnp.arange(128)[:, None]                        # table row
+    kk = jnp.arange(RR_K)[None, :]                       # k (bit length-1)
+    r = 63 - tt                                          # run (<0 for t>=64)
+    rpos = jnp.maximum(r, 0)
+    sym = 16 * (rpos & 15) + kk + 1                      # (128, RR_K)
+    cl = ac_si_f[:, sym]                                 # (B, 128, RR_K)
+    zrl = ac_si_f[:, 0xF0][:, None, None]                # (B, 1, 1)
+    rb = (rpos >> 4).astype(jnp.float32)[None] * zrl
+    ok = ((r >= 0) & (kk < kmax))[None] & (cl > 0) \
+        & ((r < 16)[None] | (zrl > 0))
+    return jnp.where(ok, (cl + (kk + 1).astype(jnp.float32)[None]) + rb,
+                     BIG)
 
 
 def ac_impl_flags(precision: int):

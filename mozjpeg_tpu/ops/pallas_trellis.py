@@ -3,16 +3,27 @@
 The XLA lax.scan formulation re-streams the (64, N) azd/acc tensors from HBM
 on every one of the 63 DP steps (~6 ms/step profiled). This kernel keeps the
 whole DP state resident in VMEM per lane-chunk: inputs are read once,
-outputs written once, and the fully-unrolled 63-step loop runs on-chip with
-static indexing only (no gathers — Mosaic-friendly).
+outputs written once, and the 63-step loop runs on-chip with the DP state
+carried through a fori_loop.
+
+The i-loop is ROLLED (lax.fori_loop), not unrolled: the unrolled 63x10
+variant cost ~13 s to trace and ~21 s to XLA-compile per process, which
+dominated warm-start latency. Rolling requires only dynamic SUBLANE slices
+(row i of x/qval/azd, rows [64-i, 128-i) of the rate table) — cheap on
+Mosaic — while the k candidate loop stays unrolled (10 steps).
 
 Exact-semantics notes (must match quantize_trellis, jcdctmgr.c:936-1329):
   - tie-breaking is first-minimum in (j, k) lexicographic order, implemented
     as min-of-(flat-index)-where-cost-equals-min;
   - float products feeding adds are guarded with minimum(x, 3e38) so Mosaic
     cannot FMA-contract away C's per-product rounding;
-  - the (run, size) rate LUT is data-independent, precomputed per image as
-    (64_j, KMAX*64_i) f32 with BIG marking invalid transitions.
+  - 1/(q*q) arrives host-computed (IEEE f32): TPU's reciprocal-based f32
+    divide is 1 ulp off for some quant values (codec/trellis.py _recip2_np);
+  - the (run, size) rate table is data-independent per image. Because the
+    rate of a j->i transition depends only on run = i-1-j and the bit
+    length k+1, it is stored run-indexed as (128, 16) f32 with
+    rr[t, k] = rate(run = 63-t) for t < 64 and BIG for t >= 64; step i
+    reads rows [64-i, 128-i) so entry j of the slice is rate(i-1-j).
 
 Grid: (B, n_img/LANES). Outputs acc/run_start/best_val/qval/azd stay on
 device; the EOB decision and path walk remain cheap XLA ops outside.
@@ -28,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 KMAX = 10
+RR_K = 16         # lane-padded k dimension of the run-rate table
 BIGF = 1e38
 LANES = 512
 
@@ -38,19 +50,15 @@ def _frnd(x):
 
 
 def _make_kernel(Ss: int, Se: int):
-    def kernel(qtbl_ref, ltbl_ref, lut_ref, raw_ref, lam_ref,
+    def kernel(qtbl_ref, ltbl_ref, rr_ref, raw_ref, lam_ref,
                acc_ref, rs_ref, bv_ref, qval_ref, azd_ref):
         L = raw_ref.shape[1]
-        lut = lut_ref[0]                               # (64, KMAX*64)
         raw = raw_ref[:, :]
         x = jnp.abs(raw)
         q8 = qtbl_ref[:, :] << 3                       # (64, 1)
         qval = jnp.minimum((x + (q8 >> 1)) // q8, 1023)
         qval_ref[:, :] = qval
 
-        # 1/(q*q) arrives host-computed (IEEE f32): TPU's reciprocal-based
-        # f32 divide is 1 ulp off for some quant values (codec/trellis.py
-        # _recip2_np), which flips knife-edge trellis cost ties
         ltbl = ltbl_ref[:, :]                          # (64, 1)
         lam = lam_ref[:, :]                            # (1, L)
 
@@ -68,21 +76,30 @@ def _make_kernel(Ss: int, Se: int):
         azd = jnp.concatenate(rows, axis=0)            # (64, L)
         azd_ref[:, :] = azd
 
-        nc = jnp.where(qval > 0, 32 - jax.lax.clz(jnp.maximum(qval, 1)), 0)
         j_iota = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
         j_nonzero = (qval != 0) & in_band              # (64, L)
         start_mask = j_iota == (Ss - 1)
 
-        acc = jnp.where(start_mask, 0.0,
-                        jnp.float32(BIGF)) + jnp.zeros((1, L), jnp.float32)
-        rs = jnp.zeros((64, L), jnp.int32)
-        bv = jnp.zeros((64, L), jnp.int32)
+        acc0 = jnp.where(start_mask, 0.0,
+                         jnp.float32(BIGF)) + jnp.zeros((1, L), jnp.float32)
+        rs0 = jnp.zeros((64, L), jnp.int32)
+        bv0 = jnp.zeros((64, L), jnp.int32)
 
-        for i in range(Ss, Se + 1):
-            x_i = x[i:i + 1, :]
-            qval_i = qval[i:i + 1, :]
-            nc_i = nc[i:i + 1, :]
-            tail = (azd[i - 1:i, :] - azd) + acc       # (64, L)
+        def body(i, st):
+            # Mosaic has no dynamic_slice on VALUES; rows are re-read from
+            # the input/output REFS with pl.ds (x/qval/nc re-derived from
+            # the raw row — identical integer math to the full-tensor
+            # precompute above)
+            acc, rs, bv = st
+            x_i = jnp.abs(raw_ref[pl.ds(i, 1), :])     # (1, L)
+            q8_i = qtbl_ref[pl.ds(i, 1), :] << 3       # (1, 1)
+            qval_i = jnp.minimum((x_i + (q8_i >> 1)) // q8_i, 1023)
+            nc_i = jnp.where(qval_i > 0,
+                             32 - jax.lax.clz(jnp.maximum(qval_i, 1)), 0)
+            azd_im1 = azd_ref[pl.ds(i - 1, 1), :]      # (1, L)
+            ltbl_i = ltbl_ref[pl.ds(i, 1), :]          # (1, 1)
+            rate_i = rr_ref[0, pl.ds(64 - i, 64), :]   # (64, RR_K)
+            tail = (azd_im1 - azd) + acc               # (64, L)
             j_ok = (j_nonzero | start_mask) & (j_iota < i)
 
             minval = jnp.full((1, L), jnp.float32(BIGF))
@@ -90,10 +107,10 @@ def _make_kernel(Ss: int, Se: int):
             mincand = jnp.zeros((1, L), jnp.int32)
             for k in range(KMAX):
                 cand_k = jnp.where(nc_i == k + 1, qval_i, (2 << k) - 1)
-                delta = cand_k * q8[i, 0] - x_i
+                delta = cand_k * q8_i - x_i
                 cdist_k = _frnd(_frnd((delta * delta).astype(jnp.float32)
-                                      * lam) * ltbl[i, 0])
-                rate_jk = lut[:, k * 64 + i:k * 64 + i + 1]   # (64, 1)
+                                      * lam) * ltbl_i)
+                rate_jk = rate_i[:, k:k + 1]           # (64, 1)
                 cost_k = (rate_jk + cdist_k) + tail
                 valid = (j_ok & (k < nc_i) & (qval_i != 0)
                          & (rate_jk < jnp.float32(BIGF)))
@@ -108,11 +125,13 @@ def _make_kernel(Ss: int, Se: int):
                 mincand = jnp.where(upd, cand_k, mincand)
 
             new_acc_i = jnp.where(qval_i != 0, minval, jnp.float32(BIGF))
-            row_i = j_iota == i                        # static mask
+            row_i = j_iota == i                        # select row i
             acc = jnp.where(row_i, new_acc_i, acc)
             rs = jnp.where(row_i, minidx // KMAX, rs)
             bv = jnp.where(row_i, mincand, bv)
+            return acc, rs, bv
 
+        acc, rs, bv = jax.lax.fori_loop(Ss, Se + 1, body, (acc0, rs0, bv0))
         acc_ref[:, :] = acc
         rs_ref[:, :] = rs
         bv_ref[:, :] = bv
@@ -121,21 +140,25 @@ def _make_kernel(Ss: int, Se: int):
 
 
 def build_rate_lut(ac_si: np.ndarray, Ss: int, Se: int) -> np.ndarray:
-    """(64_j, KMAX*64_i) f32: [j, k*64+i] = rate of j->i with bit-length
-    k+1, BIG where invalid."""
-    lut = np.full((64, KMAX * 64), BIGF, np.float32)
+    """Run-indexed rate table (128, RR_K) f32 for the Pallas DP:
+    [t, k] = rate of a transition with run = 63-t and bit-length k+1
+    (= ehufsi[16*(run&15)+k+1] + (k+1) + (run>>4)*zrl_len), BIG where
+    invalid (code length 0, run>=16 without a ZRL code, t>=64, k>=KMAX).
+    Step i slices rows [64-i, 128-i) so slice[j] = rate(run = i-1-j);
+    rows t>=64 (run<0, i.e. j>=i) stay BIG. Band bounds don't enter the
+    table: the kernel's j_ok mask enforces them."""
+    del Ss, Se
+    lut = np.full((128, RR_K), BIGF, np.float32)
     zrl_len = int(ac_si[0xF0])
-    for i in range(Ss, Se + 1):
-        for j in range(Ss - 1, i):
-            r = i - 1 - j
-            if (r >> 4) and zrl_len == 0:
+    for r in range(64):
+        if (r >> 4) and zrl_len == 0:
+            continue
+        run_bits = (r >> 4) * zrl_len
+        for k in range(KMAX):
+            cl = int(ac_si[16 * (r & 15) + k + 1])
+            if cl == 0:
                 continue
-            run_bits = (r >> 4) * zrl_len
-            for k in range(KMAX):
-                cl = int(ac_si[16 * (r & 15) + k + 1])
-                if cl == 0:
-                    continue
-                lut[j, k * 64 + i] = cl + (k + 1) + run_bits
+            lut[63 - r, k] = (cl + (k + 1)) + run_bits
     return lut
 
 
@@ -144,7 +167,7 @@ def trellis_ac_dp_pallas(raw, qtbl_zz, ltbl, rate_luts, lam,
                          Ss: int, Se: int, n_img: int,
                          interpret: bool = False):
     """raw (64, N) int32 image-major (N = B*n_img, n_img % LANES == 0);
-    ltbl (64,) f32 host-IEEE 1/(q*q); rate_luts (B, 64, KMAX*64) f32;
+    ltbl (64,) f32 host-IEEE 1/(q*q); rate_luts (B, 128, RR_K) f32;
     lam (N,) f32. -> acc, run_start, best_val, qval, azd — each (64, N)."""
     N = raw.shape[1]
     B = rate_luts.shape[0]
@@ -162,7 +185,7 @@ def trellis_ac_dp_pallas(raw, qtbl_zz, ltbl, rate_luts, lam,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 1), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64, KMAX * 64), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((1, 128, RR_K), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),

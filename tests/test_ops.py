@@ -185,13 +185,14 @@ def _rand_ac_si(rng, zrl_zero=False):
 
 
 @pytest.mark.parametrize("n_img,band,eob_opt",
-                         [(512, (1, 8), False), (300, (1, 13), True)])
+                         [(512, (1, 8), False), (300, (1, 13), True),
+                          (512, (1, 63), False)])
 def test_trellis_ac_pallas_matches_xla(n_img, band, eob_opt):
     """Pallas AC-DP kernel (interpret mode on CPU) is bit-identical to the
     XLA lax.scan formulation, including the LANES padding path and the
-    eob_opt block DP tail. Narrow bands keep the fully-unrolled kernel's
-    CPU interpret-mode compile fast; full-band equivalence is covered by
-    the golden tests when MJ_TRELLIS_PALLAS=1 on a TPU backend."""
+    eob_opt block DP tail; full-band TPU equivalence is additionally
+    covered by the golden tests when MJ_TRELLIS_PALLAS=1 and by
+    scripts/tpu_smoke.py on the real chip."""
     from mozjpeg_tpu.codec import trellis
 
     rng = np.random.default_rng(7)
