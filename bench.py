@@ -117,6 +117,16 @@ def main():
     log("byte equality verified on %d images" % min(ncheck, len(corpus)))
     log("bytes (first image): %d" % len(datas[0]))
 
+    # decode throughput (context only; headline stays encode):
+    # reference djpeg on this corpus is ~41 MP/s single-core (BASELINE.md)
+    if os.environ.get("BENCH_DECODE", "1") == "1":
+        from mozjpeg_tpu import decode
+        decode(datas[0])                     # warm decode programs
+        t0 = time.perf_counter()
+        for d in datas:
+            decode(d)
+        log("decode: %.2f MP/s" % (mp_corpus / (time.perf_counter() - t0)))
+
     mps = max(serial_mps, best)
     log("headline mode: %s" % ("pipelined" if best >= serial_mps
                                else "serial"))
