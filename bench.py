@@ -120,12 +120,26 @@ def main():
     # decode throughput (context only; headline stays encode):
     # reference djpeg on this corpus is ~41 MP/s single-core (BASELINE.md)
     if os.environ.get("BENCH_DECODE", "1") == "1":
-        from mozjpeg_tpu import decode
+        from mozjpeg_tpu import decode, decode_many
         decode(datas[0])                     # warm decode programs
         t0 = time.perf_counter()
-        for d in datas:
+        for d in datas[:4]:
             decode(d)
-        log("decode: %.2f MP/s" % (mp_corpus / (time.perf_counter() - t0)))
+        log("decode serial: %.2f MP/s"
+            % (4 * base[0].shape[0] * base[0].shape[1] / 1e6
+               / (time.perf_counter() - t0)))
+        pix = decode_many(datas[:_group_size()])   # warm batched programs
+        best_dec = 0.0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            pix = decode_many(datas)
+            best_dec = max(best_dec,
+                           mp_corpus / (time.perf_counter() - t0))
+        log("decode_many pipelined: %.2f MP/s" % best_dec)
+        import numpy as _np
+        for i in (0, 1):                     # byte-exact vs serial decode
+            assert _np.array_equal(pix[i], decode(datas[i])), \
+                "decode_many vs decode mismatch on image %d" % i
 
     mps = max(serial_mps, best)
     log("headline mode: %s" % ("pipelined" if best >= serial_mps

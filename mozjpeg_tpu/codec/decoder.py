@@ -1020,13 +1020,139 @@ def _render_ycc_batch(yzz, cbzz, crzz, qty, qtc,
     return jax.vmap(one)(yzz, cbzz, crzz, qty, qtc)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "b", "dims", "nt", "n_tot", "cap_sb", "gray", "precision"))
+def _render_packed(masks, vals, qty, qtc, b: int, dims, nt: int,
+                   n_tot: int, cap_sb: int, gray: bool,
+                   precision: int = 8):
+    """Sparse-uploaded batched render: per-block nonzero masks +
+    superblock-packed values (native mj_sparse_pack) expand on device
+    (ops/sparsepack.py expand_dev) and render to per-component SAMPLE
+    planes — upsampling and color conversion happen on host
+    (native/post.cpp mj_post_ycc) so the download is 1.5 B/px for 4:2:0
+    instead of 3 B/px RGB. Returns (y, cb, cr) uint8 stacks, or just y
+    for grayscale. When masks is None, vals is the dense (64, nt) int16
+    fallback upload."""
+    from ..ops import sparsepack
+    (lbh, lbw, lch, lcw), (cbh, cbw, cch, ccw) = dims
+    if masks is None:
+        dense = vals
+    else:
+        dense = sparsepack.expand_dev.__wrapped__(masks, vals, nt, cap_sb)
+    per = dense[:, :b * n_tot].reshape(64, b, n_tot)
+    ny, nc = lbh * lbw, cbh * cbw
+    yzz = per[:, :, :ny].transpose(1, 2, 0).reshape(b, lbh, lbw, 64)
+    py = jax.vmap(lambda z, q: _render_plane.__wrapped__(
+        z, q, lbh, lbw, lch, lcw, precision))(yzz, qty)
+    if gray:
+        return py
+    cbzz = per[:, :, ny:ny + nc].transpose(1, 2, 0).reshape(b, cbh, cbw, 64)
+    crzz = per[:, :, ny + nc:].transpose(1, 2, 0).reshape(b, cbh, cbw, 64)
+    pcb = jax.vmap(lambda z, q: _render_plane.__wrapped__(
+        z, q, cbh, cbw, cch, ccw, precision))(cbzz, qtc)
+    pcr = jax.vmap(lambda z, q: _render_plane.__wrapped__(
+        z, q, cbh, cbw, cch, ccw, precision))(crzz, qtc)
+    return py, pcb, pcr
+
+
+_POST_MODES = {"none": 0, "h2v1": 1, "h2v2": 2, "int": 3}
+
+
+def _fast_decode_key(jp, planes, fancy_upsample, block_smoothing):
+    """Group key for the pipelined sparse-upload decode path, or None
+    when the image needs the general renderer."""
+    from . import smooth as _smooth
+    if planes is None or jp.precision != 8:
+        return None
+    if (block_smoothing and getattr(jp, "coef_bits", None) is not None
+            and _smooth.smoothing_ok(jp, jp.coef_bits)):
+        return None
+    cs = _jpeg_colorspace(jp)
+    if cs not in ("ycbcr", "grayscale"):
+        return None
+    gray = cs == "grayscale"
+    if gray:
+        mode, hexp, vexp = "none", 1, 1
+    else:
+        mode, hexp, vexp = _upsample_mode(jp, fancy_upsample)
+        if mode not in _POST_MODES:
+            return None
+    dims = []
+    for c in jp.components[:1 if gray else 3]:
+        cw = -(-jp.width * c.h // jp.max_h)
+        ch = -(-jp.height * c.v // jp.max_v)
+        dims.append((-(-ch // 8), -(-cw // 8), ch, cw))
+    if gray:
+        dims = [dims[0], (0, 0, 0, 0)]
+    elif dims[1] != dims[2]:
+        return None                     # exotic Cb/Cr geometry
+    else:
+        dims = dims[:2]
+        if dims[0][2] != jp.height or dims[0][3] != jp.width:
+            return None                 # luma not full-size (e.g. 4:4:0)
+    return (jp.width, jp.height, gray, mode, hexp, vexp, tuple(dims))
+
+
+def _decode_chunk_packed(key, idxs, jps, planes_list, out):
+    """Render one same-geometry chunk through the sparse-upload path and
+    finish upsample+color on host (runs on a stage worker thread)."""
+    import ctypes
+    from ..ops import sparsepack
+    from ..native import lib, u8p
+    w, h, gray, mode, hexp, vexp, dims = key
+    (lbh, lbw, lch, lcw), (cbh, cbw, cch, ccw) = dims
+    b = len(idxs)
+    flats = []
+    for i in idxs:
+        pl = planes_list[i]
+        parts = [np.ascontiguousarray(pl[0][:lbh, :lbw]).reshape(-1, 64)]
+        if not gray:
+            parts.append(np.ascontiguousarray(
+                pl[1][:cbh, :cbw]).reshape(-1, 64))
+            parts.append(np.ascontiguousarray(
+                pl[2][:cbh, :cbw]).reshape(-1, 64))
+        flats.append(np.concatenate(parts, axis=0))
+    n_tot = flats[0].shape[0]
+    flat = np.concatenate(flats, axis=0)
+    packed = sparsepack.pack_host(flat)
+    qty = jnp.stack([jnp.asarray(_comp_qtable(jps[i], 0)) for i in idxs])
+    qtc = (None if gray else
+           jnp.stack([jnp.asarray(_comp_qtable(jps[i], 1)) for i in idxs]))
+    if packed is not None:
+        masks, vals, nt, cap_sb = packed
+        res = _render_packed(jnp.asarray(masks), jnp.asarray(vals),
+                             qty, qtc, b, dims, nt, n_tot, cap_sb, gray)
+    else:                               # too dense: one dense upload
+        nt = b * n_tot
+        res = _render_packed(None, jnp.asarray(flat.T), qty, qtc,
+                             b, dims, nt, n_tot, 0, gray)
+    if gray:
+        for bi, i in enumerate(idxs):
+            out[i] = np.asarray(res[bi])[:h, :w]
+        return
+    py, pcb, pcr = (np.asarray(r) for r in res)
+    m = _POST_MODES[mode]
+    for bi, i in enumerate(idxs):
+        rgb = np.empty((h, w, 3), np.uint8)
+        lib.mj_post_ycc(
+            py[bi].ctypes.data_as(u8p), lch, lcw,
+            pcb[bi].ctypes.data_as(u8p), pcr[bi].ctypes.data_as(u8p),
+            cch, ccw, m, hexp, vexp, h, w,
+            rgb.ctypes.data_as(u8p))
+        out[i] = rgb
+
+
 def decode_many(datas, fancy_upsample: bool = True,
                 block_smoothing: bool = True):
-    """Decode a list of JPEGs: host entropy decoding runs on a thread
-    pool, and same-geometry YCbCr/grayscale groups render through one
-    batched device program (the decode-side counterpart of
-    encode_many). Exotic paths (CMYK/YCCK, RGB, partial progressive
-    needing block smoothing) fall back to the single-image renderer."""
+    """Decode a list of JPEGs with a software pipeline: host entropy
+    decoding runs on a thread pool; same-geometry groups upload sparse
+    coefficients (masks + packed values), render dequant+IDCT on device
+    in one batched program, download subsampled SAMPLE planes, and
+    finish upsample+color in host C++ — so the tunnel moves ~1/3 the
+    bytes of the naive dense-up/RGB-down scheme and every blocking sync
+    runs on a stage worker. Exotic paths (CMYK/YCCK, RGB, 12-bit,
+    partial progressive needing block smoothing) fall back to grouped or
+    single-image rendering."""
     from concurrent.futures import ThreadPoolExecutor
 
     jps = [marker.parse(d) for d in datas]
@@ -1040,12 +1166,38 @@ def decode_many(datas, fancy_upsample: bool = True,
             return arith.decode_coefficients_arith(jp, datas[i])
         return decode_coefficients(jp, datas[i])
 
-    with ThreadPoolExecutor(max_workers=min(8, max(1, len(datas)))) as ex:
-        planes_list = list(ex.map(entropy, range(len(datas))))
-
+    import os as _os
     out: List = [None] * len(datas)
+    planes_list: List = [None] * len(datas)
+    g = max(1, int(_os.environ.get("MJ_BATCH_GROUP", "16")))
+    nthreads = min(8, max(2, (_os.cpu_count() or 4)))
+    leftovers: List[int] = []
+    with ThreadPoolExecutor(max_workers=nthreads) as ent_pool, \
+            ThreadPoolExecutor(max_workers=2) as stage_pool:
+        futs = [ent_pool.submit(entropy, i) for i in range(len(datas))]
+        pending: dict = {}              # fast-path key -> buffered indices
+        jobs = []
+        for i in range(len(datas)):
+            planes_list[i] = futs[i].result()
+            key = _fast_decode_key(jps[i], planes_list[i],
+                                   fancy_upsample, block_smoothing)
+            if key is None:
+                leftovers.append(i)
+                continue
+            pending.setdefault(key, []).append(i)
+            if len(pending[key]) >= g:
+                jobs.append(stage_pool.submit(
+                    _decode_chunk_packed, key, pending.pop(key), jps,
+                    planes_list, out))
+        for key, idxs in pending.items():
+            jobs.append(stage_pool.submit(
+                _decode_chunk_packed, key, idxs, jps, planes_list, out))
+        for j in jobs:
+            j.result()
+
     groups: dict = {}
-    for i, jp in enumerate(jps):
+    for i in leftovers:
+        jp = jps[i]
         from . import smooth as _smooth
         cs = _jpeg_colorspace(jp)
         smooth_active = (block_smoothing

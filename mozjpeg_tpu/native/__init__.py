@@ -138,3 +138,16 @@ lib.mj_prep_ycc.argtypes = [
     u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     u8p, u8p, u8p, ctypes.c_int]
+
+lib.mj_sparse_count.restype = ctypes.c_long
+lib.mj_sparse_count.argtypes = [i16p, ctypes.c_long, ctypes.c_int, i32p]
+
+lib.mj_sparse_pack.restype = ctypes.c_long
+lib.mj_sparse_pack.argtypes = [
+    i16p, ctypes.c_long, ctypes.c_int, ctypes.c_int, u32p, i16p]
+
+lib.mj_post_ycc.restype = None
+lib.mj_post_ycc.argtypes = [
+    u8p, ctypes.c_long, ctypes.c_long, u8p, u8p, ctypes.c_long,
+    ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_long, ctypes.c_long, u8p]

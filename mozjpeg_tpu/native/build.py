@@ -22,6 +22,7 @@ SOURCES = (
     "imageio.cpp",      # PPM/BMP/TGA row codecs for the CLIs
     "scansearch.cpp",   # full jpegrescan candidate sweep + selection
     "prep.cpp",         # RGB->YCbCr + subsampling host prep
+    "post.cpp",         # decode: sparse coeff upload pack, upsample+color
 )
 
 LIB_NAME = "libmjentropy.so"

@@ -99,6 +99,85 @@ def _pack(flat, nt: int, cap_sb: int):
         vals32, over])
 
 
+@functools.partial(jax.jit, static_argnames=("nt", "cap_sb"))
+def expand_dev(masks, vals, nt: int, cap_sb: int):
+    """Device-side inverse of _pack, for the decode-side sparse UPLOAD
+    (host packs with native/post.cpp mj_sparse_pack): masks (nt, 2) int32
+    = per-block 64-bit nonzero bitmaps, vals (S, cap_sb//2) int32 = each
+    superblock's nonzero values packed int16-pairwise in (block, zigzag)
+    order -> dense (64, nt) int16 zigzag planes. Same no-scatter strategy
+    as _pack: positions from popcount prefix sums, values moved by two
+    one-hot einsums (exact in f32 — each slot receives one int16)."""
+    m2 = jax.lax.bitcast_convert_type(masks, jnp.uint32)     # (nt, 2)
+    k = jnp.arange(64, dtype=jnp.uint32)[:, None]
+    word = jnp.where(k < 32, m2[:, 0][None, :], m2[:, 1][None, :])
+    nzb = ((word >> (k & 31)) & 1).astype(jnp.int32)         # (64, nt)
+    rank = jnp.cumsum(nzb, axis=0) - nzb
+    counts = jnp.sum(nzb, axis=0)                            # (nt,)
+
+    S = nt // G
+    c_sb = counts.reshape(S, G)
+    start = jnp.cumsum(c_sb, axis=1) - c_sb                  # (S, G)
+
+    # level 2 inverse: superblock value slabs -> per-block CAP_BLOCK slots
+    r2 = jnp.arange(CAP_BLOCK, dtype=jnp.int32)
+    tgt = start[:, :, None] + r2[None, None, :]              # (S, G, CAP)
+    valid = r2[None, None, :] < c_sb[:, :, None]
+    tgt = jnp.where(valid, tgt, -1).reshape(S, G * CAP_BLOCK)
+    slot2 = jnp.arange(cap_sb, dtype=jnp.int32)
+    oh2 = (tgt[:, None, :] == slot2[None, :, None]).astype(jnp.float32)
+    v16 = jax.lax.bitcast_convert_type(vals, jnp.int16)      # (S, c/2, 2)
+    v2 = v16.reshape(S, cap_sb).astype(jnp.float32)
+    v1 = jnp.einsum("scl,sc->sl", oh2, v2,
+                    preferred_element_type=jnp.float32)      # (S, G*CAP)
+    v1 = v1.reshape(nt, CAP_BLOCK)
+
+    # level 1 inverse: per-block slots -> 64 zigzag rows
+    slot = jnp.arange(CAP_BLOCK, dtype=jnp.int32)
+    oh1 = (jnp.where(nzb.astype(bool), rank, -1)[:, None, :]
+           == slot[None, :, None]).astype(jnp.float32)       # (64, CAP, nt)
+    dense = jnp.einsum("kct,tc->kt", oh1, v1,
+                       preferred_element_type=jnp.float32)
+    return dense.astype(jnp.int16)
+
+
+def pack_host(planes_flat: np.ndarray, cap_choices=CAP_SB_CHOICES):
+    """Host-side pack (native mj_sparse_count/mj_sparse_pack) of
+    (nblocks, 64) int16 zigzag planes for upload. Pads nblocks to a
+    multiple of G, picks the smallest capacity bucket that fits the worst
+    superblock exactly (the host knows all counts — no overflow path).
+    Returns (masks (nt,2) int32 view, vals (S, cap_sb//2) int32 view,
+    nt, cap_sb) or None when no bucket fits (caller uploads dense) or a
+    block has more than CAP_BLOCK nonzeros."""
+    from ..native import lib, u32p, i16p, i32p as _i32p
+    n = planes_flat.shape[0]
+    nt = -(-n // G) * G
+    if nt != n or not planes_flat.flags.c_contiguous:
+        buf = np.zeros((nt, 64), np.int16)
+        buf[:n] = planes_flat
+        planes_flat = buf
+    S = nt // G
+    counts = np.empty(S, np.int32)
+    maxc = lib.mj_sparse_count(planes_flat.ctypes.data_as(i16p), nt, G,
+                               counts.ctypes.data_as(_i32p))
+    cap_sb = next((c for c in cap_choices if maxc <= c), None)
+    if cap_sb is None:
+        return None
+    masks = np.empty((nt, 2), np.uint32)
+    vals = np.empty((S, cap_sb // 2), np.int32)
+    rc = lib.mj_sparse_pack(planes_flat.ctypes.data_as(i16p), nt, G,
+                            cap_sb, masks.ctypes.data_as(u32p),
+                            vals.ctypes.data_as(i16p))
+    if rc != 0:
+        return None
+    # per-block capacity: expand_dev's level-1 one-hot covers CAP_BLOCK
+    # slots; a denser block (>CAP_BLOCK nonzeros) must go dense instead
+    if maxc > CAP_BLOCK and np.any(
+            np.sum(planes_flat.reshape(nt, 64) != 0, axis=1) > CAP_BLOCK):
+        return None
+    return masks.view(np.int32), vals, nt, cap_sb
+
+
 def pack_planes(finals, comps, b: int, cap_sb: int = 192):
     """finals: tuple per comp of (64, B*n_c) int16 device arrays.
     -> (buf_dev int32 device array, nt, layout info) where the buffer is

@@ -15,8 +15,10 @@ echo "== reference binaries for golden tests =="
 if [ ! -x .refbuild/cjpeg ] && [ -d /root/reference ]; then
   mkdir -p .refbuild
   (cd .refbuild && cmake -G Ninja -DCMAKE_BUILD_TYPE=Release -DWITH_SIMD=0 \
+      -DWITH_ARITH_ENC=1 -DWITH_ARITH_DEC=1 \
       -DENABLE_SHARED=0 -DPNG_SUPPORTED=0 /root/reference >/dev/null \
-      && ninja >/dev/null)
+      && ninja >/dev/null \
+      && cp /root/reference/testimages/testorig.ppm .)
 fi
 
 echo "== corpus =="

@@ -251,6 +251,30 @@ def test_decode_many_matches_decode(ref_tools, tmp_path):
         np.testing.assert_array_equal(outs[i], mj.decode(d))
 
 
+def test_decode_many_pipelined_chunks(ref_tools, tmp_path, monkeypatch):
+    """The sparse-upload pipelined decode path must stay byte-exact
+    across chunk boundaries, remainders, mixed sampling (4:2:0/4:2:2/
+    4:4:4), fancy-off replicate upsample, and odd image sizes."""
+    import mozjpeg_tpu as mj
+    monkeypatch.setenv("MJ_BATCH_GROUP", "3")   # force multiple chunks
+    src = corpus_path("testorig.ppm")           # 227x149: odd dims
+    datas = []
+    for flags in (["-quality", "75"],
+                  ["-quality", "75"],
+                  ["-quality", "85", "-sample", "2x1"],
+                  ["-quality", "85", "-sample", "1x1"],
+                  ["-quality", "30", "-revert", "-baseline"]):
+        p = str(tmp_path / "pc.jpg")
+        run_cjpeg(flags, src, p)
+        datas.append(open(p, "rb").read())
+    datas = datas * 2                           # chunk of 3 + remainder
+    for fancy in (True, False):
+        outs = mj.decode_many(datas, fancy_upsample=fancy)
+        for i, d in enumerate(datas):
+            np.testing.assert_array_equal(
+                outs[i], mj.decode(d, fancy_upsample=fancy))
+
+
 def test_dqt_redefined_between_scans(ref_tools, tmp_path):
     """jdinput latch_quant_tables parity: a component first scanned AFTER
     a DQT redefinition must dequantize with the redefined table."""
