@@ -84,7 +84,7 @@ def main():
     encode_many(corpus[:group], cfg)
     log("warmup+compile batched: %.1fs" % (time.perf_counter() - t0))
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     mp_corpus = sum(i.shape[0] * i.shape[1] for i in corpus) / 1e6
 
     t0 = time.perf_counter()
@@ -95,22 +95,41 @@ def main():
     log("serial encode(): %.2f MP/s" % serial_mps)
 
     # headline: the framework's natural streaming path (pipelined
-    # same-shape groups: device batches + threaded host entropy)
-    best = 0.0
-    for r in range(reps):
-        t0 = time.perf_counter()
-        datas = encode_many(corpus, cfg)
-        dt = time.perf_counter() - t0
-        mps = mp_corpus / dt
-        best = max(best, mps)
-        log("pipelined encode_many (%d imgs): %.2f s -> %.2f MP/s"
-            % (len(corpus), dt, mps))
+    # same-shape groups: device batches + threaded host entropy).
+    # Reported number is the MEDIAN of reps, not best-of — a fading
+    # rep sequence must show up in the record, not hide behind one
+    # lucky pass. BENCH_SUSTAIN_S>0 switches to one long streaming run.
+    rates = []
+    sustain_s = float(os.environ.get("BENCH_SUSTAIN_S", "0"))
+    if sustain_s > 0:
+        done_mp, t_start = 0.0, time.perf_counter()
+        while time.perf_counter() - t_start < sustain_s:
+            t0 = time.perf_counter()
+            datas = encode_many(corpus, cfg)
+            dt = time.perf_counter() - t0
+            done_mp += mp_corpus
+            rates.append(mp_corpus / dt)
+            log("sustained pass: %.2f s -> %.2f MP/s" % (dt, rates[-1]))
+        total = time.perf_counter() - t_start
+        log("sustained %.0f s total: %.2f MP/s aggregate"
+            % (total, done_mp / total))
+    else:
+        for r in range(reps):
+            t0 = time.perf_counter()
+            datas = encode_many(corpus, cfg)
+            dt = time.perf_counter() - t0
+            rates.append(mp_corpus / dt)
+            log("pipelined encode_many (%d imgs): %.2f s -> %.2f MP/s"
+                % (len(corpus), dt, rates[-1]))
+    med = statistics.median(rates)
+    log("encode reps: min %.2f / median %.2f / max %.2f MP/s"
+        % (min(rates), med, max(rates)))
     baseline = load_baseline()
 
     # full byte equality batched-vs-serial over the corpus (a TPU numerics
     # divergence or batching bug must fail the bench, not ship silently)
     assert datas[0] == serial_first, "pipelined vs serial mismatch (img 0)"
-    ncheck = int(os.environ.get("BENCH_VERIFY", "8"))
+    ncheck = int(os.environ.get("BENCH_VERIFY", str(len(corpus))))
     for i in range(1, min(ncheck, len(corpus))):
         assert datas[i] == encode(corpus[i], cfg), \
             "pipelined vs serial output mismatch on image %d" % i
@@ -129,20 +148,23 @@ def main():
             % (4 * base[0].shape[0] * base[0].shape[1] / 1e6
                / (time.perf_counter() - t0)))
         pix = decode_many(datas[:_group_size()])   # warm batched programs
-        best_dec = 0.0
+        dec_rates = []
         for _ in range(reps):
             t0 = time.perf_counter()
             pix = decode_many(datas)
-            best_dec = max(best_dec,
-                           mp_corpus / (time.perf_counter() - t0))
-        log("decode_many pipelined: %.2f MP/s" % best_dec)
+            dec_rates.append(mp_corpus / (time.perf_counter() - t0))
+        log("decode_many pipelined: min %.2f / median %.2f / max %.2f MP/s"
+            % (min(dec_rates), statistics.median(dec_rates),
+               max(dec_rates)))
         import numpy as _np
-        for i in (0, 1):                     # byte-exact vs serial decode
+        for i in range(min(ncheck, len(datas))):   # exact vs serial decode
             assert _np.array_equal(pix[i], decode(datas[i])), \
                 "decode_many vs decode mismatch on image %d" % i
+        log("decode equality verified on %d images"
+            % min(ncheck, len(datas)))
 
-    mps = max(serial_mps, best)
-    log("headline mode: %s" % ("pipelined" if best >= serial_mps
+    mps = max(serial_mps, med)
+    log("headline mode: %s" % ("pipelined" if med >= serial_mps
                                else "serial"))
     print(json.dumps({
         "metric": "encode_mps_q75_mozjpeg_default",

@@ -277,8 +277,15 @@ def main(argv=None):
         parts = a.lossless.split(",")
         psv = int(parts[0])
         pt = int(parts[1]) if len(parts) > 1 else 0
+        ri = rr = 0
+        if a.restart:
+            if a.restart.lower().endswith("b"):
+                ri = int(a.restart[:-1])
+            else:
+                rr = int(a.restart)
         out = encode_lossless(img, predictor=psv, point_transform=pt,
-                              precision=a.precision)
+                              precision=a.precision, restart_interval=ri,
+                              restart_in_rows=rr)
     else:
         import dataclasses
         cfg = config_from_args(a)

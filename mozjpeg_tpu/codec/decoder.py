@@ -1090,6 +1090,8 @@ def _fast_decode_key(jp, planes, fancy_upsample, block_smoothing):
         dims = dims[:2]
         if dims[0][2] != jp.height or dims[0][3] != jp.width:
             return None                 # luma not full-size (e.g. 4:4:0)
+        if not np.array_equal(_comp_qtable(jp, 1), _comp_qtable(jp, 2)):
+            return None                 # distinct Cb/Cr quant tables
     return (jp.width, jp.height, gray, mode, hexp, vexp, tuple(dims))
 
 
@@ -1222,8 +1224,10 @@ def decode_many(datas, fancy_upsample: bool = True,
             dims.append((-(-ch // 8), -(-cw // 8), ch, cw))
         if gray:
             dims = [dims[0], (0, 0, 0, 0)]
-        elif dims[1] == dims[2]:
-            dims = dims[:2]                 # Cb/Cr share their geometry
+        elif (dims[1] == dims[2]
+              and np.array_equal(_comp_qtable(jp, 1),
+                                 _comp_qtable(jp, 2))):
+            dims = dims[:2]                 # Cb/Cr share geometry + qtable
         else:                               # exotic ratios: single-image
             out[i] = render(jp, planes_list[i], None, fancy_upsample,
                             "islow", block_smoothing)

@@ -20,17 +20,24 @@ lib.mj_lossless_encode.restype = ctypes.c_long
 lib.mj_lossless_encode.argtypes = [
     ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    i32p, u32p, u8p, u8p, ctypes.c_long, i64p, ctypes.c_int]
+    i32p, u32p, u8p, u8p, ctypes.c_long, i64p, ctypes.c_int,
+    ctypes.c_uint]
 lib.mj_lossless_decode.restype = ctypes.c_long
 lib.mj_lossless_decode.argtypes = [
     u8p, ctypes.c_long, ctypes.POINTER(ctypes.c_void_p), ctypes.c_int,
     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    i32p, i32p, i64p, i32p, u8p]
+    i32p, i32p, i64p, i32p, u8p, ctypes.c_uint]
 
 
 def encode_lossless(image: np.ndarray, predictor: int = 1,
-                    point_transform: int = 0, precision: int = 8) -> bytes:
-    """Encode (H, W[, 3]) uint8/uint16 losslessly (SOF3 + optimal tables)."""
+                    point_transform: int = 0, precision: int = 8,
+                    restart_interval: int = 0,
+                    restart_in_rows: int = 0) -> bytes:
+    """Encode (H, W[, 3]) uint8/uint16 losslessly (SOF3 + optimal tables).
+
+    restart_in_rows converts to MCUs via MCUs_per_row = width (lossless
+    interleaved MCU = one sample position; jcmaster.c:561,597-600),
+    capped at 65535 like the reference."""
     if not 1 <= predictor <= 7:
         raise ValueError("lossless predictor must be 1..7, got %d"
                          % predictor)
@@ -44,18 +51,22 @@ def encode_lossless(image: np.ndarray, predictor: int = 1,
     ncomp = len(comps)
     h, w = comps[0].shape
     pt = point_transform
+    ri = int(restart_interval)
+    if restart_in_rows:
+        ri = min(int(restart_in_rows) * w, 65535)
     planes = [np.ascontiguousarray((c.astype(np.uint16) >> pt))
               for c in comps]
     ptrs = (ctypes.c_void_p * ncomp)(
         *[p.ctypes.data for p in planes])
-    tbl_idx = np.array([0 if i == 0 else 1 for i in range(ncomp)][:ncomp],
-                       np.int32)
+    # all components share DC slot 0 (jpeg_set_colorspace RGB/grayscale
+    # assigns table 0 to every component; lossless keeps RGB)
+    tbl_idx = np.zeros(ncomp, np.int32)
 
     # gather stats -> optimal tables
     counts = np.zeros(4 * 257, np.int64)
     lib.mj_lossless_encode(ptrs, ncomp, w, h, predictor, precision, pt,
                            tbl_idx.ctypes.data_as(i32p), None, None, None, 0,
-                           counts.ctypes.data_as(i64p), 1)
+                           counts.ctypes.data_as(i64p), 1, ri)
     tables = {}
     for t in sorted(set(tbl_idx.tolist())):
         tables[t] = entenc.gen_optimal_table(counts[t * 257:(t + 1) * 257])
@@ -71,17 +82,26 @@ def encode_lossless(image: np.ndarray, predictor: int = 1,
                                tbl_idx.ctypes.data_as(i32p),
                                co.ctypes.data_as(u32p),
                                si.ctypes.data_as(u8p),
-                               out.ctypes.data_as(u8p), out.size, None, 0)
+                               out.ctypes.data_as(u8p), out.size, None, 0,
+                               ri)
     if n < 0:
         raise RuntimeError("lossless encode overflow")
 
     wtr = marker.MarkerWriter()
     wtr.soi()
-    comp_ids = list(range(1, ncomp + 1))
+    if ncomp == 3:
+        # RGB lossless: Adobe APP14 transform=0 flags RGB
+        # (jpeg_set_colorspace JCS_RGB -> write_Adobe_marker)
+        wtr.adobe_app14(0)
+        comp_ids = [0x52, 0x47, 0x42]     # 'R','G','B' (jcparam.c RGB ids)
+    else:
+        comp_ids = list(range(1, ncomp + 1))
     wtr.sof(marker.SOF3, precision, h, w,
             [(comp_ids[i], 1, 1, 0) for i in range(ncomp)])
     for ci in sorted(set(tbl_idx.tolist())):
         wtr.dht(0, ci, tables[ci])
+    if ri:
+        wtr.dri(ri)
     wtr.sos([(comp_ids[i], int(tbl_idx[i]), 0) for i in range(ncomp)],
             predictor, 0, 0, pt)
     wtr.raw(bytes(out[:n]))
@@ -96,8 +116,12 @@ def decode_lossless(jp: marker.ParsedJpeg, data: bytes) -> np.ndarray:
                          "supported")
     if len(jp.scans) != 1:
         raise ValueError("multi-scan lossless streams are not supported")
-    if jp.scan_restart[0]:
-        raise ValueError("lossless restart intervals are not supported")
+    ri = int(jp.scan_restart[0] or 0)
+    if ri and ri % jp.width != 0:
+        # the reference decoder requires a whole number of MCU rows per
+        # restart interval (jddiffct.c:104-109 JERR_BAD_RESTART)
+        raise ValueError("lossless restart interval must be a multiple "
+                         "of the samples per row")
     if any(c.h != 1 or c.v != 1 for c in jp.components):
         raise ValueError("subsampled lossless components are not "
                          "supported")
@@ -133,7 +157,7 @@ def decode_lossless(jp: marker.ParsedJpeg, data: bytes) -> np.ndarray:
         np.ascontiguousarray(mincode).ctypes.data_as(i32p),
         np.ascontiguousarray(maxcode).ctypes.data_as(i64p),
         np.ascontiguousarray(valptr).ctypes.data_as(i32p),
-        np.ascontiguousarray(vals).ctypes.data_as(u8p))
+        np.ascontiguousarray(vals).ctypes.data_as(u8p), ri)
     if r < 0:
         raise ValueError("corrupt lossless scan")
     out = [(p.astype(np.uint32) << pt) for p in planes]

@@ -1,9 +1,13 @@
 // Lossless JPEG (ITU-T T.81 process 14): predictors 1-7 + point transform
-// + Huffman difference coding. Parity references (semantics):
-// /root/reference/jclossls.c, jdlossls.c, jclhuff.c, jdlhuff.c.
+// + Huffman difference coding + restart intervals. Parity references
+// (semantics): /root/reference/jclossls.c, jdlossls.c, jclhuff.c, jdlhuff.c.
 //
-// Scope: 1x1-sampled components (the standard lossless layout), optional
-// restart intervals in MCU rows are not yet wired (restart_interval = 0).
+// Scope: 1x1-sampled components (the standard lossless layout). Restart
+// markers are emitted every restart_interval MCUs (jclhuff.c:333-337,
+// emit_restart at :298) and the predictor resets to first-row mode via a
+// per-component unsigned row counter rows_to_go = interval / MCUs_per_row
+// (jclossls.c:73-77, reset_predictor :240); the decoder requires the
+// interval to be a whole number of MCU rows (jddiffct.c:104-109).
 
 #include <cstdint>
 #include <cstring>
@@ -85,23 +89,41 @@ extern "C" {
 // planes: per comp uint16 (height, width) row-major, samples ALREADY point-
 // transformed (>> Pt) by the caller.  Interleaved 1x1 MCU order.
 // Emit (gather==0) or count (gather!=0, counts int64[4*257]).
+// restart: markers every `restart` MCUs; predictor resets at row ends when
+// the per-component row counter (restart / width, unsigned) runs out.
 long mj_lossless_encode(const uint16_t* const* planes, int ncomp,
                         int width, int height, int pred_sel, int precision,
                         int Pt, const int32_t* dc_tbl_idx,
                         const uint32_t* ehufco, const uint8_t* ehufsi,
                         uint8_t* out, long cap, int64_t* counts,
-                        int gather) {
+                        int gather, unsigned restart) {
   BitW bw; bw.init(out, cap);
   const int initial = 1 << (precision - Pt - 1);
+  const unsigned rows_per = restart ? restart / (unsigned)width : 0;
+  unsigned rows_to_go[4];
+  bool first_row[4];
+  for (int ci = 0; ci < ncomp && ci < 4; ci++) {
+    rows_to_go[ci] = rows_per;            // reset_predictor at start_pass
+    first_row[ci] = true;
+  }
+  unsigned restarts_to_go = restart;      // jclhuff.c:204
+  int next_rst = 0;
 
   for (int y = 0; y < height; y++) {
     for (int x = 0; x < width; x++) {
+      if (restart && restarts_to_go == 0) {   // emit_restart jclhuff.c:335
+        if (!gather) {
+          bw.flush();
+          bw.putb(0xFF);
+          bw.putb((uint8_t)(0xD0 + next_rst));
+        }
+      }
       for (int ci = 0; ci < ncomp; ci++) {
         const uint16_t* p = planes[ci];
         int samp = p[(long)y * width + x];
         int pred;
-        if (y == 0)
-          pred = (x == 0) ? initial : p[x - 1];          // 1-D row 0
+        if (first_row[ci])
+          pred = (x == 0) ? initial : p[(long)y * width + x - 1];  // 1-D
         else if (x == 0)
           pred = p[(long)(y - 1) * width];               // Rb
         else {
@@ -132,6 +154,25 @@ long mj_lossless_encode(const uint16_t* const* planes, int ncomp,
             bw.put((uint32_t)temp2, nbits);
         }
       }
+      if (restart) {                      // jclhuff.c:400-406
+        if (restarts_to_go == 0) {
+          restarts_to_go = restart;
+          next_rst = (next_rst + 1) & 7;
+        }
+        restarts_to_go--;
+      }
+    }
+    if (restart) {                        // jclossls.c:73-77 row accounting
+      for (int ci = 0; ci < ncomp && ci < 4; ci++) {
+        if (--rows_to_go[ci] == 0) {      // unsigned: wraps when rows_per
+          rows_to_go[ci] = rows_per;      // does not divide evenly
+          first_row[ci] = true;
+        } else {
+          first_row[ci] = false;
+        }
+      }
+    } else {
+      for (int ci = 0; ci < ncomp && ci < 4; ci++) first_row[ci] = false;
     }
   }
   if (!gather) bw.flush();
@@ -139,16 +180,34 @@ long mj_lossless_encode(const uint16_t* const* planes, int ncomp,
 }
 
 // Decode into planes (point-transformed domain; caller applies << Pt).
+// restart: the decoder requires the interval to be a whole number of MCU
+// rows (jddiffct.c:104-109 errors otherwise); returns -2 if not.
 long mj_lossless_decode(const uint8_t* data, long len,
                         uint16_t* const* planes, int ncomp,
                         int width, int height, int pred_sel, int precision,
                         int Pt, const int32_t* dc_tbl_idx,
                         const int32_t* mincode, const int64_t* maxcode,
-                        const int32_t* valptr, const uint8_t* vals) {
+                        const int32_t* valptr, const uint8_t* vals,
+                        unsigned restart) {
   BitR br; br.init(data, len);
   const int initial = 1 << (precision - Pt - 1);
+  if (restart && restart % (unsigned)width != 0) return -2;
+  const unsigned rows_per = restart ? restart / (unsigned)width : 0;
+  unsigned rows_since = 0;
+  bool first_row = true;
 
   for (int y = 0; y < height; y++) {
+    if (restart && y > 0 && rows_since == rows_per) {
+      // process_restart (jdlhuff.c:166): drop pad bits, eat the RSTn
+      // marker, reset the predictors to first-row mode
+      br.acc = 0; br.nbits = 0; br.marker = false;
+      if (br.pos + 1 >= len || data[br.pos] != 0xFF ||
+          data[br.pos + 1] < 0xD0 || data[br.pos + 1] > 0xD7)
+        return -1;
+      br.pos += 2;
+      rows_since = 0;
+      first_row = true;
+    }
     for (int x = 0; x < width; x++) {
       for (int ci = 0; ci < ncomp; ci++) {
         uint16_t* p = planes[ci];
@@ -172,8 +231,8 @@ long mj_lossless_decode(const uint8_t* data, long len,
           diff = (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
         }
         int pred;
-        if (y == 0)
-          pred = (x == 0) ? initial : p[x - 1];
+        if (first_row)
+          pred = (x == 0) ? initial : p[(long)y * width + x - 1];
         else if (x == 0)
           pred = p[(long)(y - 1) * width];
         else {
@@ -185,6 +244,8 @@ long mj_lossless_decode(const uint8_t* data, long len,
         p[(long)y * width + x] = (uint16_t)((pred + diff) & 0xFFFF);
       }
     }
+    first_row = false;
+    rows_since++;
   }
   return br.pos;
 }

@@ -251,6 +251,27 @@ def test_decode_many_matches_decode(ref_tools, tmp_path):
         np.testing.assert_array_equal(outs[i], mj.decode(d))
 
 
+def test_decode_many_distinct_chroma_qtables(ref_tools, tmp_path):
+    """A legal JPEG whose Cr component uses a different quant table than
+    Cb must not ride the batched fast path's shared-chroma-qtable
+    assumption (jdinput.c latches per-component tables)."""
+    import mozjpeg_tpu as mj
+    qt = tmp_path / "qt3.txt"
+    qt.write_text(
+        " ".join(str(16 + v % 40) for v in range(64)) + "\n"
+        + " ".join(str(20 + v % 50) for v in range(64)) + "\n"
+        + " ".join(str(25 + (v * 3) % 60) for v in range(64)))
+    p = str(tmp_path / "q3.jpg")
+    run_cjpeg(["-quality", "75,75,75", "-qtables", str(qt),
+               "-qslots", "0,1,2", "-revert", "-baseline"],
+              corpus_path("kodak_like_768x512_1.ppm"), p)
+    data = open(p, "rb").read()
+    ref = mj.decode(data)
+    outs = mj.decode_many([data] * 6)
+    for o in outs:
+        np.testing.assert_array_equal(o, ref)
+
+
 def test_decode_many_pipelined_chunks(ref_tools, tmp_path, monkeypatch):
     """The sparse-upload pipelined decode path must stay byte-exact
     across chunk boundaries, remainders, mixed sampling (4:2:0/4:2:2/

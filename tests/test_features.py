@@ -69,6 +69,53 @@ class TestLossless:
         rec = decode(data)
         assert np.abs(rec.astype(int) - testorig.astype(int)).max() <= 3
 
+    @pytest.mark.parametrize("pred", [1, 4, 7])
+    def test_byte_exact(self, ref_tools, tmp_path, testorig, pred):
+        """Byte-identical to cjpeg -revert -lossless N -optimize (shared
+        DC slot 0 per jpeg_set_colorspace, Adobe APP14 for RGB)."""
+        from mozjpeg_tpu.codec.lossless import encode_lossless
+        golden = run_cjpeg(["-revert", "-lossless", str(pred),
+                            "-optimize"], corpus("testorig.ppm"),
+                           str(tmp_path / "llb.jpg"))
+        assert encode_lossless(testorig, predictor=pred) == golden
+
+    @pytest.mark.parametrize("pred,rows", [(1, 4), (4, 4), (7, 16), (4, 1)])
+    def test_restart_byte_exact(self, ref_tools, tmp_path, testorig,
+                                pred, rows):
+        """-lossless with -restart N (rows): byte-identical to cjpeg
+        (jclhuff.c:333-337 marker emission, jclossls.c:73-77 predictor
+        row counters)."""
+        from mozjpeg_tpu.codec.lossless import encode_lossless
+        golden = run_cjpeg(["-revert", "-lossless", str(pred), "-optimize",
+                            "-restart", str(rows)],
+                           corpus("testorig.ppm"),
+                           str(tmp_path / "llr.jpg"))
+        ours = encode_lossless(testorig, predictor=pred,
+                               restart_in_rows=rows)
+        assert ours == golden
+
+    @pytest.mark.parametrize("rows", [2, 8])
+    def test_restart_roundtrip_and_djpeg(self, ref_tools, tmp_path,
+                                         testorig, rows):
+        from mozjpeg_tpu.codec.lossless import encode_lossless
+        data = encode_lossless(testorig, predictor=5, restart_in_rows=rows)
+        np.testing.assert_array_equal(decode(data), testorig)
+        p = tmp_path / "llr2.jpg"
+        p.write_bytes(data)
+        ref = run_djpeg(str(p), str(tmp_path / "llr2.ppm"))
+        np.testing.assert_array_equal(ref, testorig)
+
+    def test_restart_decodes_cjpeg_stream(self, ref_tools, tmp_path,
+                                          testorig):
+        golden = run_cjpeg(["-revert", "-lossless", "2,1", "-optimize",
+                            "-restart", "3"],
+                           corpus("testorig.ppm"),
+                           str(tmp_path / "llr3.jpg"))
+        ours = decode(golden)
+        ref = run_djpeg(str(tmp_path / "llr3.jpg"),
+                        str(tmp_path / "llr3.ppm"))
+        np.testing.assert_array_equal(ours, ref)
+
 
 def _img12():
     rng = np.random.default_rng(7)
