@@ -953,10 +953,14 @@ def _batch_p1(images, cfg, samp, qtables):
         stack = _np.stack(images)
         geom, merged, smalls = pipeline_t.run_p1_batch(
             stack, samp, qtables, cfg.overshoot_deringing, cfg.precision)
-    try:
-        smalls.copy_to_host_async()
-    except Exception:
-        pass
+    if cfg.trellis_quant and (cfg.arithmetic or not cfg.optimize_coding):
+        # only the host-tablegen trellis path reads smalls on host —
+        # prefetch for it. (The dev-first trellis consumes them on
+        # device; the no-trellis path no longer needs them at all.)
+        try:
+            smalls.copy_to_host_async()
+        except Exception:
+            pass
     return geom, merged, smalls
 
 
@@ -974,30 +978,41 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
                             comps)
 
     if cfg.trellis_quant:
-        per_img = pipeline_t.unpack_small_batch(geom, smalls, b)
         bands = [(1, 63)]
         if cfg.use_scans_in_trellis:
             fs = cfg.trellis_freq_split
             bands = [(1, fs), (fs + 1, 63)]
-        lams, ac_sis, dc_sis, qtblzz, ncands = [], [], [], [], []
+        dev_first = (cfg.optimize_coding and not cfg.arithmetic)
+        dc_sis, qtblzz, ncands = [], [], []
+        lams, ac_sis = [], []
+        per_img = None
+        if not dev_first:
+            per_img = pipeline_t.unpack_small_batch(geom, smalls, b)
         for ci in range(ncomps):
-            lam_imgs = []
-            ac_tbl_imgs = []
             slot = 0 if ci == 0 else 1
-            for (norms, hists) in per_img:
-                lam_imgs.append(trellis.lambda_from_norm(
-                    norms[ci], cfg.lambda_log_scale1, cfg.lambda_log_scale2))
-                ac_si, dc_si = trellis.trellis_tables_from_hist(
-                    hists[ci], slot,
-                    cfg.optimize_coding and not cfg.arithmetic)
-                ac_tbl_imgs.append(ac_si)
-            lams.append(_np.concatenate(lam_imgs))
-            ac_sis.append(_np.stack(ac_tbl_imgs))
+            if dev_first:
+                from ..entropy.huffman import derive_codes as _dc
+                dc_si = _dc(STD_TABLES[(0, slot)])[1].astype(_np.int32)
+            else:
+                lam_imgs = []
+                ac_tbl_imgs = []
+                for (norms, hists) in per_img:
+                    lam_imgs.append(trellis.lambda_from_norm(
+                        norms[ci], cfg.lambda_log_scale1,
+                        cfg.lambda_log_scale2))
+                    ac_si, dc_si = trellis.trellis_tables_from_hist(
+                        hists[ci], slot,
+                        cfg.optimize_coding and not cfg.arithmetic)
+                    ac_tbl_imgs.append(ac_si)
+                lams.append(_np.concatenate(lam_imgs))
+                ac_sis.append(_np.stack(ac_tbl_imgs))
             dc_sis.append(dc_si)
             qz = _np.asarray(qtables[0] if ci == 0 else qtables[1]) \
                 .reshape(64)[consts.JPEG_ZIGZAG].astype(_np.int32)
             qtblzz.append(qz)
             ncands.append(trellis.get_num_dc_candidates(int(qz[0])))
+        df = ((float(cfg.lambda_log_scale1), float(cfg.lambda_log_scale2))
+              if dev_first else None)
         packed = jnp.asarray(trellis.pack_trellis_inputs(
             lams, ac_sis, dc_sis, qtblzz))
         upal, uint = trellis.ac_impl_flags(cfg.precision)
@@ -1008,9 +1023,11 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
                                          eob_opt=cfg.trellis_eob_opt,
                                          delta_w=float(
                                              cfg.trellis_delta_dc_weight),
-                                         use_pallas=upal, interpret=uint)
+                                         use_pallas=upal, interpret=uint,
+                                         dev_first=df)
         raws_b = tuple(m[1] for m in merged)
-        finals = run(raws_b, tuple(m[0] for m in merged), packed)
+        finals = run(raws_b, tuple(m[0] for m in merged), packed,
+                     smalls if dev_first else None)
         nloops = max(1, cfg.trellis_num_loops)
         if nloops > 1 and cfg.optimize_coding and not cfg.arithmetic:
             # regather PER-IMAGE rate tables from the previous loop's
@@ -1022,15 +1039,19 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
                 tuple(ncands), batch=b, precision=cfg.precision,
                 eob_opt=cfg.trellis_eob_opt,
                 delta_w=float(cfg.trellis_delta_dc_weight),
-                use_pallas=upal, interpret=uint, dev_tables=True)
-            packed2 = jnp.asarray(trellis.pack_trellis_inputs(
-                lams, [], dc_sis, qtblzz))
+                use_pallas=upal, interpret=uint, dev_tables=True,
+                dev_first=df)
+            packed2 = (packed if dev_first else jnp.asarray(
+                trellis.pack_trellis_inputs(lams, [], dc_sis, qtblzz)))
             hist_fn = trellis.make_band_hist_t(1, 63, batch=b)
             for _ in range(nloops - 1):
-                finals = run2(raws_b, finals, packed2, hist_fn(finals))
+                finals = run2(raws_b, finals, packed2,
+                              smalls if dev_first else None,
+                              hist_fn(finals))
         else:
             for _ in range(nloops - 1):
-                finals = run(raws_b, finals, packed)
+                finals = run(raws_b, finals, packed,
+                             smalls if dev_first else None)
     else:
         finals = tuple(m[0] for m in merged)
 
@@ -1057,20 +1078,12 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
 
     st = {"geom": geom, "finals": finals, "b": b, "restart": restart}
     if cfg.sparse_download:
-        # dispatch the sparse masks+values pack (ops/sparsepack.py):
-        # ~5-10x fewer tunnel elements than the dense planes; the actual
-        # D2H sync happens in _batch_host (possibly on an IO thread).
-        # Capacity is picked from the pre-trellis symbol histograms
-        # (trellis only zeroes coefficients, so they upper-bound density).
+        # dispatch the exact-global sparse pack (ops/sparsepack.py
+        # pack_planes_exact): masks + value stream with no slack; the
+        # header sync then a value download sized by the ACTUAL nonzero
+        # count happen in _batch_host (possibly on an IO thread).
         from ..ops import sparsepack
-        if not cfg.trellis_quant:
-            per_img = pipeline_t.unpack_small_batch(geom, smalls, b)
-        nblocks = sum(g.bh * g.bw for g in comps) * b
-        nz_est = float(sum(int(np.asarray(h).sum())
-                           for (_norms, hists) in per_img
-                           for h in hists)) / nblocks
-        cap = sparsepack.choose_cap_sb(nz_est)
-        st["sparse"] = sparsepack.pack_planes(finals, comps, b, cap)
+        st["sparse2"] = sparsepack.pack_planes_exact(finals, comps, b)
     return st
 
 
@@ -1080,6 +1093,16 @@ def _batch_fetch(st, cfg):
     geom = st["geom"]
     _, _, comps = geom
     b = st["b"]
+    if "sparse2" in st:
+        from ..ops import sparsepack
+        header_dev, words_dev, nt, n_tot = st["sparse2"]
+        fetched = sparsepack.fetch_exact(header_dev, words_dev, nt)
+        if fetched is not None:
+            masks, vals, _total = fetched
+            planes = sparsepack.expand_flat_to_planes(masks, vals, nt,
+                                                      n_tot, b, comps)
+            if planes is not None:
+                return planes
     if "sparse" in st:
         from ..ops import sparsepack
         buf_dev, nt, n_tot, cap = st["sparse"]

@@ -371,7 +371,7 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
                        batch: int = 1, precision: int = 8,
                        eob_opt: bool = False, delta_w: float = 0.0,
                        use_pallas: bool = False, interpret: bool = False,
-                       dev_tables: bool = False):
+                       dev_tables: bool = False, dev_first=None):
     """Build a single jitted program running trellis for every component
     (cached per configuration — a fresh closure per call would recompile).
 
@@ -385,30 +385,55 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
     of taking host-built tables in `packed` — run(raws, qs, packed,
     hists) with hists a tuple of (B, 256) int32 arrays; removes the
     host tablegen from the dispatch critical path (optimize_coding
-    semantics only)."""
+    semantics only).
+
+    dev_first: (lambda_log_scale1, lambda_log_scale2) — compute the
+    per-block lambdas (ops/softfloat.py bit-exact f64 emulation) AND the
+    loop-1 AC rate tables from the p1 `small` buffer INSIDE the program:
+    run(raws, qs, packed, smalls) where packed carries only the static
+    [dc_si | qtbl_zz] parts and smalls is the (B*stride,) int32 p1
+    sidecar — the host never syncs norms/hists (optimize_coding only)."""
     geoms = tuple(geoms)
     kmax = precision + 2           # NBITS((1 << max_coef_bits) - 1)
     maxq = (1 << (precision + 2)) - 1
     use_pallas = use_pallas and precision == 8
 
     nlam = [batch * g.bh * g.bw for g in geoms]
+    ncs = [g.bh * g.bw for g in geoms]
+    stride = sum(ncs) + 256 * len(geoms)
 
     @jax.jit
-    def run(raws, qs, packed, hists=None):
-        # packed (int32 1D): [lam bits/comp | ac_si (B,256)/comp unless
-        # dev_tables | dc_si | qtbl_zz]
+    def run(raws, qs, packed, smalls=None, hists=None):
+        # packed (int32 1D): [lam bits/comp + ac_si (B,256)/comp unless
+        # dev_first | dc_si | qtbl_zz]
         off = 0
         lams, ac_sis, dc_sis, qtbl_zzs = [], [], [], []
-        for n in nlam:
-            lams.append(jax.lax.bitcast_convert_type(
-                packed[off:off + n], jnp.float32))
-            off += n
+        if dev_first is not None:
+            from ..ops import softfloat as _sf
+            sm = smalls.reshape(batch, stride)
+            noff = 0
+            for n_c in ncs:
+                norms = jax.lax.bitcast_convert_type(
+                    sm[:, noff:noff + n_c], jnp.float32)
+                lams.append(_sf.lambda_from_norm_t.__wrapped__(
+                    norms.reshape(-1), dev_first[0], dev_first[1]))
+                noff += n_c
+            if not dev_tables:
+                from ..ops import tablegen as _tg
+                for ci in range(len(geoms)):
+                    h = sm[:, noff + ci * 256: noff + (ci + 1) * 256]
+                    ac_sis.append(_tg.trellis_rate_tables_t.__wrapped__(h))
+        else:
+            for n in nlam:
+                lams.append(jax.lax.bitcast_convert_type(
+                    packed[off:off + n], jnp.float32))
+                off += n
         if dev_tables:
             from ..ops import tablegen as _tg
             for ci in range(len(geoms)):
                 ac_sis.append(_tg.trellis_rate_tables_t.__wrapped__(
                     hists[ci]))
-        else:
+        elif dev_first is None:
             for _ in geoms:
                 ac_sis.append(
                     packed[off:off + batch * 256].reshape(batch, 256))

@@ -55,6 +55,10 @@ lib.mj_sparse_expand.restype = ctypes.c_long
 lib.mj_sparse_expand.argtypes = [
     u32p, i16p, i32p, ctypes.c_long, ctypes.c_int, ctypes.c_int, i16p]
 
+lib.mj_sparse_expand_flat.restype = ctypes.c_long
+lib.mj_sparse_expand_flat.argtypes = [
+    u32p, i16p, ctypes.c_long, ctypes.c_long, i16p]
+
 lib.mj_encode_seq.restype = ctypes.c_long
 lib.mj_encode_seq.argtypes = [
     cpp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -1154,3 +1154,25 @@ extern "C" long mj_sparse_expand(const uint32_t* masks, const int16_t* vals,
   }
   return 0;
 }
+
+// Exact-global variant (ops/sparsepack.py pack_planes_exact): values are
+// simply concatenated in block order with no per-superblock slack; the
+// caller downloads exactly the filled (bucketed) prefix.  Returns nonzero
+// if the masks demand more values than were provided.
+extern "C" long mj_sparse_expand_flat(const uint32_t* masks,
+                                      const int16_t* vals, long nblocks,
+                                      long nvals, int16_t* out) {
+  long used = 0;
+  for (long b = 0; b < nblocks; b++) {
+    uint64_t m = (uint64_t)masks[b * 2] |
+                 ((uint64_t)masks[b * 2 + 1] << 32);
+    int16_t* o = out + b * 64;
+    while (m) {
+      int k = __builtin_ctzll(m);
+      if (used >= nvals) return b + 1;
+      o[k] = vals[used++];
+      m &= m - 1;
+    }
+  }
+  return 0;
+}

@@ -178,6 +178,133 @@ def pack_host(planes_flat: np.ndarray, cap_choices=CAP_SB_CHOICES):
     return masks.view(np.int32), vals, nt, cap_sb
 
 
+# ---------------------------------------------------------------------------
+# Exact global compaction: values concatenated in block order with NO
+# per-superblock slack, so the D2H transfer is sized by the actual nonzero
+# count (bucketed), not a density estimate.  Layout: header int32 buffer
+# [per-block 64-bit masks | total_nz | overflow], plus a separate uint32
+# value buffer of int16 pairs trimmed to the needed bucket after the
+# header sync.  The host expands with a sequential popcount walk
+# (native/entropy.cpp mj_sparse_expand_flat).
+# ---------------------------------------------------------------------------
+
+VALS_PER_BLOCK_CAP = 16          # static value capacity = Nt * this
+
+
+@functools.partial(jax.jit, static_argnames=("nt",))
+def _pack_exact(flat, nt: int):
+    """flat (64, Nt) int16 zigzag planes -> (header (Nt*2+2,) int32,
+    words (Nt*VALS_PER_BLOCK_CAP//2,) uint32)."""
+    x = flat.astype(jnp.int32)                       # (64, Nt)
+    nz = x != 0
+    kidx = jnp.arange(64, dtype=jnp.uint32)[:, None]
+    bit = jnp.where(kidx < 32, jnp.uint32(1) << (kidx & 31), 0)
+    mask_lo = jnp.sum(jnp.where(nz, bit, 0), axis=0, dtype=jnp.uint32)
+    bit_hi = jnp.where(kidx >= 32, jnp.uint32(1) << (kidx & 31), 0)
+    mask_hi = jnp.sum(jnp.where(nz, bit_hi, 0), axis=0, dtype=jnp.uint32)
+
+    nzi = nz.astype(jnp.int32)
+    rank = jnp.cumsum(nzi, axis=0) - nzi             # rank within block
+    counts = jnp.sum(nzi, axis=0)                    # (Nt,)
+    over_blk = jnp.any(counts > CAP_BLOCK)
+
+    # level 1: per-block fixed slots via one-hot MXU einsum (no scatter)
+    slot = jnp.arange(CAP_BLOCK, dtype=jnp.int32)
+    oh1 = (jnp.where(nz, rank, -1)[:, None, :]
+           == slot[None, :, None]).astype(jnp.float32)   # (64, CAP, Nt)
+    v1 = jnp.einsum("kct,kt->tc", oh1, x.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)  # (Nt, CAP)
+    v1 = v1.astype(jnp.int32)
+
+    # global exact placement: value v of the stream lives in block
+    # blk(v) = last block whose exclusive offset <= v (empty blocks tie
+    # with their successor and lose), at slot v - offset[blk(v)]
+    capv = nt * VALS_PER_BLOCK_CAP
+    off = jnp.cumsum(counts) - counts                # (Nt,) exclusive
+    total = off[-1] + counts[-1]
+    over = over_blk | (total > capv)
+    bnd = jnp.zeros((capv,), jnp.int32).at[off].add(
+        jnp.ones((nt,), jnp.int32), mode="drop")
+    blk = jnp.cumsum(bnd) - 1                        # (capv,)
+    blk = jnp.clip(blk, 0, nt - 1)
+    vidx = jnp.arange(capv, dtype=jnp.int32)
+    slot_of = jnp.clip(vidx - off[blk], 0, CAP_BLOCK - 1)
+    vals = v1[blk, slot_of]                          # gather (capv,)
+    vals = jnp.where(vidx < total, vals, 0).astype(jnp.uint32) \
+        & jnp.uint32(0xFFFF)
+    pair = vals.reshape(capv // 2, 2)
+    words = pair[:, 0] | (pair[:, 1] << 16)
+
+    masks = jnp.stack([mask_lo, mask_hi], axis=1).reshape(-1)
+    header = jnp.concatenate([
+        jax.lax.bitcast_convert_type(masks, jnp.int32),
+        total[None].astype(jnp.int32),
+        over.astype(jnp.int32)[None]])
+    return header, words
+
+
+TRIM_WORDS_STEP = 65536          # 256 KB granularity bounds program cache
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _trim_flat(words, n: int):
+    return words[:n]
+
+
+def pack_planes_exact(finals, comps, b: int):
+    """finals: tuple per comp of (64, B*n_c) int16 device arrays ->
+    (header_dev, words_dev, nt, n_tot). Same block order as pack_planes:
+    image-major, comps in order, raster blocks."""
+    per_img = [f.reshape(64, b, -1) for f in finals]
+    flat = jnp.concatenate(per_img, axis=2)          # (64, B, n_tot)
+    n_tot = flat.shape[2]
+    nt = b * n_tot
+    flat = flat.reshape(64, nt)
+    header, words = _pack_exact(flat, nt)
+    return header, words, nt, n_tot
+
+
+def fetch_exact(header_dev, words_dev, nt: int):
+    """Sync the header, then only the needed value-word bucket.
+    -> (masks uint32 (nt*2,), vals int16 view, total) or None on
+    overflow (caller falls back to the dense download)."""
+    header = np.asarray(header_dev)
+    if int(header[-1]):
+        return None
+    total = int(header[-2])
+    masks = header[: nt * 2].view(np.uint32)
+    need = (total + 1) // 2
+    bucket = -(-max(need, 1) // TRIM_WORDS_STEP) * TRIM_WORDS_STEP
+    if bucket < words_dev.shape[0]:
+        words_dev = _trim_flat(words_dev, bucket)
+    words = np.asarray(words_dev)
+    return masks, words.view(np.int16), total
+
+
+def expand_flat_to_planes(masks: np.ndarray, vals: np.ndarray,
+                          nt: int, n_tot: int, b: int, comps) -> list:
+    """Host expansion of the exact layout -> per image per-comp
+    (bh, bw, 64) int16 planes (native mj_sparse_expand_flat)."""
+    from ..native import lib, u32p, i16p
+    out = np.zeros((nt, 64), np.int16)
+    rc = lib.mj_sparse_expand_flat(
+        np.ascontiguousarray(masks).ctypes.data_as(u32p),
+        np.ascontiguousarray(vals).ctypes.data_as(i16p),
+        nt, len(vals), out.ctypes.data_as(i16p))
+    if rc != 0:
+        return None
+    images = []
+    off = 0
+    for i in range(b):
+        planes = []
+        for g in comps:
+            n = g.bh * g.bw
+            planes.append(out[off:off + n].reshape(g.bh, g.bw, 64))
+            off += n
+        images.append(planes)
+    return images
+
+
 def pack_planes(finals, comps, b: int, cap_sb: int = 192):
     """finals: tuple per comp of (64, B*n_c) int16 device arrays.
     -> (buf_dev int32 device array, nt, layout info) where the buffer is
