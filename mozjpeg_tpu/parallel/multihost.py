@@ -244,3 +244,151 @@ def encode_row_sharded_multihost(image: np.ndarray, quality: float = 75.0,
     return assemble(w, h, (mcus_x, mcus_y, comps), qt, [sr], False,
                     ncomp, multi_dqt=False,
                     cs="grayscale" if ncomp == 1 else "ycbcr")
+
+
+# ---------------------------------------------------------------------------
+# Flagship-profile multi-host encoders: the full mozjpeg default
+# (progressive + AC/DC trellis + deringing + jpegrescan optimize_scans)
+# of ONE image row-sharded over every device of every host. The trellis
+# statistics psum over DCN inside the sharded programs; per-scan symbol
+# histograms and the AC-refine flush summaries reduce with
+# process_allgather sums; every host replays the identical greedy scan
+# selection; winner scan bytes allgather at stitch time. Byte-identical
+# to the single-host row-sharded encoders (and therefore to the
+# single-device encoder / cjpeg with -restart N).
+# ---------------------------------------------------------------------------
+
+def _mh_reduce_sum(a):
+    """Elementwise sum of a host-local int array over all processes."""
+    from jax.experimental import multihost_utils
+    a = np.asarray(a)
+    g = multihost_utils.process_allgather(a)
+    return g.reshape((jax.process_count(),) + a.shape).sum(axis=0)
+
+
+def _mh_sum_scalar(v):
+    return int(_mh_reduce_sum(np.asarray([v], np.int64))[0])
+
+
+def _mh_collect_bytes(parts, nshards: int) -> bytes:
+    """Concatenate per-shard byte strings held across processes, in
+    global shard order (lengths + zero-padded payload allgathered)."""
+    from jax.experimental import multihost_utils
+    maxlen = max([len(b) for b in parts.values()] + [0])
+    maxlen = int(multihost_utils.process_allgather(
+        np.asarray([maxlen], np.int64)).max())
+    lens = np.zeros(nshards, np.int64)
+    payload = np.zeros((nshards, max(maxlen, 1)), np.uint8)
+    for s, b in parts.items():
+        lens[s] = len(b)
+        payload[s, :len(b)] = np.frombuffer(b, np.uint8)
+    lens = multihost_utils.process_allgather(lens).reshape(
+        jax.process_count(), nshards).max(axis=0)
+    payload = multihost_utils.process_allgather(payload).reshape(
+        jax.process_count(), nshards, -1).max(axis=0)
+    return b"".join(payload[s, :lens[s]].tobytes()
+                    for s in range(nshards))
+
+
+def _mh_front(image, quality, mesh, restart_rows, subsampling):
+    """Run the sharded trellis front on a global multi-host mesh and
+    collect THIS process's shards."""
+    front = _rows._trellis_front(
+        image, quality, mesh or global_mesh("rows"), restart_rows,
+        subsampling, progressive=True)
+    (cfg, qt, ncomp, ndev, rps, geom, planes, ac_g, dc_g) = front
+    shards = {}
+    per_comp = []
+    for ci in range(ncomp):
+        per_comp.append({s.index[0].start: s for s in
+                         planes[ci].addressable_shards})
+    for start in per_comp[0]:
+        shards[start] = [np.asarray(per_comp[ci][start].data)[0]
+                         for ci in range(ncomp)]
+    codec = _rows._ShardScanCodec(cfg, ncomp, ndev, rps, geom, shards,
+                                  reduce_sum=_mh_reduce_sum)
+    return cfg, qt, ncomp, ndev, rps, geom, codec, ac_g, dc_g, shards
+
+
+def encode_row_sharded_scanopt_multihost(
+        image: np.ndarray, quality: float = 75.0,
+        restart_rows: int = 1,
+        subsampling: Tuple[int, int] = (2, 2),
+        mesh: Optional[Mesh] = None) -> bytes:
+    """FULL mozjpeg-default encode (progressive + trellis + deringing +
+    optimize_scans) of ONE image, iMCU rows sharded over every device of
+    every host. Every process passes the same image and returns the same
+    complete JPEG."""
+    h, w = image.shape[:2]
+    (cfg, qt, ncomp, ndev, rps, geom, codec, _, _,
+     _shards) = _mh_front(image, quality, mesh, restart_rows, subsampling)
+    return _rows._scanopt_rows(
+        cfg, qt, ncomp, ndev, rps, geom, codec, w, h,
+        sum_scalar=_mh_sum_scalar,
+        collect_bytes=lambda parts: _mh_collect_bytes(parts, ndev))
+
+
+def encode_row_sharded_progressive_multihost(
+        image: np.ndarray, quality: float = 75.0,
+        restart_rows: int = 1,
+        subsampling: Tuple[int, int] = (2, 2),
+        mesh: Optional[Mesh] = None) -> bytes:
+    """Progressive + trellis (mozjpeg -fastcrush -restart N) of ONE
+    image, rows sharded over every host."""
+    h, w = image.shape[:2]
+    (cfg, qt, ncomp, ndev, rps, geom, codec, _, _,
+     _shards) = _mh_front(image, quality, mesh, restart_rows, subsampling)
+    return _rows._progressive_rows(
+        cfg, qt, ncomp, geom, codec, w, h,
+        collect_bytes=lambda parts: _mh_collect_bytes(parts, ndev))
+
+
+def encode_row_sharded_trellis_multihost(
+        image: np.ndarray, quality: float = 75.0,
+        restart_rows: int = 1,
+        subsampling: Tuple[int, int] = (2, 2),
+        mesh: Optional[Mesh] = None) -> bytes:
+    """Sequential-scan trellis encode of ONE image, rows sharded over
+    every host (global psum'd statistics + per-shard device bit-pack)."""
+    from ..codec.encoder import assemble, ScanResult
+    from ..codec.scans import baseline_script
+    from ..entropy.huffman import derive_codes
+    from ..ops import bitpack
+
+    h, w = image.shape[:2]
+    front = _rows._trellis_front(
+        image, quality, mesh or global_mesh("rows"), restart_rows,
+        subsampling, progressive=False)
+    (cfg, qt, ncomp, ndev, rps, geom, planes, ac_g, dc_g) = front
+    mcus_x, mcus_y, comps = geom
+
+    nt = min(ncomp, 2)
+    dc_tables = {t: _rows._optimal_table(dc_g[t]) for t in range(nt)}
+    ac_tables = {t: _rows._optimal_table(ac_g[t]) for t in range(nt)}
+    dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomp)}
+    ac_tbls = dict(dc_tbls)
+    codes = {k: derive_codes(t) for k, t in dc_tables.items()}
+    acodes = {k: derive_codes(t) for k, t in ac_tables.items()}
+
+    r = min(restart_rows * mcus_x, 65535)
+    segs_per_shard = (rps * mcus_x) // r
+    local_idx = {ci: {s.index[0].start: s for s in
+                      planes[ci].addressable_shards}
+                 for ci in range(ncomp)}
+    parts = {}
+    for start in local_idx[0]:
+        shard_planes = [np.asarray(local_idx[ci][start].data)[0]
+                        for ci in range(ncomp)]
+        parts[start] = bitpack.encode_scan_bitpar(
+            shard_planes, [(g.h, g.v) for g in comps], mcus_x, rps, r,
+            [codes[dc_tbls[ci]] for ci in range(ncomp)],
+            [acodes[ac_tbls[ci]] for ci in range(ncomp)],
+            rst_offset=start * segs_per_shard,
+            trailing_rst=(start != ndev - 1))
+    data = _mh_collect_bytes(parts, ndev)
+
+    scan = baseline_script(ncomp)[0]
+    sr = ScanResult(scan, data, dc_tables, ac_tables, dc_tbls, ac_tbls,
+                    restart=r)
+    return assemble(w, h, geom, qt, [sr], False, ncomp, multi_dqt=True,
+                    cs="grayscale" if ncomp == 1 else "ycbcr")

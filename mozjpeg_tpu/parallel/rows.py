@@ -268,10 +268,15 @@ def encode_row_sharded(image: np.ndarray, quality: float = 75.0,
 # ---------------------------------------------------------------------------
 
 def _shard_p1_trellis(mesh, width, height, samp, cfg, rps):
-    """Program A: (shard_h, W, 3) uint8 -> per comp (q_zz, raw_zz, norm)
-    sharded + psum'd trellis AC-first histograms (fake-row corrected)."""
+    """Program A: (shard_h, W, 3) uint8 -> per comp (q_zz, raw_zz, lam)
+    sharded + psum'd trellis AC-first histograms (fake-row corrected).
+    Lambdas are computed ON DEVICE from the norms (ops/softfloat.py
+    bit-exact f64 emulation), so nothing per-shard ever crosses to the
+    host — a requirement for multi-host meshes where other processes'
+    shards are not addressable."""
     from ..codec import pipeline_t
     from ..ops import dct as _dct, dering as _dering, quant as _quant
+    from ..ops import softfloat as _sf
 
     mcus_x, mcus_y, geom = pipeline.geometry(width, height, samp)
     shard_h = rps * 8 * geom[0].v
@@ -315,6 +320,9 @@ def _shard_p1_trellis(mesh, width, height, samp, cfg, rps):
             q_zz = layout.to_zigzag_t(qz).astype(jnp.int16)
             raw_zz = layout.to_zigzag_t(coeffs)
             norm = pipeline_t._norm_seq(raw_zz)
+            lam = _sf.lambda_from_norm_t.__wrapped__(
+                norm, float(cfg.lambda_log_scale1),
+                float(cfg.lambda_log_scale2))
             hist = symbols.ac_first_histogram_t(q_zz, ri=ris[ci])
             # fake-row correction: global dummy rows live only in the last
             # shard and must not contribute statistics. They share their
@@ -336,7 +344,7 @@ def _shard_p1_trellis(mesh, width, height, samp, cfg, rps):
                     real = tail[:, : (tail_rows - nfake) * g.bw]
                     hist = hist + is_last *                         symbols.ac_first_histogram_t(real)
             ac_hists.append(jax.lax.psum(hist, "rows"))
-            outs.append((q_zz[None], raw_zz[None], norm[None]))
+            outs.append((q_zz[None], raw_zz[None], lam[None]))
         return tuple(outs), tuple(ac_hists)
 
     fn = shard_map(shard_fn, mesh=mesh,
@@ -347,7 +355,9 @@ def _shard_p1_trellis(mesh, width, height, samp, cfg, rps):
 
 
 def _shard_trellis_run(mesh, geom_st, comps, cfg, ncands, mcus_x, rps):
-    """Program B: per-shard trellis + sequential-scan hists (psum)."""
+    """Program B: per-shard trellis + sequential-scan hists (psum).
+    Per-shard lambdas arrive sharded from program A (device-computed);
+    `packed` carries only the shard-invariant [ac_si | dc_si | qtbl]."""
     from ..codec import trellis as _trellis
 
     real_bh = tuple(g.bh for g in comps)
@@ -360,12 +370,15 @@ def _shard_trellis_run(mesh, geom_st, comps, cfg, ncands, mcus_x, rps):
         eob_opt=cfg.trellis_eob_opt,
         delta_w=float(cfg.trellis_delta_dc_weight))
 
-    def shard_fn(qs, raws, packed):
+    def shard_fn(qs, raws, lams, packed_static):
         idx = jax.lax.axis_index("rows")
         cur = tuple(q[0] for q in qs)
         raws0 = tuple(r[0] for r in raws)
+        packed = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(l[0], jnp.int32) for l in lams]
+            + [packed_static])
         for _ in range(max(1, cfg.trellis_num_loops)):
-            cur = run(raws0, cur, packed[0])
+            cur = run(raws0, cur, packed)
         # block-major with right dummy columns + GLOBAL bottom dummy rows
         planes = []
         ac_h = jnp.zeros((2, 256), jnp.int32)
@@ -399,7 +412,7 @@ def _shard_trellis_run(mesh, geom_st, comps, cfg, ncands, mcus_x, rps):
     n = len(geom_st)
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(tuple([P("rows")] * n), tuple([P("rows")] * n),
-                             P("rows")),
+                             tuple([P("rows")] * n), None),
                    out_specs=(tuple([P("rows")] * n), P(), P()))
     return jax.jit(fn)
 
@@ -441,11 +454,21 @@ def _trellis_front(image, quality, mesh, restart_rows, subsampling,
             [image, np.repeat(image[-1:], h16 - h, axis=0)], axis=0)
     q81 = [jnp.asarray(np.asarray(qt[i]).reshape(8, 8, 1).astype(np.int32))
            for i in (0, 1 if len(qt) > 1 else 0)]
-    outs, ac_hists = stepA(jnp.asarray(img16), q81[0], q81[1])
+    if jax.process_count() > 1:
+        # multi-host: every process passes the same full image; each
+        # device materializes only its row band
+        from jax.sharding import NamedSharding
+        img_in = jax.make_array_from_callback(
+            img16.shape, NamedSharding(mesh, P("rows")),
+            lambda idx: np.ascontiguousarray(img16[idx]))
+    else:
+        img_in = jnp.asarray(img16)
+    outs, ac_hists = stepA(img_in, q81[0], q81[1])
 
     qtblzz, dc_sis, ac_sis, ncands = [], [], [], []
     for ci in range(ncomp):
         slot = 0 if ci == 0 else 1
+        # ac_hists are psum'd -> replicated: readable on every host
         ac_si, dc_si = _trellis.trellis_tables_from_hist(
             np.asarray(ac_hists[ci]), slot, cfg.optimize_coding)
         ac_sis.append(ac_si)
@@ -453,20 +476,15 @@ def _trellis_front(image, quality, mesh, restart_rows, subsampling,
         qz = np.asarray(qt[slot]).reshape(64)[JPEG_ZIGZAG].astype(np.int32)
         qtblzz.append(qz)
         ncands.append(_trellis.get_num_dc_candidates(int(qz[0])))
-    norms = [np.asarray(outs[ci][2]) for ci in range(ncomp)]
-    packed_rows = []
-    for s in range(ndev):
-        lams = [_trellis.lambda_from_norm(
-            norms[ci][s], cfg.lambda_log_scale1, cfg.lambda_log_scale2)
-            for ci in range(ncomp)]
-        packed_rows.append(_trellis.pack_trellis_inputs(
-            lams, ac_sis, dc_sis, qtblzz))
+    packed_static = _trellis.pack_trellis_inputs([], ac_sis, dc_sis,
+                                                 qtblzz)
     stepB = _shard_trellis_run(mesh, geom_st, comps, cfg, ncands,
                                mcus_x, rps)
     planes, ac_g, dc_g = stepB(
         tuple(outs[ci][0] for ci in range(ncomp)),
         tuple(outs[ci][1] for ci in range(ncomp)),
-        jnp.asarray(np.stack(packed_rows)))
+        tuple(outs[ci][2] for ci in range(ncomp)),
+        jnp.asarray(packed_static))
     return (cfg, qt, ncomp, ndev, rps, (mcus_x, mcus_y, comps), planes,
             ac_g, dc_g)
 
@@ -551,109 +569,301 @@ def encode_row_sharded_progressive(image: np.ndarray, quality: float = 75.0,
     planes_h = [[np.asarray(planes[ci][s]) for s in range(ndev)]
                 for ci in range(ncomp)]
 
+    geom = (mcus_x, mcus_y, comps)
+    shards = {s: [planes_h[ci][s] for ci in range(ncomp)]
+              for s in range(ndev)}
+    codec = _ShardScanCodec(cfg, ncomp, ndev, rps, geom, shards)
+    return _progressive_rows(cfg, qt, ncomp, geom, codec, w, h)
+
+
+def _progressive_rows(cfg, qt, ncomp, geom, codec, w, h,
+                      collect_bytes=None) -> bytes:
+    """Fixed-script progressive emission over row shards (shared by the
+    single-host and multi-host encoders)."""
+    from ..codec import scans as _scans
+    from ..codec.encoder import (assemble, ScanResult,
+                                 scan_restart_interval)
+    from ..entropy.huffman import derive_codes
+
+    collect_bytes = collect_bytes or (
+        lambda parts: b"".join(parts[s] for s in sorted(parts)))
     script = _scans.simple_progression_max(ncomp, cfg.dc_scan_opt_mode,
                                            True)
-    geom = (mcus_x, mcus_y, comps)
-    dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomp)}
-    ac_tbls = dict(dc_tbls)
-
-    def gather_scan(scan, r_scan):
-        """Global per-scan symbol histogram from sharded planes."""
-        if scan.Ss == 0 and scan.Ah == 0:      # DC first (interleaved)
-            hists = {0: np.zeros(256, np.int64), 1: np.zeros(256, np.int64)}
-            for ci in scan.comps:
-                g = comps[ci]
-                t = dc_tbls[ci]
-                for s in range(ndev):
-                    hists[t] += np.asarray(symbols.dc_histogram_restart(
-                        jnp.asarray(planes_h[ci][s]), g.h, g.v,
-                        mcus_x, rps, r_scan, Al=scan.Al)).astype(np.int64)
-            return hists, {}
-        if scan.Ss == 0:
-            return {}, {}                      # DC refine: no stats
-        ci = scan.comps[0]
-        g = comps[ci]
-        if scan.Ah == 0:                       # AC first
-            hist = np.zeros(256, np.int64)
-            for s in range(ndev):
-                pl = planes_h[ci][s]
-                sh_rows = pl.shape[0]
-                real_rows = min(sh_rows, g.bh - s * sh_rows)
-                if real_rows <= 0:
-                    continue
-                zz = jnp.asarray(np.ascontiguousarray(
-                    pl[:real_rows, :g.bw].reshape(-1, 64).T))
-                hist += np.asarray(symbols.ac_first_histogram_t(
-                    zz, scan.Ss, scan.Se, ri=r_scan,
-                    Al=scan.Al)).astype(np.int64)
-            return {}, {ac_tbls[ci]: hist}
-        # AC refine: device symbol part per shard + host EOBn schedule
-        hist = np.zeros(256, np.int64)
-        es, brs, evs = [], [], []
-        for s in range(ndev):
-            pl = planes_h[ci][s]
-            sh_rows = pl.shape[0]
-            real_rows = min(sh_rows, g.bh - s * sh_rows)
-            if real_rows <= 0:
-                continue
-            zz = jnp.asarray(np.ascontiguousarray(
-                pl[:real_rows, :g.bw].reshape(-1, 64).T))
-            hs, e, br, ev = symbols.ac_refine_histogram_parts_t(
-                zz, scan.Ss, scan.Se, scan.Al)
-            hist += np.asarray(hs).astype(np.int64)
-            es.append(np.asarray(e))
-            brs.append(np.asarray(br))
-            evs.append(np.asarray(ev))
-        hist += bitpack.ac_refine_eob_bins(
-            np.concatenate(es), np.concatenate(brs), np.concatenate(evs),
-            r_scan)
-        return {}, {ac_tbls[ci]: hist}
-
-
     results = []
     for scan in script:
         r_scan = scan_restart_interval(cfg, scan, geom, ncomp)
-        dch, ach = gather_scan(scan, r_scan)
+        dch, ach = codec.gather(scan, r_scan)
         dc_tables = {t: _optimal_table(hh) for t, hh in dch.items()
                      if hh.any()}
         ac_tables = {t: _optimal_table(hh) for t, hh in ach.items()
                      if hh.any()}
-        dc_codes = ([derive_codes(dc_tables[dc_tbls[ci]])
+        dc_codes = ([derive_codes(dc_tables[codec.dc_tbls[ci]])
                      for ci in scan.comps]
                     if dc_tables else None)
-        ac_codes = ([derive_codes(ac_tables[ac_tbls[scan.comps[0]]])]
+        ac_codes = ([derive_codes(ac_tables[codec.ac_tbls[scan.comps[0]]])]
                     if ac_tables else None)
-        parts = []
-        rst_off = 0
-        for s in range(ndev):
-            if scan.Ss == 0:                   # interleaved over MCUs
-                pl = [planes_h[ci][s] for ci in scan.comps]
-                gs = [(comps[ci].h, comps[ci].v) for ci in scan.comps]
-                smx, smy = mcus_x, rps
-            else:
-                ci = scan.comps[0]
-                g = comps[ci]
-                sh_rows = planes_h[ci][s].shape[0]
-                real_rows = min(sh_rows, g.bh - s * sh_rows)
-                if real_rows <= 0:
-                    continue
-                pl = [planes_h[ci][s][:real_rows, :g.bw]]
-                gs = [(1, 1)]
-                smx, smy = g.bw, real_rows
-            nseg = -(-(smx * smy) // r_scan) if r_scan else 1
-            last = (s == ndev - 1) or (
-                scan.Ss != 0 and (s + 1) * planes_h[scan.comps[0]][s]
-                .shape[0] >= comps[scan.comps[0]].bh)
-            parts.append(bitpack.encode_scan_progressive_device(
-                pl, gs, smx, smy, scan.Ss, scan.Se, scan.Ah, scan.Al,
-                r_scan, dc_tables=dc_codes, ac_tables=ac_codes,
-                rst_offset=rst_off, trailing_rst=not last))
-            rst_off += nseg
-            if last and scan.Ss != 0:
-                break
-        data = b"".join(parts)
+        parts, _ = codec.emit(scan, r_scan, dc_codes, ac_codes)
+        data = collect_bytes(parts)
         results.append(ScanResult(scan, data, dc_tables, ac_tables,
-                                  dc_tbls, ac_tbls, restart=r_scan))
+                                  codec.dc_tbls, codec.ac_tbls,
+                                  restart=r_scan))
     return assemble(w, h, geom, qt, results,
                     True, ncomp, multi_dqt=True,
                     cs="grayscale" if ncomp == 1 else "ycbcr")
+
+
+class _ShardScanCodec:
+    """Per-scan statistics + emission over a (possibly partial) set of
+    row shards, with reduction hooks so the single-host path (all shards
+    local, identity reduce) and the multi-host path (local shards only,
+    DCN all-reduce) share one implementation.
+
+    local_shards: {global shard index: [per-comp (bh_s, bw_pad, 64)
+    int16 host planes]}; reduce_sum(a) must return the elementwise sum
+    of `a` over all participating processes (identity on one host) —
+    partial statistics are placed into GLOBAL-shaped zero arrays first,
+    so a plain sum reconstructs exact sequential state everywhere."""
+
+    def __init__(self, cfg, ncomp: int, ndev: int, rps: int, geom,
+                 local_shards, reduce_sum=None):
+        self.cfg = cfg
+        self.ncomp = ncomp
+        self.ndev = ndev
+        self.rps = rps
+        self.geom = geom
+        self.shards = local_shards
+        self.reduce = reduce_sum if reduce_sum is not None else (
+            lambda a: a)
+        self.dc_tbls = {ci: (0 if ci == 0 else 1) for ci in range(ncomp)}
+        self.ac_tbls = dict(self.dc_tbls)
+
+    def _real_rows(self, ci: int, s: int) -> int:
+        g = self.geom[2][ci]
+        sh_rows = self.rps * g.v       # block rows per shard for comp ci
+        return max(0, min(sh_rows, g.bh - s * sh_rows))
+
+    def gather(self, scan, r_scan):
+        """-> (dc hists {slot: (256,)}, ac hists {slot: (256,)}),
+        globally summed."""
+        from ..ops import bitpack
+        mcus_x, _, comps = self.geom
+        if scan.Ss == 0 and scan.Ah == 0:      # DC first (interleaved)
+            acc = np.zeros((2, 256), np.int64)
+            for ci in scan.comps:
+                g = comps[ci]
+                t = self.dc_tbls[ci]
+                for s, pls in self.shards.items():
+                    acc[t] += np.asarray(symbols.dc_histogram_restart(
+                        jnp.asarray(pls[ci]), g.h, g.v,
+                        mcus_x, self.rps, r_scan,
+                        Al=scan.Al)).astype(np.int64)
+            acc = self.reduce(acc)
+            return {t: acc[t] for t in (0, 1)}, {}
+        if scan.Ss == 0:
+            return {}, {}                      # DC refine: no stats
+        ci = scan.comps[0]
+        g = comps[ci]
+        t = self.ac_tbls[ci]
+        if scan.Ah == 0:                       # AC first
+            hist = np.zeros(256, np.int64)
+            for s, pls in self.shards.items():
+                real_rows = self._real_rows(ci, s)
+                if real_rows <= 0:
+                    continue
+                zz = jnp.asarray(np.ascontiguousarray(
+                    pls[ci][:real_rows, :g.bw].reshape(-1, 64).T))
+                hist += np.asarray(symbols.ac_first_histogram_t(
+                    zz, scan.Ss, scan.Se, ri=r_scan,
+                    Al=scan.Al)).astype(np.int64)
+            return {}, {t: self.reduce(hist)}
+        # AC refine: per-shard device summaries placed into global-shaped
+        # arrays (block order), summed globally, then the sequential
+        # (eobrun, BE) flush schedule runs identically on every host
+        hist = np.zeros(256, np.int64)
+        nblk = g.bh * g.bw
+        e_g = np.zeros(nblk, np.int32)
+        br_g = np.zeros(nblk, np.int32)
+        ev_g = np.zeros(nblk, np.int32)
+        for s, pls in self.shards.items():
+            real_rows = self._real_rows(ci, s)
+            if real_rows <= 0:
+                continue
+            zz = jnp.asarray(np.ascontiguousarray(
+                pls[ci][:real_rows, :g.bw].reshape(-1, 64).T))
+            hs, e, br, ev = symbols.ac_refine_histogram_parts_t(
+                zz, scan.Ss, scan.Se, scan.Al)
+            hist += np.asarray(hs).astype(np.int64)
+            off = s * self.rps * g.v * g.bw
+            n = real_rows * g.bw
+            e_g[off:off + n] = np.asarray(e)
+            br_g[off:off + n] = np.asarray(br)
+            ev_g[off:off + n] = np.asarray(ev)
+        hist = self.reduce(hist)
+        e_g = self.reduce(e_g)
+        br_g = self.reduce(br_g)
+        ev_g = self.reduce(ev_g)
+        hist = hist + bitpack.ac_refine_eob_bins(e_g, br_g, ev_g, r_scan)
+        return {}, {t: hist}
+
+    def _seg_layout(self, scan, r_scan):
+        """Per-shard (nseg, rst_offset, last?) in global shard order."""
+        mcus_x, _, comps = self.geom
+        out = {}
+        rst_off = 0
+        last_s = -1
+        for s in range(self.ndev):
+            if scan.Ss == 0:
+                nseg = (-(-(mcus_x * self.rps) // r_scan)
+                        if r_scan else 1)
+                last_s = s
+            else:
+                real_rows = self._real_rows(scan.comps[0], s)
+                if real_rows <= 0:
+                    continue
+                g = comps[scan.comps[0]]
+                nseg = (-(-(g.bw * real_rows) // r_scan)
+                        if r_scan else 1)
+                last_s = s
+            out[s] = [nseg, rst_off, False]
+            rst_off += nseg
+        if last_s >= 0:
+            out[last_s][2] = True
+        return out
+
+    def emit(self, scan, r_scan, dc_codes, ac_codes):
+        """-> ({global shard idx: entropy bytes}, local length sum)."""
+        from ..ops import bitpack
+        mcus_x, _, comps = self.geom
+        layout_ = self._seg_layout(scan, r_scan)
+        parts = {}
+        for s, pls in sorted(self.shards.items()):
+            if s not in layout_:
+                continue
+            nseg, rst_off, last = layout_[s]
+            if scan.Ss == 0:
+                pl = [pls[ci] for ci in scan.comps]
+                gs = [(comps[ci].h, comps[ci].v) for ci in scan.comps]
+                smx, smy = mcus_x, self.rps
+            else:
+                ci = scan.comps[0]
+                g = comps[ci]
+                real_rows = self._real_rows(ci, s)
+                pl = [pls[ci][:real_rows, :g.bw]]
+                gs = [(1, 1)]
+                smx, smy = g.bw, real_rows
+            parts[s] = bitpack.encode_scan_progressive_device(
+                pl, gs, smx, smy, scan.Ss, scan.Se, scan.Ah, scan.Al,
+                r_scan, dc_tables=dc_codes, ac_tables=ac_codes,
+                rst_offset=rst_off, trailing_rst=not last)
+        return parts, sum(len(p) for p in parts.values())
+
+
+def _scanopt_rows(cfg, qt, ncomp, ndev, rps, geom, codec, w, h,
+                  sum_scalar=None, collect_bytes=None) -> bytes:
+    """Row-sharded jpegrescan search (jcmaster.c:773-962 select_scans):
+    candidate sizes are global sums of per-shard entropy lengths
+    (restart alignment makes shard parts exact byte slices), the greedy
+    selection replays identically on every host, and winning scans are
+    stitched from the shard parts in display order. Single-host and
+    multi-host share this body; hooks sum scalars / collect winner
+    bytes across processes."""
+    from ..codec import marker, scans as _scans
+    from ..codec.encoder import scan_restart_interval
+    from ..codec.scanopt import SearchLayout, _run_selection, display_order
+    from ..entropy.huffman import derive_codes
+
+    sum_scalar = sum_scalar or (lambda v: v)
+    collect_bytes = collect_bytes or (
+        lambda parts: b"".join(parts[s] for s in sorted(parts)))
+    mcus_x, mcus_y, comps = geom
+    script = _scans.search_progression(ncomp, cfg.dc_scan_opt_mode)
+    layout = SearchLayout(ncomp)
+    comp_ids = [1, 2, 3][:ncomp]
+
+    fh = marker.MarkerWriter()
+    fh.dqt_multi([(i, qt[i]) for i in range(min(ncomp, 2))])
+    fh.sof(marker.SOF2, cfg.precision, h, w,
+           [(comp_ids[ci], comps[ci].h, comps[ci].v,
+             0 if ci == 0 else 1) for ci in range(ncomp)])
+    frame_header = fh.bytes()
+
+    bufs = {}
+    dri_state = [0]
+
+    def get_size(sn, scan):
+        r = scan_restart_interval(cfg, scan, geom, ncomp)
+        dch, ach = codec.gather(scan, r)
+        dc_tables = {t: _optimal_table(hh) for t, hh in dch.items()
+                     if hh.any()}
+        ac_tables = {t: _optimal_table(hh) for t, hh in ach.items()
+                     if hh.any()}
+        hdr = marker.MarkerWriter()
+        if sn == 0:
+            hdr.raw(frame_header)
+        entries = []
+        seen = set()
+        for ci in scan.comps:
+            if scan.Ss == 0 and scan.Ah == 0:
+                t = codec.dc_tbls[ci]
+                if t in dc_tables and ("d", t) not in seen:
+                    entries.append((0, t, dc_tables[t]))
+                    seen.add(("d", t))
+            if scan.Se > 0:
+                t = codec.ac_tbls[ci]
+                if t in ac_tables and ("a", t) not in seen:
+                    entries.append((1, t, ac_tables[t]))
+                    seen.add(("a", t))
+        hdr.dht_multi(entries)
+        if r != dri_state[0]:
+            hdr.dri(r)
+            dri_state[0] = r
+        hdr.sos([(comp_ids[ci],
+                  codec.dc_tbls[ci] if scan.Ss == 0 and scan.Ah == 0
+                  else 0,
+                  codec.ac_tbls[ci] if scan.Se else 0)
+                 for ci in scan.comps], scan.Ss, scan.Se, scan.Ah,
+                scan.Al)
+        dc_codes = ([derive_codes(dc_tables[codec.dc_tbls[ci]])
+                     for ci in scan.comps] if dc_tables else None)
+        ac_codes = ([derive_codes(ac_tables[codec.ac_tbls[scan.comps[0]]])]
+                    if ac_tables else None)
+        parts, local_len = codec.emit(scan, r, dc_codes, ac_codes)
+        bufs[sn] = (hdr.bytes(), parts)
+        return (len(hdr.bytes()) - (len(frame_header) if sn == 0 else 0)
+                + int(sum_scalar(local_len)))
+
+    res = _run_selection(layout, script, get_size)
+    order = display_order(layout, res, cfg.dc_scan_opt_mode)
+
+    out = marker.MarkerWriter()
+    out.soi()
+    if cfg.write_jfif:
+        out.jfif_app0(unit=cfg.density[0], xd=cfg.density[1],
+                      yd=cfg.density[2])
+    for idx in order:
+        hdr, parts = bufs[idx]
+        out.raw(hdr)
+        out.raw(collect_bytes(parts))
+    out.eoi()
+    return out.bytes()
+
+
+def encode_row_sharded_scanopt(image: np.ndarray, quality: float = 75.0,
+                               mesh: Optional[Mesh] = None,
+                               restart_rows: int = 1,
+                               subsampling: Tuple[int, int] = (2, 2)
+                               ) -> bytes:
+    """FULL mozjpeg-default encode (progressive + AC/DC trellis +
+    deringing + jpegrescan optimize_scans) of ONE image with its iMCU
+    rows sharded over the mesh. Byte-exact vs the single-device encoder
+    with the same config (= cjpeg default with -restart N)."""
+    if restart_rows < 1:
+        raise ValueError("restart_rows must be >= 1 (shard independence)")
+    (cfg, qt, ncomp, ndev, rps, geom, planes,
+     _, _) = _trellis_front(image, quality, mesh, restart_rows,
+                            subsampling, progressive=True)
+    h, w = image.shape[:2]
+    shards = {s: [np.asarray(planes[ci][s]) for ci in range(ncomp)]
+              for s in range(ndev)}
+    codec = _ShardScanCodec(cfg, ncomp, ndev, rps, geom, shards)
+    return _scanopt_rows(cfg, qt, ncomp, ndev, rps, geom, codec, w, h)

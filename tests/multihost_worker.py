@@ -41,6 +41,15 @@ def main():
             data, quality=75.0, restart_rows=1)
         with open("%s.%d.0.jpg" % (outpref, pid), "wb") as f:
             f.write(out)
+    elif mode in ("trellis", "progressive", "scanopt"):
+        fn = {"trellis": multihost.encode_row_sharded_trellis_multihost,
+              "progressive":
+                  multihost.encode_row_sharded_progressive_multihost,
+              "scanopt": multihost.encode_row_sharded_scanopt_multihost,
+              }[mode]
+        out = fn(data, quality=75.0, restart_rows=1)
+        with open("%s.%d.0.jpg" % (outpref, pid), "wb") as f:
+            f.write(out)
     else:
         raise SystemExit("unknown mode " + mode)
     # all processes must stay alive until every collective finished

@@ -110,3 +110,37 @@ def test_multihost_rows_byte_exact_uneven(tmp_path):
         r = subprocess.run([DJPEG, "-outfile", os.devnull, str(p)],
                            capture_output=True)
         assert r.returncode == 0, r.stderr.decode()
+
+
+def test_multihost_scanopt_full_default_byte_exact(tmp_path):
+    """THE FLAGSHIP CONFIG across hosts: one Kodak-size image encoded
+    with the full mozjpeg default (progressive + AC/DC trellis +
+    deringing + jpegrescan optimize_scans), iMCU rows sharded over both
+    hosts' devices. Both hosts must emit the identical stream, and it
+    must equal the single-device encoder (= cjpeg default -restart 1)."""
+    img = _kodak("kodak_like_768x512_2.ppm")
+
+    outs = _run_workers("scanopt", img, tmp_path)
+    assert len(outs) == 2
+    assert outs[0] == outs[1], "hosts disagree on the stitched stream"
+
+    from mozjpeg_tpu import encode, EncoderConfig
+    ref = encode(img, EncoderConfig(quality=75, restart_in_rows=1))
+    assert outs[0] == ref
+
+
+def test_multihost_trellis_progressive_byte_exact(tmp_path):
+    """Trellis sequential + trellis progressive across hosts, vs the
+    single-host row-sharded encoders."""
+    img = _kodak("kodak_like_768x512_3.ppm")
+    from mozjpeg_tpu.parallel import rows as R
+
+    outs = _run_workers("trellis", img, tmp_path)
+    assert len(outs) == 2 and outs[0] == outs[1]
+    assert outs[0] == R.encode_row_sharded_trellis(
+        img, quality=75.0, restart_rows=1)
+
+    outs = _run_workers("progressive", img, tmp_path)
+    assert len(outs) == 2 and outs[0] == outs[1]
+    assert outs[0] == R.encode_row_sharded_progressive(
+        img, quality=75.0, restart_rows=1)

@@ -153,6 +153,30 @@ class TestRowShardedTrellis:
             optimize_coding=True, restart_in_rows=rr))
         assert out == ref
 
+    @pytest.mark.parametrize("h,w,q,rr", [(256, 224, 75, 1),
+                                          (250, 201, 80, 2)])
+    def test_scanopt_full_default_byte_exact(self, h, w, q, rr):
+        """THE FLAGSHIP CONFIG row-sharded: progressive + AC/DC trellis +
+        deringing + jpegrescan optimize_scans; candidate sizes sum over
+        shards, the greedy selection replays identically, winners stitch
+        from shard parts — byte-exact vs the single-device full-default
+        encoder (= cjpeg default with -restart N)."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        import mozjpeg_tpu as mj
+        from mozjpeg_tpu.codec.config import EncoderConfig
+        from mozjpeg_tpu.parallel import rows
+        rng = np.random.default_rng(13)
+        yy, xx = np.mgrid[0:h, 0:w]
+        im = np.stack([(yy * 2 + xx * 3) % 256, (yy + xx) % 256,
+                       (yy * 4 + xx * 5) % 256], axis=-1).astype(np.uint8)
+        im = np.clip(im.astype(int) + rng.integers(-5, 6, im.shape),
+                     0, 255).astype(np.uint8)
+        out = rows.encode_row_sharded_scanopt(im, quality=q,
+                                              restart_rows=rr)
+        ref = mj.encode(im, EncoderConfig(quality=q, restart_in_rows=rr))
+        assert out == ref
+
     @pytest.mark.parametrize("mode,samp", [
         ("baseline", (2, 1)), ("baseline", (1, 1)), ("baseline", "gray"),
         ("trellis", (2, 1)), ("trellis", "gray"),
