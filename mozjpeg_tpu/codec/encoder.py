@@ -573,7 +573,8 @@ def _phase_trellis(geom, comp_res, small, cfg, qtables, cs="ycbcr"):
             hist_fn = trellis.make_band_hist_t(
                 1, 63, ris=_trellis_ris(cfg, comps))
             for _ in range(nloops - 1):
-                finals = run2(raws, finals, packed2, hist_fn(finals))
+                finals = run2(raws, finals, packed2,
+                              hists=hist_fn(finals))
         else:
             for _ in range(nloops - 1):
                 finals = run(raws, finals, packed)
@@ -820,31 +821,82 @@ def encode_many(images, config: Optional[EncoderConfig] = None,
         return _encode_many(images, config, **overrides)
 
 
+def _batch_max_mp() -> float:
+    """Per-image megapixel ceiling for the batched fast path. Images
+    above it take the staged per-image path: very large batch programs
+    (≈4K frames) can crash the remote-attached TPU runtime outright
+    (worker kernel fault wedging the process), while the per-image
+    programs are stable at every size. Raise via MJ_BATCH_MAX_MP on
+    locally-attached hosts."""
+    import os as _os
+    return float(_os.environ.get("MJ_BATCH_MAX_MP", "4.0"))
+
+
+def _fast_ctx(img, config, overrides):
+    """Resolve the pipelined fast-path context for one image shape, or
+    None when the config/shape needs the general per-image path."""
+    from . import pipeline_t
+    from .pipeline import geometry
+    if img.ndim != 3:
+        return None
+    if img.shape[0] * img.shape[1] > _batch_max_mp() * 1e6:
+        return None
+    cfg_o, cfg, cs, ncomps, samp, qt = _resolve(img, config, overrides)
+    h, w = img.shape[:2]
+    geom = geometry(w, h, samp)
+    if (pipeline_t.batchable(geom) and cs == "ycbcr"
+            and not cfg.trellis_q_opt
+            and not cfg.use_scans_in_trellis
+            # options _p1_batch hardcodes away — fall back to the
+            # per-image pipeline when any is in play
+            and not cfg.arithmetic
+            and cfg.smoothing_factor == 0
+            and cfg.dct_method == DCTMethod.ISLOW
+            and not cfg.restart_interval
+            and not cfg.restart_in_rows
+            and _qt_slots(cfg, cs, ncomps) == (0, 1, 1)):
+        return (cfg_o, cfg, ncomps, samp, qt)
+    return None
+
+
 def _encode_many(images, config: Optional[EncoderConfig] = None,
                  **overrides):
     import numpy as _np
     from . import pipeline_t
     if len(images) > 1:
-        shapes = {img.shape for img in images}
-        if len(shapes) == 1 and images[0].ndim == 3:
-            cfg_o, cfg, cs, ncomps, samp, qt = _resolve(
-                images[0], config, overrides)
-            from .pipeline import geometry
-            h, w = images[0].shape[:2]
-            geom = geometry(w, h, samp)
-            if (pipeline_t.batchable(geom) and cs == "ycbcr"
-                    and not cfg.trellis_q_opt
-                    and not cfg.use_scans_in_trellis
-                    # options _p1_batch hardcodes away — fall back to the
-                    # per-image pipeline when any is in play
-                    and not cfg.arithmetic
-                    and cfg.smoothing_factor == 0
-                    and cfg.dct_method == DCTMethod.ISLOW
-                    and not cfg.restart_interval
-                    and not cfg.restart_in_rows
-                    and _qt_slots(cfg, cs, ncomps) == (0, 1, 1)):
-                return _encode_pipelined(images, cfg_o, cfg, ncomps, samp,
-                                         qt)
+        # group by shape: every shape with >= 2 images streams through
+        # the pipelined batch path (its own device programs); the rest
+        # fall to the per-image path. A mixed-size corpus therefore
+        # keeps near-full throughput instead of hitting the serial
+        # cliff (VERDICT r2 item 4 — padding to a common bucket would
+        # change bytes: the trellis EOB DP sees trailing pad blocks).
+        by_shape = {}
+        for i, img in enumerate(images):
+            by_shape.setdefault(img.shape, []).append(i)
+        fast_groups = []
+        slow_idx = []
+        for shape, idxs in by_shape.items():
+            ctx = (_fast_ctx(images[idxs[0]], config, overrides)
+                   if len(idxs) >= 2 else None)
+            if ctx is not None:
+                fast_groups.append((idxs, ctx))
+            else:
+                slow_idx.extend(idxs)
+        if fast_groups:
+            out = [None] * len(images)
+            _encode_pipelined_groups(images, fast_groups, out)
+            if slow_idx:
+                slow_out = _encode_many([images[i] for i in slow_idx],
+                                        config, **overrides) \
+                    if len(slow_idx) > 1 else None
+                if slow_out is not None:
+                    for j, i in enumerate(slow_idx):
+                        out[i] = slow_out[j]
+                else:
+                    i = slow_idx[0]
+                    out[i] = _encode_many([images[i]], config,
+                                          **overrides)[0]
+            return out
     out = [None] * len(images)
     states = []
     resolved = [_resolve(img, config, overrides) for img in images]
@@ -885,50 +937,101 @@ def _encode_batch(images, config, cfg, ncomps, samp, qtables):
 
 
 def _group_size() -> int:
-    # 16 measured fastest on the remote-TPU bench (8: 8.4 MP/s, 16: 10.3,
-    # 24: 8.6, 32: 7.3 — bigger groups amortize sync latency until the
-    # batch stops overlapping with its neighbor)
+    # r3 re-measured after the smalls sync moved on device: smaller
+    # groups with a deeper stage pool interleave best (g8/stage4 median
+    # 8.8 MP/s vs g16/stage2 7.5-8.5 with fade; r2's g16 optimum was set
+    # by the per-group host sync that no longer exists)
     import os as _os
-    return max(1, int(_os.environ.get("MJ_BATCH_GROUP", "16")))
+    return max(1, int(_os.environ.get("MJ_BATCH_GROUP", "8")))
 
 
-def _encode_pipelined(images, config, cfg, ncomps, samp, qtables):
-    """Software pipeline over same-shape groups: the main thread only
-    preps (host C++ color+downsample) and uploads group k+1 while stage
-    workers run everything downstream for group k — the smalls sync,
-    trellis dispatch, scan search syncs, and host entropy/stitching.
-    The tunnel (the bottleneck on remote-attached TPUs) stays busy and
-    all blocking host<->device syncs happen off the dispatch path."""
+def _encode_pipelined_groups(images, fast_groups, out):
+    """Software pipeline over shape groups: the main thread only preps
+    (host C++ color+downsample) and uploads chunk k+1 while stage
+    workers run everything downstream for chunk k — trellis dispatch,
+    sparse-header syncs, and host entropy/stitching. Chunks from
+    DIFFERENT image shapes share the same pipeline, so a mixed-size
+    corpus keeps the tunnel busy end to end. All blocking host<->device
+    syncs happen off the dispatch path."""
     from concurrent.futures import ThreadPoolExecutor
     import os as _os
     g = _group_size()
-    chunks = [images[i:i + g] for i in range(0, len(images), g)]
+    chunks = []
+    for idxs, ctx in fast_groups:
+        for k in range(0, len(idxs), g):
+            chunks.append((idxs[k:k + g], ctx))
     if len(chunks) == 1:
-        return _encode_batch(chunks[0], config, cfg, ncomps, samp, qtables)
+        idxs, (cfg_o, cfg, ncomps, samp, qt) = chunks[0]
+        imgs = [images[i] for i in idxs]
+        p1 = _batch_p1(imgs, cfg, samp, qt)
+        res = _batch_finish(imgs, p1, cfg_o, cfg, ncomps, samp, qt)
+        for k, i in enumerate(idxs):
+            out[i] = res[k]
+        return
     nthreads = max(2, (_os.cpu_count() or 4) - 1)
-    out = []
-    with ThreadPoolExecutor(max_workers=2) as stage_pool, \
+    nstage = max(1, int(_os.environ.get("MJ_STAGE_WORKERS", "4")))
+    with ThreadPoolExecutor(max_workers=nstage) as stage_pool, \
             ThreadPoolExecutor(max_workers=nthreads) as ent_pool:
         jobs = []
-        for chunk in chunks:
-            p1 = _batch_p1(chunk, cfg, samp, qtables)
-            jobs.append(stage_pool.submit(
-                _batch_finish, chunk, p1, config, cfg, ncomps, samp,
-                qtables, ent_pool))
-        for j in jobs:
-            out.extend(j.result())
-    return out
+        for idxs, (cfg_o, cfg, ncomps, samp, qt) in chunks:
+            imgs = [images[i] for i in idxs]
+            p1 = _batch_p1(imgs, cfg, samp, qt)
+            jobs.append((idxs, stage_pool.submit(
+                _batch_finish, imgs, p1, cfg_o, cfg, ncomps, samp,
+                qt, ent_pool)))
+        for idxs, j in jobs:
+            res = j.result()
+            for k, i in enumerate(idxs):
+                out[i] = res[k]
 
 
 def _batch_finish(images, p1, config, cfg, ncomps, samp, qtables,
                   ent_pool=None):
     """Everything downstream of the p1 dispatch for one group: trellis +
     scan-search dispatch and their blocking syncs, then host entropy.
-    Runs on a stage worker so the main thread can keep uploading."""
-    st = _batch_rest(images, p1, config, cfg, ncomps, samp, qtables)
-    if isinstance(st, list):
-        return st                       # device scan search produced bytes
-    return _batch_host(images, st, config, cfg, ncomps, qtables, ent_pool)
+    Runs on a stage worker so the main thread can keep uploading.
+
+    Device-runtime failures (observed on the remote-attached TPU runtime
+    when large and small programs interleave) are retried once from the
+    host inputs; a second failure falls back to the per-image path —
+    the batch must degrade, never error (the per-image-error-isolation
+    contract of SURVEY.md §5)."""
+    try:
+        st = _batch_rest(images, p1, config, cfg, ncomps, samp, qtables)
+        if isinstance(st, list):
+            return st                   # device scan search produced bytes
+        return _batch_host(images, st, config, cfg, ncomps, qtables,
+                           ent_pool)
+    except Exception as e:
+        if not _device_runtime_error(e):
+            raise
+    try:
+        p1 = _batch_p1(images, cfg, samp, qtables)   # fresh dispatch
+        st = _batch_rest(images, p1, config, cfg, ncomps, samp, qtables)
+        if isinstance(st, list):
+            return st
+        return _batch_host(images, st, config, cfg, ncomps, qtables,
+                           ent_pool)
+    except Exception as e:
+        if not _device_runtime_error(e):
+            raise
+        report.trace(1, "batch group: device runtime failed twice; "
+                        "falling back to per-image encode")
+        return [_encode_many([img], config)[0] for img in images]
+
+
+def _device_runtime_error(e) -> bool:
+    """A TPU/accelerator runtime failure (as opposed to a codec bug):
+    the remote runtime surfaces these as JaxRuntimeError OR as plain
+    ValueError carrying the XLA status string."""
+    import jax.errors as _jerr
+    if isinstance(e, _jerr.JaxRuntimeError):
+        return True
+    s = str(e)
+    return any(tag in s for tag in
+               ("INVALID_ARGUMENT: TPU backend error",
+                "UNAVAILABLE", "INTERNAL", "DEADLINE_EXCEEDED",
+                "TPU worker"))
 
 
 def _batch_device(images, config, cfg, ncomps, samp, qtables):
@@ -982,7 +1085,9 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
         if cfg.use_scans_in_trellis:
             fs = cfg.trellis_freq_split
             bands = [(1, fs), (fs + 1, 63)]
-        dev_first = (cfg.optimize_coding and not cfg.arithmetic)
+        import os as _os
+        dev_first = (cfg.optimize_coding and not cfg.arithmetic
+                     and _os.environ.get("MJ_DEV_FIRST", "1") != "0")
         dc_sis, qtblzz, ncands = [], [], []
         lams, ac_sis = [], []
         per_img = None

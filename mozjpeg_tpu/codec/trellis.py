@@ -110,8 +110,14 @@ def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
     dc_si_f = dc_si.astype(jnp.float32)
 
     def trans_cost(d):
+        # dc_si_f[b] as a 17-way select over static scalars: a traced
+        # gather costs ~8.7 ns/element on TPU and this runs once per DP
+        # step per candidate pair (|delta| <= 2*maxq so b <= 16)
         b = _nbits(jnp.abs(d))
-        return b.astype(jnp.float32) + dc_si_f[b]
+        out = b.astype(jnp.float32)
+        for k in range(17):
+            out = out + jnp.where(b == k, dc_si_f[k], jnp.float32(0))
+        return out
 
     def step(acc, t):
         cand_t = cand[:, t, :]
@@ -127,7 +133,7 @@ def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
         return new_acc, bt
 
     acc, bts = jax.lax.scan(step, jnp.zeros((R, nc), jnp.float32),
-                            jnp.arange(L))
+                            jnp.arange(L), unroll=4)
     best = jnp.argmin(acc, axis=1).astype(jnp.int32)
 
     def back(cur, t):
@@ -136,7 +142,8 @@ def trellis_dc_rows(raw_dc, last_dc0, q0, dc_si, lam_dc, nc: int,
         nxt = jnp.where(t == 0, cur, nxt)
         return nxt, val
 
-    _, vals = jax.lax.scan(back, best, jnp.arange(L - 1, -1, -1))
+    _, vals = jax.lax.scan(back, best, jnp.arange(L - 1, -1, -1),
+                           unroll=4)
     out = jnp.flip(jnp.moveaxis(vals, 0, 1), axis=1)    # (R, L)
     return out, out[:, -1]
 
@@ -184,7 +191,7 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int,
         return c, c
 
     _, azd = jax.lax.scan(azd_step, jnp.zeros((N,), jnp.float32),
-                          jnp.arange(64))   # (64, N)
+                          jnp.arange(64), unroll=4)   # (64, N)
     azd_prev = jnp.concatenate(
         [jnp.zeros((1, N), jnp.float32), azd[:-1]], axis=0)
 
@@ -273,7 +280,8 @@ def _trellis_ac_t(raw, qcoef, qtbl_zz, ac_si, lam, Ss: int, Se: int,
         nxt = jnp.where(cur >= Ss, nxt, Ss - 1)
         return nxt, cur
 
-    _, curs = jax.lax.scan(walk, last_idx, None, length=steps)  # (steps, N)
+    _, curs = jax.lax.scan(walk, last_idx, None, length=steps,
+                           unroll=4)  # (steps, N)
     curs_valid = jnp.where(curs >= Ss, curs, 64)       # 64 = out of range
     keep = jnp.any(curs_valid[:, None, :] == j_idx[None, :, None], axis=0)
     keep = keep & j_nonzero
@@ -309,10 +317,16 @@ def _eob_block_dp(czero, skip, has_eob, ac_si_f):
     iidx = jnp.arange(L + 1)
 
     def eobrun_cost(run):
+        # EOBn symbol length as a 16-way select over static columns
+        # (run < 32768 so nb <= 15): the take_along_axis gather here ran
+        # once per DP step and dominated the block-DP's device time
         nb = jnp.where(run > 0,
                        32 - jax.lax.clz(jnp.maximum(run, 1)), 0)
-        return jnp.take_along_axis(ac_si_f, 16 * nb, axis=1) \
-            + nb.astype(jnp.float32)
+        out = nb.astype(jnp.float32)
+        for k in range(16):
+            out = out + jnp.where(nb == k, ac_si_f[:, 16 * k][:, None],
+                                  jnp.float32(0))
+        return out
 
     def step(carry, b):
         azbc, abc, req, brs = carry
@@ -339,7 +353,7 @@ def _eob_block_dp(czero, skip, has_eob, ac_si_f):
     req0 = jnp.zeros((R, L + 1), jnp.int32)
     brs0 = jnp.zeros((R, L), jnp.int32)
     (azbc, abc, req, brs), _ = jax.lax.scan(
-        step, (azbc0, abc0, req0, brs0), jnp.arange(L))
+        step, (azbc0, abc0, req0, brs0), jnp.arange(L), unroll=4)
 
     # final EOB-run to the end of the row (jcdctmgr.c:1258-1276)
     run = (L - iidx)[None, :] + req
@@ -352,7 +366,8 @@ def _eob_block_dp(czero, skip, has_eob, ac_si_f):
         lb = jnp.where(kept, brs[:, b] - 1, lb)
         return lb, kept
 
-    _, kept_rev = jax.lax.scan(walk, last, jnp.arange(L - 1, -1, -1))
+    _, kept_rev = jax.lax.scan(walk, last, jnp.arange(L - 1, -1, -1),
+                               unroll=4)
     return jnp.flip(jnp.moveaxis(kept_rev, 0, 1), axis=1)  # (R, L)
 
 
@@ -656,8 +671,11 @@ def _trellis_ac_pallas(raw, qcoef, qtbl_zz, rate_luts, ac_si, lam,
     last_idx = jnp.argmin(end_cost, axis=0).astype(jnp.int32)
 
     def walk(cur, _):
-        nxt = jnp.take_along_axis(run_start,
-                                  jnp.maximum(cur, 0)[None, :], axis=0)[0]
+        # row pick as a select tree over the 64 static rows: a traced
+        # (N,) gather per step at ~8.7 ns/element was the walk's cost
+        nxt = jnp.zeros_like(cur)
+        for j in range(Ss - 1, Se + 1):
+            nxt = jnp.where(cur == j, run_start[j], nxt)
         nxt = jnp.where(cur >= Ss, nxt, Ss - 1)
         return nxt, cur
 

@@ -38,10 +38,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 KMAX = 10
 RR_K = 16         # lane-padded k dimension of the run-rate table
 BIGF = 1e38
-LANES = 512
+LANES = int(_os.environ.get("MJ_TRELLIS_LANES", "512"))
 
 
 def _frnd(x):

@@ -204,17 +204,17 @@ def _pack_exact(flat, nt: int):
     mask_hi = jnp.sum(jnp.where(nz, bit_hi, 0), axis=0, dtype=jnp.uint32)
 
     nzi = nz.astype(jnp.int32)
-    rank = jnp.cumsum(nzi, axis=0) - nzi             # rank within block
     counts = jnp.sum(nzi, axis=0)                    # (Nt,)
     over_blk = jnp.any(counts > CAP_BLOCK)
 
-    # level 1: per-block fixed slots via one-hot MXU einsum (no scatter)
-    slot = jnp.arange(CAP_BLOCK, dtype=jnp.int32)
-    oh1 = (jnp.where(nz, rank, -1)[:, None, :]
-           == slot[None, :, None]).astype(jnp.float32)   # (64, CAP, Nt)
-    v1 = jnp.einsum("kct,kt->tc", oh1, x.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)  # (Nt, CAP)
-    v1 = v1.astype(jnp.int32)
+    # level 1: per-block compaction by stable argsort of zigzag keys with
+    # zeros pushed to the end — memory stays O(64*Nt) where the one-hot
+    # einsum materializes O(64*CAP*Nt) and OOMs concurrent 4K batches
+    kcol = jnp.arange(64, dtype=jnp.int32)[:, None]
+    keys = jnp.where(nz, kcol, 64).T                 # (Nt, 64)
+    order = jnp.argsort(keys, axis=1, stable=True)   # nonzeros first, by k
+    idx = order[:, :CAP_BLOCK]                       # (Nt, CAP)
+    v1 = jnp.take_along_axis(x.T, idx, axis=1)       # zeros at spare slots
 
     # global exact placement: value v of the stream lives in block
     # blk(v) = last block whose exclusive offset <= v (empty blocks tie

@@ -251,6 +251,24 @@ def test_decode_many_matches_decode(ref_tools, tmp_path):
         np.testing.assert_array_equal(outs[i], mj.decode(d))
 
 
+def test_encode_many_mixed_shapes(ref_tools):
+    """A mixed-size corpus must stream through the shape-grouped
+    pipeline (each shape batched separately) and stay byte-identical to
+    per-image encodes; singles and grayscale fall to the general path."""
+    import mozjpeg_tpu as mj
+    from mozjpeg_tpu.utils import ppm as _ppm
+    img = _ppm.read(corpus_path("kodak_like_768x512_1.ppm"))
+    cfg = mj.EncoderConfig(quality=75)
+    mix = ([img] * 3
+           + [np.ascontiguousarray(img[:256, :384])] * 3
+           + [np.ascontiguousarray(img[:120, :200])] * 2
+           + [np.ascontiguousarray(img[:99, :77])]        # single
+           + [np.ascontiguousarray(img[:128, :128, 0])])  # grayscale
+    outs = mj.encode_many(mix, cfg)
+    for i, im in enumerate(mix):
+        assert outs[i] == mj.encode(im, cfg), "mismatch at %d" % i
+
+
 def test_decode_many_distinct_chroma_qtables(ref_tools, tmp_path):
     """A legal JPEG whose Cr component uses a different quant table than
     Cb must not ride the batched fast path's shared-chroma-qtable
