@@ -147,7 +147,7 @@ def main():
         log("decode serial: %.2f MP/s"
             % (4 * base[0].shape[0] * base[0].shape[1] / 1e6
                / (time.perf_counter() - t0)))
-        pix = decode_many(datas[:_group_size()])   # warm batched programs
+        pix = decode_many(datas)                   # warm batched programs
         dec_rates = []
         for _ in range(reps):
             t0 = time.perf_counter()

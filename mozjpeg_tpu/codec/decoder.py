@@ -1171,7 +1171,11 @@ def decode_many(datas, fancy_upsample: bool = True,
     import os as _os
     out: List = [None] * len(datas)
     planes_list: List = [None] * len(datas)
-    g = max(1, int(_os.environ.get("MJ_BATCH_GROUP", "16")))
+    # decode's optimum differs from encode's (bigger device batches
+    # amortize the sparse upload; no trellis-like compute to interleave)
+    g = max(1, int(_os.environ.get("MJ_DECODE_GROUP",
+                                   _os.environ.get("MJ_BATCH_GROUP",
+                                                   "16"))))
     nthreads = min(8, max(2, (_os.cpu_count() or 4)))
     leftovers: List[int] = []
     with ThreadPoolExecutor(max_workers=nthreads) as ent_pool, \
