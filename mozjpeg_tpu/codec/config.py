@@ -244,7 +244,7 @@ def _auto_device_entropy(flag):
     if env in ("1", "true", "on"):
         return True
     # auto: OFF everywhere.  Measured on the remote-attached TPU tunnel
-    # (scripts/profile_batch.py): per-candidate device emission costs one
+    # (docs/perf_notes.md): per-candidate device emission costs one
     # ~33 ms table upload + dispatch round trip per scan, 5x slower than
     # the threaded host engine; the batched fused-scanopt path
     # (codec/scanopt_dev.py) is where device entropy pays off, and it is
@@ -260,11 +260,13 @@ def _auto_device_scanopt(flag):
         return False
     if env in ("1", "true", "on"):
         return True
-    # auto: OFF for now. The device search is byte-exact but its packing
-    # kernels are scatter-bound (~8.7 ns/lane on TPU; scripts/
-    # profile_prims2.py) — the sparse-download + threaded-host-search
-    # hybrid (ops/sparsepack.py) measures faster until the matmul-based
-    # pack lands.
+    # auto: OFF everywhere. The device search is byte-exact (r3 verified
+    # on-chip at batch 2) but its fused candidate-sweep programs compile
+    # for 100-200 s even with a warm disk cache and CRASH the
+    # remote-attached TPU worker when run repeatedly or alongside the
+    # hybrid path's programs (docs/perf_notes.md "Instability"); the
+    # hybrid (device transform+trellis+pack, host C++ search) measures
+    # 12 MP/s/chip. Re-evaluate on a locally-attached chip.
     return False
 
 

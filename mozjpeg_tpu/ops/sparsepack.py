@@ -2,12 +2,12 @@
 
 Quantized JPEG coefficient planes are ~90% zero at typical qualities, and
 the remote-attached TPU tunnel charges ~50 ns per transferred ELEMENT
-(scripts/profile_tunnel*.py) — downloading dense (64, N) int16 planes for
+(docs/perf_notes.md) — downloading dense (64, N) int16 planes for
 host entropy coding dominated round-1 encode time. This module packs the
 planes on device into [per-block 64-bit nonzero masks | compacted nonzero
 values] using only elementwise ops, cumsums, and one-hot MATMULS (MXU),
 because TPU scatters cost ~8.7 ns per scattered element while batched
-one-hot contractions run at MXU speed (scripts/profile_prims2/3.py):
+one-hot contractions run at MXU speed (docs/perf_notes.md):
 
   level 1: each block's <=CAP_BLOCK nonzero values gather into fixed
            slots via a (blocks, CAP_BLOCK, 64) one-hot einsum — exact in
@@ -38,7 +38,7 @@ def choose_cap_sb(nz_estimate_per_block: float) -> int:
     """Pick the superblock value capacity from a density estimate (mean
     nonzeros per block, e.g. from the pre-trellis symbol histograms) with
     a 2.4x safety factor for local variance; measured maxima on the Kodak
-    corpus are ~2.2x the mean (scripts/profile_stages.py history)."""
+    corpus are ~2.2x the mean (docs/perf_notes.md)."""
     want = (nz_estimate_per_block + 1.0) * G * 2.4
     for c in CAP_SB_CHOICES:
         if want <= c:

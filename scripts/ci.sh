@@ -34,6 +34,18 @@ g.dryrun_multichip(8)
 print("dryrun_multichip(8): ok")
 EOF
 
+echo "== TPU smoke (byte-exactness ON the chip, when one is attached) =="
+python - <<'EOF'
+import subprocess, sys
+import jax
+if jax.default_backend() in ("tpu", "axon"):
+    r = subprocess.run([sys.executable, "scripts/tpu_smoke.py"])
+    if r.returncode != 0:
+        raise SystemExit("tpu_smoke failed")
+else:
+    print("no TPU attached; skipped")
+EOF
+
 echo "== wheel build =="
 pip wheel --no-deps --no-build-isolation -w dist/ . >/dev/null
 ls dist/*.whl
