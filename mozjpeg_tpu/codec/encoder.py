@@ -928,14 +928,6 @@ def _encode_many(images, config: Optional[EncoderConfig] = None,
     return out
 
 
-def _encode_batch(images, config, cfg, ncomps, samp, qtables):
-    """Fully batched group encode (one dispatch / one transfer per stage)."""
-    st = _batch_device(images, config, cfg, ncomps, samp, qtables)
-    if isinstance(st, list):
-        return st                       # device scan search produced bytes
-    return _batch_host(images, st, config, cfg, ncomps, qtables)
-
-
 def _group_size() -> int:
     # r3 re-measured after the smalls sync moved on device: smaller
     # groups with a deeper stage pool interleave best (g8/stage4 median
@@ -1032,14 +1024,6 @@ def _device_runtime_error(e) -> bool:
                ("INVALID_ARGUMENT: TPU backend error",
                 "UNAVAILABLE", "INTERNAL", "DEADLINE_EXCEEDED",
                 "TPU worker"))
-
-
-def _batch_device(images, config, cfg, ncomps, samp, qtables):
-    """Device half of the batched encode: p1 + trellis (+ the fully-device
-    scan search when enabled). Returns either the finished byte list (scan
-    search path) or a state dict whose downloads haven't been synced."""
-    p1 = _batch_p1(images, cfg, samp, qtables)
-    return _batch_rest(images, p1, config, cfg, ncomps, samp, qtables)
 
 
 def _batch_p1(images, cfg, samp, qtables):
@@ -1208,13 +1192,6 @@ def _batch_fetch(st, cfg):
                                                       n_tot, b, comps)
             if planes is not None:
                 return planes
-    if "sparse" in st:
-        from ..ops import sparsepack
-        buf_dev, nt, n_tot, cap = st["sparse"]
-        planes = sparsepack.expand_to_planes(np.asarray(buf_dev), nt,
-                                             n_tot, b, comps, cap)
-        if planes is not None:
-            return planes
     flat_dev = pipeline_t._pack_all_batch(tuple(st["finals"]),
                                           tuple(comps), b)
     try:

@@ -1,25 +1,26 @@
-"""Sparse coefficient download: two-level one-hot compaction, no scatters.
+"""Sparse coefficient transfer: masks + exactly-compacted value stream.
 
 Quantized JPEG coefficient planes are ~90% zero at typical qualities, and
 the remote-attached TPU tunnel charges ~50 ns per transferred ELEMENT
-(docs/perf_notes.md) — downloading dense (64, N) int16 planes for
-host entropy coding dominated round-1 encode time. This module packs the
-planes on device into [per-block 64-bit nonzero masks | compacted nonzero
-values] using only elementwise ops, cumsums, and one-hot MATMULS (MXU),
-because TPU scatters cost ~8.7 ns per scattered element while batched
-one-hot contractions run at MXU speed (docs/perf_notes.md):
+(docs/perf_notes.md) — downloading dense (64, N) int16 planes for host
+entropy coding dominated round-1 encode time.
 
-  level 1: each block's <=CAP_BLOCK nonzero values gather into fixed
-           slots via a (blocks, CAP_BLOCK, 64) one-hot einsum — exact in
-           f32 because each slot receives exactly one int16 value;
-  level 2: each superblock of G blocks compacts its <=G*CAP_BLOCK slots
-           into CAP_SB via a second one-hot einsum.
+ENCODE download (`pack_planes_exact`): per-block 64-bit nonzero masks
+plus the nonzero values concatenated in block order with NO slack —
+level-1 per-block compaction by a stable argsort over the 64 zigzag keys
+(a one-hot einsum materializes O(64*CAP*Nt) and OOMs 4K batches), then
+boundary-scatter + cumsum + gather place values at their exact global
+offsets. The host syncs the header first and downloads only the value
+bucket the ACTUAL nonzero count needs (`fetch_exact`), then expands with
+a popcount walk (native/entropy.cpp mj_sparse_expand_flat).
 
-The host expands with a popcount walk (native/entropy.cpp
-mj_sparse_expand). Per-block or per-superblock overflow (too many nonzero
-values for the static capacities) is flagged and callers fall back to the
-dense download — at quality 75 the densities are ~7 values/block vs
-CAP_BLOCK=32, CAP_SB=G*16.
+DECODE upload (`pack_host` / `expand_dev`): the host packs per-superblock
+value slabs (native mj_sparse_pack) sized exactly by the known counts;
+the device expands with popcount prefix sums and two one-hot einsums
+(small here: decode superblocks cap at CAP_SB_CHOICES).
+
+Overflow (a block denser than CAP_BLOCK, or more values than the static
+capacity) is flagged and callers fall back to the dense transfer.
 """
 from __future__ import annotations
 
@@ -32,71 +33,6 @@ import numpy as np
 CAP_BLOCK = 48
 G = 8                       # blocks per superblock
 CAP_SB_CHOICES = (128, 192, 256, 320)   # adaptive per-superblock slots
-
-
-def choose_cap_sb(nz_estimate_per_block: float) -> int:
-    """Pick the superblock value capacity from a density estimate (mean
-    nonzeros per block, e.g. from the pre-trellis symbol histograms) with
-    a 2.4x safety factor for local variance; measured maxima on the Kodak
-    corpus are ~2.2x the mean (docs/perf_notes.md)."""
-    want = (nz_estimate_per_block + 1.0) * G * 2.4
-    for c in CAP_SB_CHOICES:
-        if want <= c:
-            return c
-    return CAP_SB_CHOICES[-1]
-
-
-@functools.partial(jax.jit, static_argnames=("nt", "cap_sb"))
-def _pack(flat, nt: int, cap_sb: int):
-    """flat: (64, Nt) int16 zigzag planes, block-major over the batch.
-    -> int32 buffer [masks (Nt*2) | sb_counts (S) | values (S*CAP_SB/2) |
-    overflow flag (1)]."""
-    x = flat.astype(jnp.int32)                       # (64, Nt)
-    nz = x != 0
-    kidx = jnp.arange(64, dtype=jnp.uint32)[:, None]
-    bit = jnp.where(kidx < 32, jnp.uint32(1) << (kidx & 31), 0)
-    mask_lo = jnp.sum(jnp.where(nz, bit, 0), axis=0, dtype=jnp.uint32)
-    bit_hi = jnp.where(kidx >= 32, jnp.uint32(1) << (kidx & 31), 0)
-    mask_hi = jnp.sum(jnp.where(nz, bit_hi, 0), axis=0, dtype=jnp.uint32)
-
-    nzi = nz.astype(jnp.int32)
-    rank = jnp.cumsum(nzi, axis=0) - nzi             # rank within block
-    counts = jnp.sum(nzi, axis=0)                    # (Nt,)
-    over_blk = jnp.any(counts > CAP_BLOCK)
-
-    # level 1: (Nt, CAP_BLOCK) <- one-hot over the 64 coefficient rows
-    slot = jnp.arange(CAP_BLOCK, dtype=jnp.int32)
-    oh1 = (jnp.where(nz, rank, -1)[:, None, :]
-           == slot[None, :, None]).astype(jnp.float32)   # (64, CAP, Nt)
-    v1 = jnp.einsum("kct,kt->tc", oh1, x.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)  # (Nt, CAP)
-
-    # level 2: superblocks of G blocks -> cap_sb slots
-    S = nt // G
-    c_sb = counts.reshape(S, G)
-    sb_counts = jnp.sum(c_sb, axis=1)                # (S,)
-    over_sb = jnp.any(sb_counts > cap_sb)
-    start = jnp.cumsum(c_sb, axis=1) - c_sb          # value offset in SB
-    # target slot of (block g, local rank r) = start[g] + r
-    r2 = jnp.arange(CAP_BLOCK, dtype=jnp.int32)
-    tgt = start[:, :, None] + r2[None, None, :]      # (S, G, CAP)
-    valid = r2[None, None, :] < c_sb[:, :, None]
-    tgt = jnp.where(valid, tgt, -1).reshape(S, G * CAP_BLOCK)
-    slot2 = jnp.arange(cap_sb, dtype=jnp.int32)
-    oh2 = (tgt[:, None, :] == slot2[None, :, None]).astype(jnp.float32)
-    v1_sb = v1.reshape(S, G * CAP_BLOCK)
-    v2 = jnp.einsum("scl,sl->sc", oh2, v1_sb,
-                    preferred_element_type=jnp.float32)  # (S, CAP_SB)
-
-    vals16 = v2.astype(jnp.int16).reshape(S, cap_sb // 2, 2)
-    vals32 = jax.lax.bitcast_convert_type(vals16, jnp.int32) \
-        .reshape(-1)
-    masks = jnp.stack([mask_lo, mask_hi], axis=1).reshape(-1)
-    over = (over_blk | over_sb).astype(jnp.int32)[None]
-    return jnp.concatenate([
-        jax.lax.bitcast_convert_type(masks, jnp.int32),
-        sb_counts.astype(jnp.int32),
-        vals32, over])
 
 
 @functools.partial(jax.jit, static_argnames=("nt", "cap_sb"))
@@ -253,7 +189,7 @@ def _trim_flat(words, n: int):
 
 def pack_planes_exact(finals, comps, b: int):
     """finals: tuple per comp of (64, B*n_c) int16 device arrays ->
-    (header_dev, words_dev, nt, n_tot). Same block order as pack_planes:
+    (header_dev, words_dev, nt, n_tot). Block order:
     image-major, comps in order, raster blocks."""
     per_img = [f.reshape(64, b, -1) for f in finals]
     flat = jnp.concatenate(per_img, axis=2)          # (64, B, n_tot)
@@ -291,56 +227,6 @@ def expand_flat_to_planes(masks: np.ndarray, vals: np.ndarray,
         np.ascontiguousarray(masks).ctypes.data_as(u32p),
         np.ascontiguousarray(vals).ctypes.data_as(i16p),
         nt, len(vals), out.ctypes.data_as(i16p))
-    if rc != 0:
-        return None
-    images = []
-    off = 0
-    for i in range(b):
-        planes = []
-        for g in comps:
-            n = g.bh * g.bw
-            planes.append(out[off:off + n].reshape(g.bh, g.bw, 64))
-            off += n
-        images.append(planes)
-    return images
-
-
-def pack_planes(finals, comps, b: int, cap_sb: int = 192):
-    """finals: tuple per comp of (64, B*n_c) int16 device arrays.
-    -> (buf_dev int32 device array, nt, layout info) where the buffer is
-    ordered image-major, comps in order, raster blocks; Nt is padded to a
-    multiple of G with zero blocks (stripped on expand)."""
-    ncomp = len(finals)
-    per_img = [f.reshape(64, b, -1) for f in finals]
-    flat = jnp.concatenate(per_img, axis=2)          # (64, B, n_tot)
-    n_tot = flat.shape[2]
-    flat = flat.reshape(64, b * n_tot)
-    nt = b * n_tot
-    pad = (-nt) % G
-    if pad:
-        flat = jnp.pad(flat, ((0, 0), (0, pad)))
-        nt += pad
-    return _pack(flat, nt, cap_sb), nt, n_tot, cap_sb
-
-
-def expand_to_planes(buf: np.ndarray, nt: int, n_tot: int, b: int,
-                     comps, cap_sb: int = 192) -> list:
-    """Host expansion -> per image list of per-comp (bh, bw, 64) int16
-    planes. Returns None when the device flagged overflow."""
-    from ..native import lib, u32p, i16p
-    import ctypes
-    if int(buf[-1]):
-        return None
-    S = nt // G
-    masks = buf[: nt * 2].view(np.uint32)
-    sb_counts = buf[nt * 2: nt * 2 + S]
-    vals = buf[nt * 2 + S: nt * 2 + S + S * (cap_sb // 2)].view(np.int16)
-    out = np.zeros((nt, 64), np.int16)
-    rc = lib.mj_sparse_expand(
-        masks.ctypes.data_as(u32p), vals.ctypes.data_as(i16p),
-        sb_counts.ctypes.data_as(
-            ctypes.POINTER(ctypes.c_int32)),
-        nt, G, cap_sb, out.ctypes.data_as(i16p))
     if rc != 0:
         return None
     images = []

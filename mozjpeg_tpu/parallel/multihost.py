@@ -310,6 +310,24 @@ def _mh_front(image, quality, mesh, restart_rows, subsampling):
     return cfg, qt, ncomp, ndev, rps, geom, codec, ac_g, dc_g, shards
 
 
+def encode_batch_multihost_default(local_images, quality: float = 75.0,
+                                   **overrides):
+    """Full mozjpeg-default encode of a corpus sharded over hosts: every
+    process passes ITS images and gets back their JPEG bytes via the
+    local pipelined `encode_many` (progressive + trellis + deringing +
+    optimize_scans, byte-identical to cjpeg). Per-image encoding is
+    independent, so the only cross-host traffic is a completion barrier —
+    the deployment shape for corpus jobs (each host's chips encode that
+    host's shard at full streaming throughput)."""
+    from ..codec.encoder import encode_many
+    from ..codec.config import EncoderConfig
+    from jax.experimental import multihost_utils
+    outs = encode_many(list(local_images),
+                       EncoderConfig(quality=quality, **overrides))
+    multihost_utils.sync_global_devices("mj_batch_default_done")
+    return outs
+
+
 def encode_row_sharded_scanopt_multihost(
         image: np.ndarray, quality: float = 75.0,
         restart_rows: int = 1,

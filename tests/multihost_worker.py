@@ -41,6 +41,14 @@ def main():
             data, quality=75.0, restart_rows=1)
         with open("%s.%d.0.jpg" % (outpref, pid), "wb") as f:
             f.write(out)
+    elif mode == "batch_default":
+        bl = data.shape[0] // nprocs
+        local = data[pid * bl:(pid + 1) * bl]
+        outs = multihost.encode_batch_multihost_default(
+            list(local), quality=75.0)
+        for i, b in enumerate(outs):
+            with open("%s.%d.%d.jpg" % (outpref, pid, i), "wb") as f:
+                f.write(b)
     elif mode in ("trellis", "progressive", "scanopt"):
         fn = {"trellis": multihost.encode_row_sharded_trellis_multihost,
               "progressive":

@@ -129,6 +129,22 @@ def test_multihost_scanopt_full_default_byte_exact(tmp_path):
     assert outs[0] == ref
 
 
+def test_multihost_batch_default_byte_exact(tmp_path):
+    """Corpus sharded over hosts, each encoding its shard with the FULL
+    mozjpeg default via the local pipelined path: bytes must equal the
+    single-process encoder's for every image."""
+    img = _kodak()
+    batch = np.stack([np.roll(img, 53 * i, axis=1) for i in range(8)])
+
+    outs = _run_workers("batch_default", batch, tmp_path)
+    assert len(outs) == 8
+
+    from mozjpeg_tpu import encode, EncoderConfig
+    cfg = EncoderConfig(quality=75)
+    for i in range(8):
+        assert outs[i] == encode(batch[i], cfg), "image %d differs" % i
+
+
 def test_multihost_trellis_progressive_byte_exact(tmp_path):
     """Trellis sequential + trellis progressive across hosts, vs the
     single-host row-sharded encoders."""

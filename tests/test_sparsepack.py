@@ -1,4 +1,4 @@
-"""Sparse coefficient download: pack/expand round trip + encoder parity."""
+"""Sparse coefficient download: exact pack/expand round trip + parity."""
 import os
 
 import numpy as np
@@ -13,46 +13,77 @@ from mozjpeg_tpu.utils import ppm
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_roundtrip_random():
+def _random_finals(rng, comps, b, max_nz=20):
+    finals, refs = [], []
+    for g in comps:
+        n = g.bh * g.bw
+        a = np.zeros((b, n, 64), np.int16)
+        for i in range(b):
+            for blk in range(n):
+                k = rng.integers(0, max_nz)
+                pos = rng.choice(64, k, replace=False)
+                a[i, blk, pos] = rng.integers(-1024, 1024, k)
+        refs.append(a)
+        finals.append(jnp.asarray(
+            a.transpose(2, 0, 1).reshape(64, b * n)))
+    return tuple(finals), refs
+
+
+def test_exact_roundtrip_random():
+    """pack_planes_exact -> header+trimmed values -> host expand must
+    reproduce every plane, with empty blocks, empty trailing blocks and
+    dense blocks mixed in."""
     rng = np.random.default_rng(5)
     from mozjpeg_tpu.codec.pipeline import CompGeom
     b = 3
     comps = [CompGeom(2, 2, 128, 64, 16, 8, 16, 8),
              CompGeom(1, 1, 64, 32, 8, 4, 8, 4),
              CompGeom(1, 1, 64, 32, 8, 4, 8, 4)]
-    finals = []
-    refs = []
-    for g in comps:
-        n = g.bh * g.bw
-        a = np.zeros((b, n, 64), np.int16)
-        for i in range(b):
-            for blk in range(n):
-                k = rng.integers(0, 20)
-                pos = rng.choice(64, k, replace=False)
-                a[i, blk, pos] = rng.integers(-1024, 1024, k)
-        refs.append(a)
-        finals.append(jnp.asarray(
-            a.transpose(2, 0, 1).reshape(64, b * n)))
-    buf_dev, nt, n_tot, cap = sparsepack.pack_planes(tuple(finals), comps, b)
-    images = sparsepack.expand_to_planes(np.asarray(buf_dev), nt, n_tot,
-                                         b, comps, cap)
+    finals, refs = _random_finals(rng, comps, b)
+    header_dev, words_dev, nt, n_tot = sparsepack.pack_planes_exact(
+        finals, comps, b)
+    fetched = sparsepack.fetch_exact(header_dev, words_dev, nt)
+    assert fetched is not None
+    masks, vals, total = fetched
+    assert total == sum(int((r != 0).sum()) for r in refs)
+    images = sparsepack.expand_flat_to_planes(masks, vals, nt, n_tot,
+                                              b, comps)
     assert images is not None
     for i in range(b):
         for ci, g in enumerate(comps):
             got = images[i][ci].reshape(-1, 64)
-            want = refs[ci][i]
-            assert np.array_equal(got, want), (i, ci)
+            assert np.array_equal(got, refs[ci][i]), (i, ci)
 
 
-def test_overflow_flags():
+def test_exact_trim_sizes():
+    """The value download is sized by the actual nonzero count: a nearly
+    empty corpus must trim to the smallest bucket."""
+    from mozjpeg_tpu.codec.pipeline import CompGeom
+    comps = [CompGeom(1, 1, 512, 64, 64, 8, 64, 8)]
+    n = 512
+    a = np.zeros((1, n, 64), np.int16)
+    a[0, 0, 5] = 7
+    finals = (jnp.asarray(a.transpose(2, 0, 1).reshape(64, n)),)
+    header_dev, words_dev, nt, n_tot = sparsepack.pack_planes_exact(
+        finals, comps, 1)
+    masks, vals, total = sparsepack.fetch_exact(header_dev, words_dev, nt)
+    assert total == 1
+    assert len(vals) <= 2 * sparsepack.TRIM_WORDS_STEP
+    out = sparsepack.expand_flat_to_planes(masks, vals, nt, n_tot, 1,
+                                           comps)
+    assert out[0][0][0, 0, 5] == 7 and int(np.abs(out[0][0]).sum()) == 7
+
+
+def test_exact_overflow_flags():
+    """A block denser than CAP_BLOCK flags overflow -> dense fallback."""
     from mozjpeg_tpu.codec.pipeline import CompGeom
     comps = [CompGeom(1, 1, 64, 64, 8, 8, 8, 8)]
     n = 64
     a = np.ones((1, n, 64), np.int16) * 7        # 64 nonzeros per block
     finals = (jnp.asarray(a.transpose(2, 0, 1).reshape(64, n)),)
-    buf_dev, nt, n_tot, cap = sparsepack.pack_planes(finals, comps, 1, 128)
-    assert sparsepack.expand_to_planes(np.asarray(buf_dev), nt, n_tot,
-                                       1, comps, 128) is None
+    header_dev, words_dev, nt, n_tot = sparsepack.pack_planes_exact(
+        finals, comps, 1)
+    assert sparsepack.fetch_exact(header_dev, words_dev, nt) is None
 
 
 def test_encoder_parity_sparse_vs_dense():
@@ -63,6 +94,23 @@ def test_encoder_parity_sparse_vs_dense():
     b = [encode(img, EncoderConfig(quality=75, sparse_download=False,
                                    device_scanopt=False)) for img in imgs]
     assert a == b
+
+
+def test_decode_upload_roundtrip():
+    """Decode-side host pack -> device expand (pack_host/expand_dev)."""
+    rng = np.random.default_rng(9)
+    n = 128
+    a = np.zeros((n, 64), np.int16)
+    for blk in range(n):
+        k = rng.integers(0, 18)
+        pos = rng.choice(64, k, replace=False)
+        a[blk, pos] = rng.integers(-1024, 1024, k)
+    packed = sparsepack.pack_host(a)
+    assert packed is not None
+    masks, vals, nt, cap_sb = packed
+    dense = np.asarray(sparsepack.expand_dev(
+        jnp.asarray(masks), jnp.asarray(vals), nt, cap_sb))
+    assert np.array_equal(dense[:, :n].T, a)
 
 
 if __name__ == "__main__":
