@@ -71,7 +71,22 @@ def main():
               for i in range(ncorpus)]
 
     import jax
+    import jax.numpy as jnp
     log("backend:", jax.default_backend(), jax.devices())
+
+    # attachment health probe: tunnel bandwidth drifts 3-4x over hours
+    # (docs/perf_notes.md) and bounds the pipelined rate — log it so the
+    # recorded throughput is interpretable
+    a = np.zeros(16 << 20, np.uint8)
+    t0 = time.perf_counter()
+    d = jnp.asarray(a)
+    np.asarray(d[:1])
+    up = 16 / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    np.asarray(d)
+    down = 16 / (time.perf_counter() - t0)
+    log("tunnel probe: H2D %.1f MB/s, D2H %.1f MB/s "
+        "(healthy ~30-38; degraded windows ~6-20)" % (up, down))
 
     cfg = EncoderConfig(quality=75)  # full mozjpeg default
     # warmup/compile: serial program + one pipelined group
