@@ -179,7 +179,7 @@ def _pack_exact(flat, nt: int):
     return header, words
 
 
-TRIM_WORDS_STEP = 65536          # 256 KB granularity bounds program cache
+TRIM_WORDS_STEP = 32768          # 128 KB granularity bounds program cache
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
