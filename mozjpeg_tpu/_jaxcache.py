@@ -22,10 +22,19 @@ def _machine_tag() -> str:
     return platform.machine()
 
 
+def _platform_tag() -> str:
+    """Scope the cache per requested platform: XLA:CPU AOT entries
+    record compile-time machine features (incl. internal tuning flags
+    like +prefer-no-scatter) and loading them from a session that ran
+    with a different platform mix spams feature-mismatch warnings."""
+    return (os.environ.get("JAX_PLATFORMS")
+            or jax.config.jax_platforms or "auto").split(",")[0]
+
+
 _dir = os.environ.get("MOZJPEG_TPU_JAX_CACHE",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache",
-                          _machine_tag()))
+                          _machine_tag() + "-" + _platform_tag()))
 try:
     os.makedirs(_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _dir)
