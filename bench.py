@@ -76,17 +76,30 @@ def main():
 
     # attachment health probe: tunnel bandwidth drifts 3-4x over hours
     # (docs/perf_notes.md) and bounds the pipelined rate — log it so the
-    # recorded throughput is interpretable
-    a = np.zeros(16 << 20, np.uint8)
-    t0 = time.perf_counter()
-    d = jnp.asarray(a)
-    np.asarray(d[:1])
-    up = 16 / (time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    np.asarray(d)
-    down = 16 / (time.perf_counter() - t0)
+    # recorded throughput is interpretable. When the tunnel is in a
+    # degraded window, wait (bounded, disclosed here) for it to recover
+    # before measuring; the reported reps are always real runs.
+    def probe():
+        a = np.zeros(16 << 20, np.uint8)
+        t0 = time.perf_counter()
+        d = jnp.asarray(a)
+        np.asarray(d[:1])
+        up = 16 / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(d)
+        return up, 16 / (time.perf_counter() - t0)
+
+    up, down = probe()
     log("tunnel probe: H2D %.1f MB/s, D2H %.1f MB/s "
         "(healthy ~30-38; degraded windows ~6-20)" % (up, down))
+    waits = int(os.environ.get("BENCH_HEALTH_WAITS", "2"))
+    while min(up, down) < 12.0 and waits > 0:
+        log("tunnel degraded; waiting 90 s for recovery "
+            "(%d wait(s) left)" % waits)
+        time.sleep(90)
+        waits -= 1
+        up, down = probe()
+        log("tunnel re-probe: H2D %.1f MB/s, D2H %.1f MB/s" % (up, down))
 
     cfg = EncoderConfig(quality=75)  # full mozjpeg default
     # warmup/compile: serial program + one pipelined group
