@@ -1187,8 +1187,8 @@ def _batch_fetch(st, cfg):
         header_dev, words_dev, nt, n_tot = st["sparse2"]
         fetched = sparsepack.fetch_exact(header_dev, words_dev, nt)
         if fetched is not None:
-            masks, vals, _total = fetched
-            planes = sparsepack.expand_flat_to_planes(masks, vals, nt,
+            masks, lo, esc, _total = fetched
+            planes = sparsepack.expand_flat_to_planes(masks, lo, esc, nt,
                                                       n_tot, b, comps)
             if planes is not None:
                 return planes

@@ -57,7 +57,7 @@ lib.mj_sparse_expand.argtypes = [
 
 lib.mj_sparse_expand_flat.restype = ctypes.c_long
 lib.mj_sparse_expand_flat.argtypes = [
-    u32p, i16p, ctypes.c_long, ctypes.c_long, i16p]
+    u32p, u8p, i16p, ctypes.c_long, ctypes.c_long, ctypes.c_long, i16p]
 
 lib.mj_encode_seq.restype = ctypes.c_long
 lib.mj_encode_seq.argtypes = [

@@ -1156,21 +1156,29 @@ extern "C" long mj_sparse_expand(const uint32_t* masks, const int16_t* vals,
 }
 
 // Exact-global variant (ops/sparsepack.py pack_planes_exact): values are
-// simply concatenated in block order with no per-superblock slack; the
-// caller downloads exactly the filled (bucketed) prefix.  Returns nonzero
-// if the masks demand more values than were provided.
+// concatenated in block order with no slack, one BYTE each (int8), with
+// 0x80 marking an escape whose real int16 rides in the side stream.
+// The caller downloads exactly the filled (bucketed) prefixes.  Returns
+// nonzero if the masks demand more values than were provided.
 extern "C" long mj_sparse_expand_flat(const uint32_t* masks,
-                                      const int16_t* vals, long nblocks,
-                                      long nvals, int16_t* out) {
-  long used = 0;
+                                      const uint8_t* lo,
+                                      const int16_t* esc, long nblocks,
+                                      long nlo, long nesc, int16_t* out) {
+  long used = 0, eused = 0;
   for (long b = 0; b < nblocks; b++) {
     uint64_t m = (uint64_t)masks[b * 2] |
                  ((uint64_t)masks[b * 2 + 1] << 32);
     int16_t* o = out + b * 64;
     while (m) {
       int k = __builtin_ctzll(m);
-      if (used >= nvals) return b + 1;
-      o[k] = vals[used++];
+      if (used >= nlo) return b + 1;
+      uint8_t v = lo[used++];
+      if (v == 0x80) {
+        if (eused >= nesc) return b + 1;
+        o[k] = esc[eused++];
+      } else {
+        o[k] = (int16_t)(int8_t)v;
+      }
       m &= m - 1;
     }
   }

@@ -15,6 +15,11 @@
 //    (jdcolor.c ycc_rgb_convert, build_ycc_rgb_table:215) — the same math
 //    as ops/sample.py / ops/color.py, which are pinned bit-exact vs djpeg
 //    by tests/. This is the decode twin of prep.cpp's encode-side prep.
+//    mj_post_ycc is this framework's MERGED upsample+color path
+//    (jdmerge.c h2v1/h2v2_merged_upsample:305,350): one streaming pass
+//    per output row upsamples the chroma rows and converts to RGB in the
+//    same loop — no intermediate full-size chroma planes are ever
+//    materialized.
 #include <cstdint>
 #include <cstring>
 

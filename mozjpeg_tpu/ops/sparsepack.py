@@ -129,8 +129,10 @@ VALS_PER_BLOCK_CAP = 16          # static value capacity = Nt * this
 
 @functools.partial(jax.jit, static_argnames=("nt",))
 def _pack_exact(flat, nt: int):
-    """flat (64, Nt) int16 zigzag planes -> (header (Nt*2+2,) int32,
-    words (Nt*VALS_PER_BLOCK_CAP//2,) uint32)."""
+    """flat (64, Nt) int16 zigzag planes -> (header int32
+    [masks (Nt*2) | total | total_esc | overflow],
+    lo bytes packed (capv//4,) uint32, escape int16 pairs (capv//8,)
+    uint32)."""
     x = flat.astype(jnp.int32)                       # (64, Nt)
     nz = x != 0
     kidx = jnp.arange(64, dtype=jnp.uint32)[:, None]
@@ -165,18 +167,42 @@ def _pack_exact(flat, nt: int):
     blk = jnp.clip(blk, 0, nt - 1)
     vidx = jnp.arange(capv, dtype=jnp.int32)
     slot_of = jnp.clip(vidx - off[blk], 0, CAP_BLOCK - 1)
-    vals = v1[blk, slot_of]                          # gather (capv,)
-    vals = jnp.where(vidx < total, vals, 0).astype(jnp.uint32) \
-        & jnp.uint32(0xFFFF)
-    pair = vals.reshape(capv // 2, 2)
-    words = pair[:, 0] | (pair[:, 1] << 16)
+    vals = v1[blk, slot_of]                          # gather (capv,) i32
+    live = vidx < total
+    vals = jnp.where(live, vals, 0)
+
+    # byte stream with escapes: quantized AC values are mostly tiny, so
+    # each value ships as ONE byte; 0x80 marks an escape whose real
+    # int16 rides in a side stream (mostly DC terms) — ~1.3 B/value vs
+    # 2, directly tunnel-bound throughput
+    esc = live & ((vals < -127) | (vals > 127))
+    lo = jnp.where(esc, jnp.int32(-128), vals).astype(jnp.uint32) \
+        & jnp.uint32(0xFF)
+    quad = lo.reshape(capv // 4, 4)
+    words_lo = (quad[:, 0] | (quad[:, 1] << 8)
+                | (quad[:, 2] << 16) | (quad[:, 3] << 24))
+    # escape side stream: exact compaction by scatter to the escape rank
+    # (capacity = half the value capacity; JPEG data escapes are mostly
+    # DC terms, ~15% of values at q75 — pathological data falls back to
+    # the dense download via the overflow flag)
+    cap_esc = capv // 2
+    eidx = jnp.cumsum(esc.astype(jnp.int32)) - esc.astype(jnp.int32)
+    total_esc = eidx[-1] + esc[-1].astype(jnp.int32)
+    over = over | (total_esc > cap_esc)
+    edst = jnp.where(esc, eidx, cap_esc)
+    evals = jnp.zeros((cap_esc,), jnp.int32).at[edst].add(
+        vals, mode="drop")
+    evals = evals.astype(jnp.uint32) & jnp.uint32(0xFFFF)
+    epair = evals.reshape(cap_esc // 2, 2)
+    words_esc = epair[:, 0] | (epair[:, 1] << 16)
 
     masks = jnp.stack([mask_lo, mask_hi], axis=1).reshape(-1)
     header = jnp.concatenate([
         jax.lax.bitcast_convert_type(masks, jnp.int32),
         total[None].astype(jnp.int32),
+        total_esc[None].astype(jnp.int32),
         over.astype(jnp.int32)[None]])
-    return header, words
+    return header, words_lo, words_esc
 
 
 TRIM_WORDS_STEP = 32768          # 128 KB granularity bounds program cache
@@ -189,44 +215,58 @@ def _trim_flat(words, n: int):
 
 def pack_planes_exact(finals, comps, b: int):
     """finals: tuple per comp of (64, B*n_c) int16 device arrays ->
-    (header_dev, words_dev, nt, n_tot). Block order:
+    (header_dev, (lo_dev, esc_dev), nt, n_tot). Block order:
     image-major, comps in order, raster blocks."""
     per_img = [f.reshape(64, b, -1) for f in finals]
     flat = jnp.concatenate(per_img, axis=2)          # (64, B, n_tot)
     n_tot = flat.shape[2]
     nt = b * n_tot
     flat = flat.reshape(64, nt)
-    header, words = _pack_exact(flat, nt)
-    return header, words, nt, n_tot
+    header, lo, escw = _pack_exact(flat, nt)
+    return header, (lo, escw), nt, n_tot
+
+
+def _bucket(n: int) -> int:
+    return -(-max(n, 1) // TRIM_WORDS_STEP) * TRIM_WORDS_STEP
 
 
 def fetch_exact(header_dev, words_dev, nt: int):
-    """Sync the header, then only the needed value-word bucket.
-    -> (masks uint32 (nt*2,), vals int16 view, total) or None on
-    overflow (caller falls back to the dense download)."""
+    """Sync the header, then only the needed byte/escape buckets.
+    -> (masks uint32 (nt*2,), lo uint8 view, esc int16 view, total) or
+    None on overflow (caller falls back to the dense download)."""
     header = np.asarray(header_dev)
     if int(header[-1]):
         return None
-    total = int(header[-2])
+    total = int(header[-3])
+    total_esc = int(header[-2])
     masks = header[: nt * 2].view(np.uint32)
-    need = (total + 1) // 2
-    bucket = -(-max(need, 1) // TRIM_WORDS_STEP) * TRIM_WORDS_STEP
-    if bucket < words_dev.shape[0]:
-        words_dev = _trim_flat(words_dev, bucket)
-    words = np.asarray(words_dev)
-    return masks, words.view(np.int16), total
+    lo_dev, esc_dev = words_dev
+    nb = _bucket((total + 3) // 4)
+    if nb < lo_dev.shape[0]:
+        lo_dev = _trim_flat(lo_dev, nb)
+    ne = _bucket((total_esc + 1) // 2)
+    if total_esc == 0:
+        esc = np.zeros(0, np.int16)
+    else:
+        if ne < esc_dev.shape[0]:
+            esc_dev = _trim_flat(esc_dev, ne)
+        esc = np.asarray(esc_dev).view(np.int16)
+    lo = np.asarray(lo_dev).view(np.uint8)
+    return masks, lo, esc, total
 
 
-def expand_flat_to_planes(masks: np.ndarray, vals: np.ndarray,
-                          nt: int, n_tot: int, b: int, comps) -> list:
+def expand_flat_to_planes(masks: np.ndarray, lo: np.ndarray,
+                          esc: np.ndarray, nt: int, n_tot: int, b: int,
+                          comps) -> list:
     """Host expansion of the exact layout -> per image per-comp
     (bh, bw, 64) int16 planes (native mj_sparse_expand_flat)."""
-    from ..native import lib, u32p, i16p
+    from ..native import lib, u32p, u8p, i16p
     out = np.zeros((nt, 64), np.int16)
     rc = lib.mj_sparse_expand_flat(
         np.ascontiguousarray(masks).ctypes.data_as(u32p),
-        np.ascontiguousarray(vals).ctypes.data_as(i16p),
-        nt, len(vals), out.ctypes.data_as(i16p))
+        np.ascontiguousarray(lo).ctypes.data_as(u8p),
+        np.ascontiguousarray(esc).ctypes.data_as(i16p),
+        nt, len(lo), len(esc), out.ctypes.data_as(i16p))
     if rc != 0:
         return None
     images = []

@@ -14,6 +14,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _random_finals(rng, comps, b, max_nz=20):
+    """JPEG-shaped coefficients: mostly small AC values with a sprinkle
+    of escape-range magnitudes (DC terms), incl. the int8 edge values
+    -127/-128-adjacent and the escape marker boundary."""
     finals, refs = [], []
     for g in comps:
         n = g.bh * g.bw
@@ -22,7 +25,13 @@ def _random_finals(rng, comps, b, max_nz=20):
             for blk in range(n):
                 k = rng.integers(0, max_nz)
                 pos = rng.choice(64, k, replace=False)
-                a[i, blk, pos] = rng.integers(-1024, 1024, k)
+                small = rng.integers(-127, 128, k)
+                big = rng.integers(-1024, 1024, k)
+                vals = np.where(rng.random(k) < 0.85, small, big)
+                vals[vals == 0] = 1
+                a[i, blk, pos] = vals
+            # edge cases: exactly -127, -128, 127, 128
+            a[i, blk, :4] = [-127, -128, 127, 128]
         refs.append(a)
         finals.append(jnp.asarray(
             a.transpose(2, 0, 1).reshape(64, b * n)))
@@ -44,9 +53,9 @@ def test_exact_roundtrip_random():
         finals, comps, b)
     fetched = sparsepack.fetch_exact(header_dev, words_dev, nt)
     assert fetched is not None
-    masks, vals, total = fetched
+    masks, lo, esc, total = fetched
     assert total == sum(int((r != 0).sum()) for r in refs)
-    images = sparsepack.expand_flat_to_planes(masks, vals, nt, n_tot,
+    images = sparsepack.expand_flat_to_planes(masks, lo, esc, nt, n_tot,
                                               b, comps)
     assert images is not None
     for i in range(b):
@@ -66,10 +75,11 @@ def test_exact_trim_sizes():
     finals = (jnp.asarray(a.transpose(2, 0, 1).reshape(64, n)),)
     header_dev, words_dev, nt, n_tot = sparsepack.pack_planes_exact(
         finals, comps, 1)
-    masks, vals, total = sparsepack.fetch_exact(header_dev, words_dev, nt)
+    masks, lo, esc, total = sparsepack.fetch_exact(header_dev, words_dev,
+                                                   nt)
     assert total == 1
-    assert len(vals) <= 2 * sparsepack.TRIM_WORDS_STEP
-    out = sparsepack.expand_flat_to_planes(masks, vals, nt, n_tot, 1,
+    assert len(lo) <= 4 * sparsepack.TRIM_WORDS_STEP
+    out = sparsepack.expand_flat_to_planes(masks, lo, esc, nt, n_tot, 1,
                                            comps)
     assert out[0][0][0, 0, 5] == 7 and int(np.abs(out[0][0]).sum()) == 7
 
