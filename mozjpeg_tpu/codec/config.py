@@ -260,13 +260,12 @@ def _auto_device_scanopt(flag):
         return False
     if env in ("1", "true", "on"):
         return True
-    # auto: OFF everywhere. The device search is byte-exact (r3 verified
-    # on-chip at batch 2) but its fused candidate-sweep programs compile
-    # for 100-200 s even with a warm disk cache and CRASH the
-    # remote-attached TPU worker when run repeatedly or alongside the
-    # hybrid path's programs (docs/perf_notes.md "Instability"); the
-    # hybrid (device transform+trellis+pack, host C++ search) measures
-    # 12 MP/s/chip. Re-evaluate on a locally-attached chip.
+    # auto: OFF everywhere. The device search is byte-exact and (since
+    # the captured-constant fix, docs/perf_notes.md) runs stably on the
+    # chip — but its bit-packing kernels are scatter-bound: measured
+    # 0.08 MP/s vs the hybrid path's 12 MP/s, plus 100-200 s compile
+    # for the fused candidate sweep. It replaces jcmaster.c:773-962 on
+    # device capability-wise; speed needs a matmul-based pack.
     return False
 
 

@@ -1095,7 +1095,34 @@ def _fast_decode_key(jp, planes, fancy_upsample, block_smoothing):
     return (jp.width, jp.height, gray, mode, hexp, vexp, tuple(dims))
 
 
-def _decode_chunk_packed(key, idxs, jps, planes_list, out):
+def _decode_chunk_packed(key, idxs, jps, planes_list, out,
+                         fancy_upsample=True, block_smoothing=True):
+    """Render one same-geometry chunk through the sparse-upload path,
+    with the same device-runtime recovery as the encode side: a jit
+    executable can lose its lifted-constant binding after other shapes'
+    programs ran; clear_caches + retry retraces cleanly, and a second
+    failure falls back to the per-image renderer."""
+    from .encoder import _device_runtime_error
+    try:
+        return _decode_chunk_packed_inner(key, idxs, jps, planes_list,
+                                          out)
+    except Exception as e:
+        if not _device_runtime_error(e):
+            raise
+    import jax as _jax
+    _jax.clear_caches()
+    try:
+        return _decode_chunk_packed_inner(key, idxs, jps, planes_list,
+                                          out)
+    except Exception as e:
+        if not _device_runtime_error(e):
+            raise
+        for i in idxs:
+            out[i] = render(jps[i], planes_list[i], None, fancy_upsample,
+                            "islow", block_smoothing)
+
+
+def _decode_chunk_packed_inner(key, idxs, jps, planes_list, out):
     """Render one same-geometry chunk through the sparse-upload path and
     finish upsample+color on host (runs on a stage worker thread)."""
     import ctypes
@@ -1194,10 +1221,11 @@ def decode_many(datas, fancy_upsample: bool = True,
             if len(pending[key]) >= g:
                 jobs.append(stage_pool.submit(
                     _decode_chunk_packed, key, pending.pop(key), jps,
-                    planes_list, out))
+                    planes_list, out, fancy_upsample, block_smoothing))
         for key, idxs in pending.items():
             jobs.append(stage_pool.submit(
-                _decode_chunk_packed, key, idxs, jps, planes_list, out))
+                _decode_chunk_packed, key, idxs, jps, planes_list, out,
+                fancy_upsample, block_smoothing))
         for j in jobs:
             j.result()
 

@@ -816,20 +816,42 @@ def encode_many(images, config: Optional[EncoderConfig] = None,
     """Encode a list of images with a software pipeline: device programs for
     image i+1 are queued (JAX async dispatch) while the host entropy-codes
     image i; all transfers are single packed arrays. Same-shape groups run
-    fully batched: one dispatch and one transfer each way for the group."""
+    fully batched: one dispatch and one transfer each way for the group.
+
+    Device-runtime recovery: a jit executable can lose its
+    lifted-constant binding after other shapes' programs ran (observed
+    as "supplied N buffers but compiled program expected M" on CPU and
+    TPU alike); dropping the executable caches and retrying retraces
+    cleanly. Encoding is pure, so the retry is exact."""
     with report.reporting(progress, trace):
+        try:
+            return _encode_many(images, config, **overrides)
+        except Exception as e:
+            if not _device_runtime_error(e):
+                raise
+        _reset_device_programs()
         return _encode_many(images, config, **overrides)
 
 
+def _reset_device_programs():
+    """Drop every cached compiled program: jax's executable caches AND
+    this package's lru-held jit closures (a pjit function kept alive by
+    an lru_cache retains its own dispatch cache, which is where the
+    corrupted lifted-constant binding lives)."""
+    import jax as _jax
+    from . import trellis as _trellis
+    _trellis.make_trellis_all_t.cache_clear()
+    _trellis.make_band_hist_t.cache_clear()
+    _jax.clear_caches()
+
+
 def _batch_max_mp() -> float:
-    """Per-image megapixel ceiling for the batched fast path. Images
-    above it take the staged per-image path: very large batch programs
-    (≈4K frames) can crash the remote-attached TPU runtime outright
-    (worker kernel fault wedging the process), while the per-image
-    programs are stable at every size. Raise via MJ_BATCH_MAX_MP on
-    locally-attached hosts."""
+    """Per-image megapixel ceiling for the batched fast path; larger
+    images take the staged per-image path. 4K frames batch fine since
+    the captured-constant fix (docs/perf_notes.md) — the ceiling now
+    only bounds device memory for truly huge frames."""
     import os as _os
-    return float(_os.environ.get("MJ_BATCH_MAX_MP", "4.0"))
+    return float(_os.environ.get("MJ_BATCH_MAX_MP", "16.0"))
 
 
 def _fast_ctx(img, config, overrides):
@@ -863,21 +885,23 @@ def _encode_many(images, config: Optional[EncoderConfig] = None,
                  **overrides):
     import numpy as _np
     from . import pipeline_t
-    if len(images) > 1:
-        # group by shape: every shape with >= 2 images streams through
-        # the pipelined batch path (its own device programs); the rest
-        # fall to the per-image path. A mixed-size corpus therefore
-        # keeps near-full throughput instead of hitting the serial
-        # cliff (VERDICT r2 item 4 — padding to a common bucket would
-        # change bytes: the trellis EOB DP sees trailing pad blocks).
+    if len(images) >= 1:
+        # group by shape: every shape streams through the batched path
+        # (its own device programs; singles run as b=1 batches — the
+        # batch path's device tables + exact sparse download beat the
+        # staged path's dense coefficient transfer even for one image);
+        # non-fast configs fall to the per-image staged path. A
+        # mixed-size corpus therefore keeps near-full throughput
+        # instead of hitting the serial cliff (padding to a common
+        # bucket would change bytes: the trellis EOB DP sees trailing
+        # pad blocks).
         by_shape = {}
         for i, img in enumerate(images):
             by_shape.setdefault(img.shape, []).append(i)
         fast_groups = []
         slow_idx = []
         for shape, idxs in by_shape.items():
-            ctx = (_fast_ctx(images[idxs[0]], config, overrides)
-                   if len(idxs) >= 2 else None)
+            ctx = _fast_ctx(images[idxs[0]], config, overrides)
             if ctx is not None:
                 fast_groups.append((idxs, ctx))
             else:
@@ -997,6 +1021,11 @@ def _batch_finish(images, p1, config, cfg, ncomps, samp, qtables,
     except Exception as e:
         if not _device_runtime_error(e):
             raise
+    # a jit executable can lose its lifted-constant buffers after other
+    # shapes' programs ran ("supplied N buffers but compiled program
+    # expected M"); dropping the in-process executable caches retraces
+    # cleanly (the on-disk compile cache keeps it cheap)
+    _reset_device_programs()
     try:
         p1 = _batch_p1(images, cfg, samp, qtables)   # fresh dispatch
         st = _batch_rest(images, p1, config, cfg, ncomps, samp, qtables)
@@ -1023,7 +1052,11 @@ def _device_runtime_error(e) -> bool:
     return any(tag in s for tag in
                ("INVALID_ARGUMENT: TPU backend error",
                 "UNAVAILABLE", "INTERNAL", "DEADLINE_EXCEEDED",
-                "TPU worker"))
+                "TPU worker",
+                # jit executable lost its lifted-constant binding after
+                # other shapes' programs ran (clear_caches + retrace
+                # recovers; seen on CPU and TPU backends alike)
+                "buffers but compiled program expected"))
 
 
 def _batch_p1(images, cfg, samp, qtables):

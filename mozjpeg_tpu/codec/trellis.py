@@ -35,7 +35,8 @@ from ..ops import symbols as _symbols
 
 KMAX = 10          # max AC candidates: NBITS(1023) = 10
 DC_CAND_MAX = 9    # DC_TRELLIS_MAX_CANDIDATES
-BIG = jnp.float32(1e38)
+BIG = np.float32(1e38)   # np, not jnp: a module-level device array
+# would be captured as a hoisted constant in every trace (perf_notes)
 AC_SLAB = 16384    # blocks per AC-DP slab (bounds the (N,64,K) buffers)
 
 
@@ -54,7 +55,7 @@ def _frnd(x):
     divergence at q92 on the real chip). minimum() is the identity for
     every finite cost here but blocks the contraction. XLA:CPU does not
     contract, so guarded and unguarded CPU outputs are identical."""
-    return jnp.minimum(x, jnp.float32(3.0e38))
+    return jnp.minimum(x, np.float32(3.0e38))
 
 
 @functools.lru_cache(maxsize=1)
@@ -74,8 +75,15 @@ def _recip2_np():
 
 
 def _ltbl_lookup(qvals):
-    """1/(q*q) per entry, IEEE-exact on every backend (see _recip2_np)."""
-    return jnp.asarray(_recip2_np())[qvals.astype(jnp.int32)]
+    """1/(q*q) per entry, IEEE-exact on every backend (see _recip2_np).
+
+    The table is COPIED per trace so jax embeds it as an inline literal:
+    re-using one numpy object across traces lets jax capture the cached
+    device array as a hoisted constant, and a re-trace after cache
+    clearing then produces executables whose parameter list no longer
+    matches the dispatch path ("supplied N buffers but compiled program
+    expected M", jax 0.9.0)."""
+    return jnp.asarray(_recip2_np().copy())[qvals.astype(jnp.int32)]
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))

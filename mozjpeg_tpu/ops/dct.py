@@ -247,7 +247,7 @@ def idct_islow_t(coeffs: jnp.ndarray, qtbl81: jnp.ndarray,
 # CONST_BITS = 8, MULTIPLY rounds, final IDESCALE is a plain shift).
 # ---------------------------------------------------------------------------
 
-AANSCALES = jnp.asarray([
+AANSCALES = np.asarray([
     16384, 22725, 21407, 19266, 16384, 12873, 8867, 4520,
     22725, 31521, 29692, 26722, 22725, 17855, 12299, 6270,
     21407, 29692, 27969, 25172, 21407, 16819, 11585, 5906,
@@ -402,7 +402,7 @@ def idct_ifast(coeffs: jnp.ndarray, ifmtbl: jnp.ndarray,
 # stop XLA's FMA contraction so every f32 product rounds like C.
 # ---------------------------------------------------------------------------
 
-_NOFMA = jnp.float32(3.0e38)
+_NOFMA = np.float32(3.0e38)
 
 
 def _g(x):

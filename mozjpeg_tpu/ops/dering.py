@@ -127,7 +127,7 @@ def dering(zz: jnp.ndarray, q0: jnp.ndarray, one=None) -> jnp.ndarray:
     # range (|products| < 1e5) — breaks the mul-feeds-add pattern, forcing
     # the product to round exactly like C's float arithmetic.
 
-    _NOCONTRACT = jnp.float32(3.0e38)
+    _NOCONTRACT = np.float32(3.0e38)
 
     def frnd(x):
         return jnp.minimum(x, _NOCONTRACT)
@@ -142,7 +142,7 @@ def dering(zz: jnp.ndarray, q0: jnp.ndarray, one=None) -> jnp.ndarray:
     cf4 = t3 - t2
     val = ((frnd(jnp.float32(MAXS) * cf1)
             + frnd(tan1.astype(jnp.float32) * cf3))
-           + frnd(jnp.float32(MAXS) * cf2)) \
+           + frnd(np.float32(MAXS) * cf2)) \
         + frnd(tan2.astype(jnp.float32) * cf4)
     new = jnp.minimum(jnp.ceil(val).astype(jnp.int32),
                       maxovershoot[:, None])
@@ -197,7 +197,7 @@ def dering_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
     _, t = jax.lax.scan(pos_step, jnp.zeros((N,), jnp.float32),
                         jnp.arange(64))     # (64, N)
 
-    _NOCONTRACT = jnp.float32(3.0e38)
+    _NOCONTRACT = np.float32(3.0e38)
 
     def frnd(x):  # forbid FMA contraction (see dering())
         return jnp.minimum(x, _NOCONTRACT)
@@ -212,7 +212,7 @@ def dering_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
     cf4 = t3 - t2
     val = ((frnd(jnp.float32(MAXS) * cf1)
             + frnd(tan1.astype(jnp.float32) * cf3))
-           + frnd(jnp.float32(MAXS) * cf2)) \
+           + frnd(np.float32(MAXS) * cf2)) \
         + frnd(tan2.astype(jnp.float32) * cf4)
     new = jnp.minimum(jnp.ceil(val).astype(jnp.int32), maxovershoot[None, :])
     return jnp.where(m & active[None, :], new, zz)
@@ -270,7 +270,7 @@ def dering_float_t(zz: jnp.ndarray, q0: jnp.ndarray) -> jnp.ndarray:
     _, t = jax.lax.scan(pos_step, jnp.zeros((N,), jnp.float32),
                         jnp.arange(64))
 
-    _NOCONTRACT = jnp.float32(3.0e38)
+    _NOCONTRACT = np.float32(3.0e38)
 
     def frnd(x):
         return jnp.minimum(x, _NOCONTRACT)

@@ -159,7 +159,7 @@ def _f32_compose(mant24, exp, is_zero):
 def f32_div_const(a, b_const: float):
     """IEEE-exact a / b_const for positive normal f32 a (a == 0 -> 0),
     matching numpy float32 division bit-for-bit."""
-    mb, eb, _ = _f32_decompose(jnp.float32(b_const))
+    mb, eb, _ = _f32_decompose(jnp.asarray(np.float32(b_const)))
     ma, ea, az = _f32_decompose(a)
 
     # normalize so ma' in [mb, 2*mb): quotient mantissa q in [2^24, 2^25)

@@ -22,8 +22,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.int32(1 << 30)          # absent/merged sentinel (> any real count)
+BIG = np.int32(1 << 30)           # absent/merged sentinel (> any real count)
 
 
 def _gen_one(freq):
@@ -158,7 +159,6 @@ def _trellis_prime():
     (codec/trellis.py trellis_tables_from_hist)."""
     global TRELLIS_PRIME
     if TRELLIS_PRIME is None:
-        import numpy as np
         p = np.zeros(257, np.int32)
         for run in range(16):
             for size in range(12):
@@ -173,7 +173,9 @@ def trellis_rate_tables_t(achists):
     sizes for the trellis DP (device analog of trellis_tables_from_hist
     with optimize_coding=True)."""
     T = achists.shape[0]
-    prime = jnp.asarray(_trellis_prime())
+    # fresh numpy per trace -> inline literal, never a captured device
+    # constant (see codec/trellis.py _ltbl_lookup)
+    prime = jnp.asarray(_trellis_prime().copy())
     f = jnp.zeros((T, 257), jnp.int32)
     f = f.at[:, :256].set(achists.astype(jnp.int32))
     f = f + prime[None, :]
