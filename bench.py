@@ -92,8 +92,9 @@ def main():
     up, down = probe()
     log("tunnel probe: H2D %.1f MB/s, D2H %.1f MB/s "
         "(healthy ~30-38; degraded windows ~6-20)" % (up, down))
-    waits = int(os.environ.get("BENCH_HEALTH_WAITS", "2"))
-    while min(up, down) < 12.0 and waits > 0:
+    waits = int(os.environ.get("BENCH_HEALTH_WAITS", "3"))
+    # uploads are the bigger stream: gate harder on H2D
+    while (up < 18.0 or down < 12.0) and waits > 0:
         log("tunnel degraded; waiting 90 s for recovery "
             "(%d wait(s) left)" % waits)
         time.sleep(90)
