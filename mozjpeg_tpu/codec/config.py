@@ -132,6 +132,14 @@ class EncoderConfig:
     # None = auto: on for TPU backends (tunnel-bandwidth-bound).
     host_prep: Optional[bool] = None
 
+    # download coefficients for host entropy as a device-Huffman-packed
+    # transport stream (~0.15 B/px, ops/transport.py + native
+    # mj_transport_decode) instead of the sparse masks+values layout
+    # (~1.0 B/px). Byte-identical final output (the coefficients are).
+    # Falls back to the sparse download on capacity overflow.
+    # None = auto: on for TPU backends (tunnel-D2H-bound).
+    coef_transport: Optional[bool] = None
+
     def resolved(self) -> "ResolvedConfig":
         if self.precision not in (8, 12):
             raise ValueError(
@@ -189,6 +197,8 @@ class EncoderConfig:
             sparse_download=_auto_backend_flag(self.sparse_download,
                                                "MJ_SPARSE_DL"),
             host_prep=_auto_backend_flag(self.host_prep, "MJ_HOST_PREP"),
+            coef_transport=_auto_backend_flag(self.coef_transport,
+                                              "MJ_COEF_TRANSPORT"),
         )
 
 
@@ -233,6 +243,7 @@ class ResolvedConfig:
     device_scanopt: bool
     sparse_download: bool
     host_prep: bool
+    coef_transport: bool
 
 
 def _auto_device_entropy(flag):

@@ -1199,7 +1199,14 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
                 pass
 
     st = {"geom": geom, "finals": finals, "b": b, "restart": restart}
-    if cfg.sparse_download:
+    if cfg.coef_transport and cfg.precision == 8:
+        # device-Huffman transport download (~0.15 B/px vs ~1.0 for the
+        # sparse layout, ops/transport.py); the header sync + bucketed
+        # word download happen in _batch_fetch. On overflow the sparse
+        # pack is dispatched lazily there from st["finals"].
+        from ..ops import transport
+        st["transport"] = transport.pack_batch(tuple(finals), comps, b)
+    elif cfg.sparse_download:
         # dispatch the exact-global sparse pack (ops/sparsepack.py
         # pack_planes_exact): masks + value stream with no slack; the
         # header sync then a value download sized by the ACTUAL nonzero
@@ -1215,6 +1222,17 @@ def _batch_fetch(st, cfg):
     geom = st["geom"]
     _, _, comps = geom
     b = st["b"]
+    if "transport" in st:
+        from ..ops import sparsepack, transport
+        fetched = transport.fetch(st["transport"])
+        if fetched is not None:
+            words, bits = fetched
+            planes = transport.decode_to_planes(words, bits, b, comps)
+            if planes is not None:
+                return planes
+        # overflow or malformed: dispatch the sparse pack now (rare)
+        st["sparse2"] = sparsepack.pack_planes_exact(
+            tuple(st["finals"]), tuple(comps), b)
     if "sparse2" in st:
         from ..ops import sparsepack
         header_dev, words_dev, nt, n_tot = st["sparse2"]

@@ -59,6 +59,12 @@ lib.mj_sparse_expand_flat.restype = ctypes.c_long
 lib.mj_sparse_expand_flat.argtypes = [
     u32p, u8p, i16p, ctypes.c_long, ctypes.c_long, ctypes.c_long, i16p]
 
+lib.mj_transport_decode.restype = ctypes.c_long
+lib.mj_transport_decode.argtypes = [
+    u32p, ctypes.c_long, i32p, ctypes.c_int, ctypes.c_long,
+    i32p, i64p, i32p, u8p,
+    i32p, i64p, i32p, u8p, i16p]
+
 lib.mj_encode_seq.restype = ctypes.c_long
 lib.mj_encode_seq.argtypes = [
     cpp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -1184,3 +1184,127 @@ extern "C" long mj_sparse_expand_flat(const uint32_t* masks,
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Device coefficient transport decode (ops/transport.py): an internal
+// baseline-style Huffman stream packed ON DEVICE with the std luma
+// tables — one independent word-aligned stream per image, MSB-first u32
+// words, NO 0xFF stuffing, no markers.  Per block: DC delta (predictor
+// resets per image, chains across component boundaries) then
+// (run,size)+magnitude AC symbols with ZRL/EOB (jchuff.c F.1.2
+// semantics).  Block order: components in order, raster blocks.
+// Returns 0 on success, (image index + 1) on a malformed stream.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WordReader {
+  const uint32_t* w;
+  long nwords;
+  long pos = 0;       // next word
+  uint64_t acc = 0;   // left-justified
+  int nbits = 0;
+  long consumed = 0;  // bits handed out
+  bool bad = false;
+
+  void init(const uint32_t* words, long n) {
+    w = words;
+    nwords = n;
+    pos = 0;
+    acc = 0;
+    nbits = 0;
+    consumed = 0;
+    bad = false;
+  }
+  inline void fill() {
+    while (nbits <= 32) {
+      uint32_t v = (pos < nwords) ? w[pos] : 0;
+      if (pos >= nwords) bad = true;
+      pos++;
+      acc |= (uint64_t)v << (32 - nbits);
+      nbits += 32;
+    }
+  }
+  inline int get(int n) {
+    if (n == 0) return 0;
+    if (nbits < n) fill();
+    int v = (int)(acc >> (64 - n));
+    acc <<= n;
+    nbits -= n;
+    consumed += n;
+    return v;
+  }
+};
+
+inline int transport_huff_decode(WordReader& br, const int32_t* mincode,
+                                 const int64_t* maxcode,
+                                 const int32_t* valptr,
+                                 const uint8_t* vals) {
+  int code = br.get(1);
+  int l = 1;
+  while (code > maxcode[l]) {
+    code = (code << 1) | br.get(1);
+    l++;
+    if (l > 16) {
+      br.bad = true;
+      return 0;
+    }
+  }
+  return vals[valptr[l] + (code - mincode[l])];
+}
+
+}  // namespace
+
+extern "C" long mj_transport_decode(
+    const uint32_t* words, long words_per_img, const int32_t* bits,
+    int b, long n_img,
+    const int32_t* dc_mincode, const int64_t* dc_maxcode,
+    const int32_t* dc_valptr, const uint8_t* dc_vals,
+    const int32_t* ac_mincode, const int64_t* ac_maxcode,
+    const int32_t* ac_valptr, const uint8_t* ac_vals,
+    int16_t* out /* (b*n_img, 64), zeroed */) {
+  for (int i = 0; i < b; i++) {
+    WordReader br;
+    br.init(words + (long)i * words_per_img, words_per_img);
+    int pred = 0;
+    int16_t* base = out + (long)i * n_img * 64;
+    for (long blk = 0; blk < n_img; blk++) {
+      int16_t* o = base + blk * 64;
+      int s = transport_huff_decode(br, dc_mincode, dc_maxcode,
+                                    dc_valptr, dc_vals);
+      if (s > 0) {
+        int v = br.get(s);
+        if (v < (1 << (s - 1))) v += ((-1) << s) + 1;
+        pred += v;
+      }
+      o[0] = (int16_t)pred;
+      int k = 1;
+      while (k < 64) {
+        int sym = transport_huff_decode(br, ac_mincode, ac_maxcode,
+                                        ac_valptr, ac_vals);
+        if (sym == 0) break;  // EOB
+        int run = sym >> 4, size = sym & 15;
+        if (size == 0) {
+          if (run != 15) {
+            br.bad = true;
+            break;
+          }
+          k += 16;  // ZRL
+          continue;
+        }
+        k += run;
+        if (k > 63) {
+          br.bad = true;
+          break;
+        }
+        int v = br.get(size);
+        if (v < (1 << (size - 1))) v += ((-1) << size) + 1;
+        o[k] = (int16_t)v;
+        k++;
+      }
+      if (br.bad) return i + 1;
+    }
+    if (br.consumed != bits[i]) return i + 1;
+  }
+  return 0;
+}

@@ -1,0 +1,344 @@
+"""Device coefficient transport: entropy-coded D2H instead of raw planes.
+
+The encode pipeline's dominant D2H transfer is the trellised coefficient
+download that feeds the host scan search + entropy stage (~1.0 B/px via
+the exact sparse pack, ops/sparsepack.py).  But quantized JPEG
+coefficients entropy-code to ~0.12-0.16 B/px — so this module
+Huffman-packs them ON DEVICE with FIXED std tables (ITU T.81 Annex K,
+the repo's STD_TABLES) into an internal baseline-style stream the host
+C++ decodes back into planes (native/entropy.cpp mj_transport_decode).
+A ~7x smaller download unties encode throughput from tunnel D2H health
+(VERDICT r3 "what's missing" #1: shrink D2H toward finished bytes).
+
+This is an INTERNAL transport format, not a JPEG scan:
+  - one independent stream per image, word-aligned, MSB-first u32 words,
+    no 0xFF byte stuffing, no markers;
+  - block order: image-major, components in order, raster blocks (the
+    exact-sparse-pack flat order, so the host expansion is shared);
+  - per block: DC delta (predictor resets per image, chains across
+    component boundaries) coded with the std LUMA DC table, then the
+    usual (run,size)+magnitude AC symbols with ZRL/EOB using the std
+    LUMA AC table for every component (jchuff.c F.1.2 semantics).
+
+TPU-shaped pack (docs/perf_notes.md: scatter/gather ~9 ns/element,
+lax.sort over small minor dims ~free):
+  1. per block, nonzeros compact by a bitonic `lax.sort` over the 63
+     zigzag keys (carries values — no gathers);
+  2. per-rank symbol metadata builds elementwise; a second lax.sort over
+     a stream-ordered fixed lane list compacts (DC, ZRLs, symbols, EOB)
+     per block;
+  3. global compaction by the boundary-scatter + cummax + gather trick
+     (ops/sparsepack.py), so every later gather/scatter touches only
+     ~1.05x the REAL symbol count, never the lane capacity;
+  4. code/length lookup AFTER compaction (one 256-entry LUT gather),
+     segmented per-image bit offsets by cumsum, and a two-contribution
+     word scatter (ops/bitpack._scatter_bits math).
+
+Overflow (a block with > 48 nonzeros, more symbols than the static
+capacity, or out-of-range magnitudes) flags the header; callers fall
+back to the sparse coefficient download.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CAPR = 48                   # per-block nonzero capacity (sparse pack's 48)
+LANES_PER_RANK = 3          # [zrlA(<=2 codes)] [zrlB(1 code)] [sym]
+TRIM_STEP = 8192            # word-download bucket (32 KB) bounds programs
+
+
+def _scap() -> int:
+    return int(os.environ.get("MJ_TRANSPORT_SCAP", "16"))
+
+
+def _luts():
+    """(dc_co i32[12], dc_si i32[12], ac_lut u32[256] = co | si<<24,
+    zco, zsi, eco, esi) from the std luma tables — plain numpy so traced
+    functions inline them as literals (perf_notes: captured-constant
+    rule)."""
+    from ..codec.encoder import STD_TABLES
+    from ..entropy.huffman import derive_codes
+    dco, dsi = derive_codes(STD_TABLES[(0, 0)])
+    aco, asi = derive_codes(STD_TABLES[(1, 0)])
+    ac_lut = (aco.astype(np.uint32)
+              | (asi.astype(np.uint32) << np.uint32(24)))
+    return (dco[:12].astype(np.int64).astype(np.uint32),
+            dsi[:12].astype(np.int32),
+            ac_lut, int(aco[0xF0]), int(asi[0xF0]),
+            int(aco[0x00]), int(asi[0x00]))
+
+
+@functools.lru_cache(maxsize=1)
+def _luts_cached():
+    return _luts()
+
+
+def _nbits(v):
+    v = v.astype(jnp.int32)
+    return jnp.where(v > 0, 32 - jax.lax.clz(jnp.maximum(v, 1)), 0)
+
+
+# meta u32 layout: kind<<28 | payload
+#   kind 0 DC:  nb(4 @0) | t2low11(@4)
+#   kind 1 ZRL: count 1..2 (@0)
+#   kind 2 SYM: sym8(@0) | nb4(@8) | t2low10(@12)
+#   kind 3 EOB: -
+K_DC, K_ZRL, K_SYM, K_EOB = 0, 1, 2, 3
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b", "n_tot", "captot", "capw"))
+def _pack_transport(flat, b: int, n_tot: int, captot: int, capw: int):
+    """flat (64, nt) int16 zigzag planes (nt = b*n_tot, exact-sparse-pack
+    block order) -> (words (b, capw) u32, header i32 (b+2,):
+    [per-image bits..., total_syms, overflow])."""
+    dco_np, dsi_np, ac_lut_np, zco, zsi, eco, esi = _luts_cached()
+    nt = b * n_tot
+    x = jnp.transpose(flat).astype(jnp.int32)          # (nt, 64)
+
+    # ---- DC lanes ----
+    dc = x[:, 0].reshape(b, n_tot)
+    prev = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), dc[:, :-1]], axis=1)
+    delta = (dc - prev).reshape(nt)
+    dnb = _nbits(jnp.abs(delta))
+    dt2 = jnp.where(delta < 0, delta - 1, delta)
+    dc_meta = ((dnb & 15)
+               | ((dt2 & 0x7FF) << 4)).astype(jnp.uint32)  # kind 0
+
+    # ---- per-block nonzero compaction (bitonic sort, no gathers) ----
+    ac = x[:, 1:]                                       # (nt, 63)
+    kcol = np.arange(1, 64, dtype=np.int32)
+    keys = jnp.where(ac != 0, kcol[None, :], np.int32(64))
+    p_s, v_s = jax.lax.sort((keys, ac), dimension=-1, num_keys=1)
+    real_full = p_s < 64
+    over_rank = jnp.any(real_full[:, CAPR:])
+    p_s = p_s[:, :CAPR]
+    v_s = v_s[:, :CAPR]
+    real = real_full[:, :CAPR]
+
+    prev_p = jnp.concatenate(
+        [jnp.zeros((nt, 1), jnp.int32), p_s[:, :-1]], axis=1)
+    run = jnp.where(real, p_s - prev_p - 1, 0)
+    zc = run >> 4                                       # 0..3
+    anb = jnp.where(real, _nbits(jnp.abs(v_s)), 0)
+    over_mag = jnp.any(anb > 10)
+    at2 = jnp.where(v_s < 0, v_s - 1, v_s)
+    rsym = (((run & 15) << 4) | anb) & 255
+    sym_meta = (rsym | ((anb & 15) << 8)
+                | ((at2 & 0x3FF) << 12)).astype(jnp.uint32) \
+        | jnp.uint32(K_SYM << 28)
+
+    cA = jnp.minimum(zc, 2)
+    hasB = zc == 3
+    zA_meta = (cA.astype(jnp.uint32) | jnp.uint32(K_ZRL << 28))
+    zB_meta = jnp.full((nt, CAPR), (K_ZRL << 28) | 1, jnp.uint32)
+
+    p_max = jnp.max(jnp.where(real, p_s, 0), axis=1)    # 0 if none
+    need_eob = p_max < 63
+
+    # ---- stream-ordered lane list + within-block compaction ----
+    LN = 1 + LANES_PER_RANK * CAPR + 1
+    lane_idx = np.arange(LN, dtype=np.int32)
+    contA = real & (zc >= 1)
+    contB = real & hasB
+    rank_meta = jnp.stack([zA_meta, zB_meta, sym_meta], axis=2) \
+        .reshape(nt, 3 * CAPR)
+    rank_cont = jnp.stack([contA, contB, real], axis=2) \
+        .reshape(nt, 3 * CAPR)
+    meta_all = jnp.concatenate(
+        [dc_meta[:, None],
+         rank_meta,
+         jnp.full((nt, 1), np.uint32(K_EOB << 28), jnp.uint32)], axis=1)
+    cont_all = jnp.concatenate(
+        [jnp.ones((nt, 1), bool), rank_cont, need_eob[:, None]], axis=1)
+    sort_keys = jnp.where(cont_all, lane_idx[None, :], np.int32(1 << 20))
+    _, meta_srt = jax.lax.sort((sort_keys, meta_all), dimension=-1,
+                               num_keys=1)
+
+    counts = jnp.sum(cont_all.astype(jnp.int32), axis=1)  # (nt,)
+    off_b = jnp.cumsum(counts) - counts
+    total = off_b[-1] + counts[-1]
+    over = over_rank | over_mag | (total > captot)
+
+    # ---- global compaction (boundary scatter + cummax + gather) ----
+    bnd = jnp.zeros((captot,), jnp.int32).at[off_b].add(
+        jnp.ones((nt,), jnp.int32), mode="drop")
+    blk = jnp.clip(jnp.cumsum(bnd) - 1, 0, nt - 1)
+    sidx = jnp.arange(captot, dtype=jnp.int32)
+    rank_in_blk = jnp.clip(sidx - off_b[blk], 0, LN - 1)
+    meta_c = meta_srt.reshape(-1)[blk * LN + rank_in_blk]
+    live = sidx < total
+
+    # ---- meta -> (val, len) ----
+    kind = (meta_c >> 28).astype(jnp.int32)
+    # DC (12-entry unrolled select: table too small to pay a gather)
+    nb_dc = (meta_c & 15).astype(jnp.int32)
+    t2_dc = ((meta_c >> 4) & 0x7FF).astype(jnp.uint32)
+    dcode = jnp.zeros_like(meta_c)
+    dlen = jnp.zeros_like(nb_dc)
+    for i in range(12):
+        m = nb_dc == i
+        dcode = jnp.where(m, np.uint32(int(dco_np[i])), dcode)
+        dlen = jnp.where(m, np.int32(int(dsi_np[i])), dlen)
+    v_dc = (dcode << nb_dc) | (t2_dc & ((jnp.uint32(1) << nb_dc) - 1))
+    l_dc = dlen + nb_dc
+    # ZRL
+    zcnt = (meta_c & 3).astype(jnp.int32)
+    v_z = jnp.where(zcnt == 2,
+                    (np.uint32(zco) << np.uint32(zsi)) | np.uint32(zco),
+                    np.uint32(zco))
+    l_z = zcnt * np.int32(zsi)
+    # SYM
+    sym = (meta_c & 255).astype(jnp.int32)
+    nb_s = ((meta_c >> 8) & 15).astype(jnp.int32)
+    t2_s = ((meta_c >> 12) & 0x3FF).astype(jnp.uint32)
+    ent = jnp.asarray(ac_lut_np)[sym]                  # the one LUT gather
+    aco_c = ent & jnp.uint32(0xFFFF)
+    asi_c = (ent >> 24).astype(jnp.int32)
+    v_s2 = (aco_c << nb_s) | (t2_s & ((jnp.uint32(1) << nb_s) - 1))
+    l_s2 = asi_c + nb_s
+
+    val = jnp.where(kind == K_DC, v_dc,
+                    jnp.where(kind == K_ZRL, v_z,
+                              jnp.where(kind == K_SYM, v_s2,
+                                        np.uint32(eco))))
+    ln = jnp.where(kind == K_DC, l_dc,
+                   jnp.where(kind == K_ZRL, l_z,
+                             jnp.where(kind == K_SYM, l_s2,
+                                       np.int32(esi))))
+    ln = jnp.where(live, ln, 0)
+
+    # ---- segmented per-image bit offsets ----
+    img = blk // n_tot                                  # (captot,)
+    cums = jnp.cumsum(ln)
+    excl = cums - ln
+    prev_img = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), img[:-1]])
+    first = img != prev_img
+    base = jax.lax.cummax(jnp.where(first, excl, 0))
+    off_bits = excl - base
+    bits_img = []
+    for i in range(b):
+        bits_img.append(jnp.max(jnp.where((img == i) & live,
+                                          cums - base, 0)))
+    bits_v = jnp.stack(bits_img)
+    over = over | jnp.any(bits_v > capw * 32)
+
+    # ---- word scatter (bitpack._scatter_bits math, explicit rows) ----
+    sh = (off_bits & 31).astype(jnp.uint32)
+    w0 = off_bits >> 5
+    lnu = ln.astype(jnp.uint32)
+    space0 = jnp.uint32(32) - sh
+    spill = jnp.maximum(ln - space0.astype(jnp.int32), 0).astype(
+        jnp.uint32)
+    keep0 = lnu - spill
+    c0 = jnp.where(ln > 0,
+                   (val >> spill) << (space0 - keep0), 0).astype(
+        jnp.uint32)
+    c1 = jnp.where(spill > 0,
+                   (val << (jnp.uint32(32) - spill)), 0).astype(
+        jnp.uint32)
+    d0 = img * capw + w0
+    d1 = jnp.where(w0 + 1 < capw, d0 + 1, b * capw)
+    words = jnp.zeros((b * capw,), jnp.uint32)
+    words = words.at[d0].add(jnp.where(live, c0, 0), mode="drop")
+    words = words.at[d1].add(jnp.where(live, c1, 0), mode="drop")
+
+    header = jnp.concatenate(
+        [bits_v.astype(jnp.int32), total[None].astype(jnp.int32),
+         over.astype(jnp.int32)[None]])
+    return words.reshape(b, capw), header
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _trim_rows(w, n: int):
+    return w[:, :n]
+
+
+def pack_batch(finals, comps, b: int):
+    """finals: tuple per comp of (64, B*n_c) int16 device arrays ->
+    (words_dev, header_dev, n_tot, capw).  Same flat block order as
+    sparsepack.pack_planes_exact."""
+    per_img = [f.reshape(64, b, -1) for f in finals]
+    flat = jnp.concatenate(per_img, axis=2)            # (64, B, n_tot)
+    n_tot = flat.shape[2]
+    nt = b * n_tot
+    flat = flat.reshape(64, nt)
+    captot = nt * _scap()
+    capw = 13 * n_tot + 2
+    words, header = _pack_transport(flat, b, n_tot, captot, capw)
+    return words, header, n_tot, capw
+
+
+def fetch(packed):
+    """Sync the tiny header, then download only the word bucket the
+    largest image's bits need.  -> (words_host (b, w) u32, bits (b,)
+    int32) or None on overflow (caller falls back to the sparse
+    download)."""
+    words_dev, header_dev, n_tot, capw = packed
+    header = np.asarray(header_dev)
+    if int(header[-1]):
+        return None
+    bits = header[:-2]
+    need = int(max(1, (int(bits.max()) + 31) // 32))
+    bucket = -(-need // TRIM_STEP) * TRIM_STEP
+    if bucket < capw:
+        words_dev = _trim_rows(words_dev, bucket)
+    return np.asarray(words_dev), bits.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=1)
+def _dec_tables():
+    """Flattened std-table decoder arrays for the C++ walker."""
+    from ..codec.encoder import STD_TABLES
+    from ..entropy.huffman import derive_decode_table
+    out = []
+    for key in ((0, 0), (1, 0)):
+        mn, mx, vp, vals = derive_decode_table(STD_TABLES[key])
+        v = np.zeros(256, np.uint8)
+        v[:len(vals)] = vals
+        out.append((np.ascontiguousarray(mn.astype(np.int32)),
+                    np.ascontiguousarray(mx.astype(np.int64)),
+                    np.ascontiguousarray(vp.astype(np.int32)),
+                    np.ascontiguousarray(v)))
+    return out
+
+
+def decode_to_planes(words: np.ndarray, bits: np.ndarray, b: int,
+                     comps):
+    """Host decode of the transport stream -> per image per-comp
+    (bh, bw, 64) int16 planes (native mj_transport_decode), or None on
+    a malformed stream."""
+    from ..native import lib, u32p, i16p, i32p, i64p, u8p
+    n_tot = sum(g.bh * g.bw for g in comps)
+    nt = b * n_tot
+    out = np.zeros((nt, 64), np.int16)
+    (dmn, dmx, dvp, dvl), (amn, amx, avp, avl) = _dec_tables()
+    words = np.ascontiguousarray(words)
+    bits = np.ascontiguousarray(bits.astype(np.int32))
+    rc = lib.mj_transport_decode(
+        words.ctypes.data_as(u32p), words.shape[1],
+        bits.ctypes.data_as(i32p), b, n_tot,
+        dmn.ctypes.data_as(i32p), dmx.ctypes.data_as(i64p),
+        dvp.ctypes.data_as(i32p), dvl.ctypes.data_as(u8p),
+        amn.ctypes.data_as(i32p), amx.ctypes.data_as(i64p),
+        avp.ctypes.data_as(i32p), avl.ctypes.data_as(u8p),
+        out.ctypes.data_as(i16p))
+    if rc != 0:
+        return None
+    images = []
+    off = 0
+    for _ in range(b):
+        planes = []
+        for g in comps:
+            n = g.bh * g.bw
+            planes.append(out[off:off + n].reshape(g.bh, g.bw, 64))
+            off += n
+        images.append(planes)
+    return images

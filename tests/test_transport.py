@@ -1,0 +1,112 @@
+"""Device coefficient transport (ops/transport.py + mj_transport_decode):
+the entropy-coded D2H replacing the sparse coefficient download."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mozjpeg_tpu.ops import transport
+
+
+class G:
+    def __init__(self, bh, bw):
+        self.bh = bh
+        self.bw = bw
+
+
+def _roundtrip(planes_per_img, comps):
+    """planes_per_img: per image list of per-comp (bh, bw, 64) int16."""
+    b = len(planes_per_img)
+    finals = []
+    for ci, g in enumerate(comps):
+        per_img = [p[ci].reshape(-1, 64).T for p in planes_per_img]
+        finals.append(jnp.asarray(np.concatenate(per_img, axis=1)
+                                  .reshape(64, -1)))
+    # finals layout: (64, B*n_c) image-major per comp
+    packed = transport.pack_batch(tuple(finals), comps, b)
+    fetched = transport.fetch(packed)
+    if fetched is None:
+        return None
+    words, bits = fetched
+    return transport.decode_to_planes(words, bits, b, comps)
+
+
+def _rand_planes(rng, comps, density=0.12, amp=40):
+    out = []
+    for g in comps:
+        p = np.zeros((g.bh, g.bw, 64), np.int16)
+        mask = rng.random((g.bh, g.bw, 64)) < density
+        vals = rng.integers(-amp, amp + 1, (g.bh, g.bw, 64))
+        p[mask] = vals[mask].astype(np.int16)
+        p[:, :, 0] = rng.integers(-200, 200, (g.bh, g.bw))
+        return_zero = rng.random((g.bh, g.bw)) < 0.1
+        p[return_zero] = 0
+        out.append(p)
+    return out
+
+
+@pytest.mark.parametrize("b", [1, 3])
+def test_roundtrip_random(b):
+    rng = np.random.default_rng(42 + b)
+    comps = [G(8, 12), G(4, 6), G(4, 6)]
+    imgs = [_rand_planes(rng, comps) for _ in range(b)]
+    dec = _roundtrip(imgs, comps)
+    assert dec is not None
+    for i in range(b):
+        for ci in range(3):
+            np.testing.assert_array_equal(dec[i][ci], imgs[i][ci])
+
+
+def test_roundtrip_extreme_values():
+    """Magnitudes at the 8-bit limits (|v| = 1023), long zero runs
+    needing 3 ZRLs, all-zero blocks, dense blocks near CAPR."""
+    rng = np.random.default_rng(7)
+    comps = [G(6, 6)]
+    p = np.zeros((6, 6, 64), np.int16)
+    p[0, 0, 0] = 1023
+    p[0, 0, 63] = -1023                      # run of 62 -> 3 ZRLs
+    p[0, 1] = 0                              # all-zero block
+    p[0, 2, 0] = -1024
+    p[0, 2, 1] = 1
+    p[0, 2, 63] = -1
+    p[1, 0, :48] = rng.integers(1, 1024, 48)   # dense: exactly CAPR nz
+    p[1, 1, 0] = -1023
+    p[2, 0, 16] = 5                          # run 15 exact (no ZRL)
+    p[2, 1, 17] = 5                          # run 16 -> one ZRL, run 0
+    p[2, 2, 33] = 5                          # run 32 -> two ZRLs
+    dec = _roundtrip([[p]], comps)
+    assert dec is not None
+    np.testing.assert_array_equal(dec[0][0], p)
+
+
+def test_overflow_dense_block():
+    """A block with > CAPR nonzeros must flag overflow, not corrupt."""
+    comps = [G(2, 2)]
+    p = np.zeros((2, 2, 64), np.int16)
+    p[0, 0, :] = 3                           # 63 AC nonzeros > CAPR
+    b = len([p])
+    finals = (jnp.asarray(p.reshape(-1, 64).T.reshape(64, -1)),)
+    packed = transport.pack_batch(finals, comps, b)
+    assert transport.fetch(packed) is None
+
+
+def test_encode_many_transport_matches(ref_tools, testorig):
+    """encode_many with the transport download is byte-identical to the
+    sparse-download path (full mozjpeg default config)."""
+    import os
+    from mozjpeg_tpu import EncoderConfig, encode_many
+    imgs = [testorig, np.roll(testorig, 17, axis=1).copy()]
+    cfg = EncoderConfig(quality=75)
+    old = os.environ.get("MJ_COEF_TRANSPORT")
+    try:
+        os.environ["MJ_COEF_TRANSPORT"] = "0"
+        ref = encode_many(imgs, cfg)
+        os.environ["MJ_COEF_TRANSPORT"] = "1"
+        got = encode_many(imgs, cfg)
+    finally:
+        if old is None:
+            os.environ.pop("MJ_COEF_TRANSPORT", None)
+        else:
+            os.environ["MJ_COEF_TRANSPORT"] = old
+    assert [len(x) for x in got] == [len(x) for x in ref]
+    assert got == ref
