@@ -129,6 +129,8 @@ def main():
     # rep sequence must show up in the record, not hide behind one
     # lucky pass. BENCH_SUSTAIN_S>0 switches to one long streaming run.
     rates = []
+    from mozjpeg_tpu.utils import xfer
+    xfer_before = xfer.snapshot()
     sustain_s = float(os.environ.get("BENCH_SUSTAIN_S", "0"))
     if sustain_s > 0:
         done_mp, t_start = 0.0, time.perf_counter()
@@ -153,6 +155,12 @@ def main():
     med = statistics.median(rates)
     log("encode reps: min %.2f / median %.2f / max %.2f MP/s"
         % (min(rates), med, max(rates)))
+    h2d, d2h = xfer.delta(xfer_before)
+    npx = mp_corpus * 1e6 * len(rates)
+    log("tunnel bytes/px this phase: H2D %.3f, D2H %.3f "
+        "(+%d output bytes/img avg)"
+        % (h2d / npx, d2h / npx,
+           sum(len(d) for d in datas) / len(datas)))
     baseline = load_baseline()
 
     # full byte equality batched-vs-serial over the corpus (a TPU numerics
@@ -192,9 +200,9 @@ def main():
         log("decode equality verified on %d images"
             % min(ncheck, len(datas)))
 
-    mps = max(serial_mps, med)
-    log("headline mode: %s" % ("pipelined" if med >= serial_mps
-                               else "serial"))
+    # headline is the pipelined MEDIAN, period (VERDICT r3 weak #3:
+    # no best-of-modes pick; serial is reported above as context)
+    mps = med
     print(json.dumps({
         "metric": "encode_mps_q75_mozjpeg_default",
         "value": round(mps, 3),

@@ -1249,7 +1249,10 @@ def _batch_fetch(st, cfg):
         flat_dev.copy_to_host_async()
     except Exception:
         pass
-    return pipeline_t.split_flat_batch(geom, np.asarray(flat_dev), b)
+    flat_h = np.asarray(flat_dev)
+    from ..utils import xfer
+    xfer.add_d2h(flat_h.nbytes)
+    return pipeline_t.split_flat_batch(geom, flat_h, b)
 
 
 def _batch_host(images, st, config, cfg, ncomps, qtables, ent_pool=None):

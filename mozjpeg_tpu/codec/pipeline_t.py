@@ -295,6 +295,8 @@ def run_p1_batch(images: np.ndarray, samp, qtables, dering_on: bool,
     q81 = [_dev_qtbl(np.asarray(t)) for t in qtables[:2]]
     qts81 = tuple(q81[0 if i == 0 else min(1, len(q81) - 1)]
                   for i in range(len(geom)))
+    from ..utils import xfer
+    xfer.add_h2d(images.nbytes)
     res, small = _p1_batch(jnp.asarray(images), mcus_x, mcus_y, tuple(geom),
                            dering_on, precision, ris, qts81=qts81)
     return (mcus_x, mcus_y, geom), res, small
@@ -510,6 +512,8 @@ def run_p1_batch_pre(images, samp, qtables, dering_on: bool,
                         pw_y, ph_y, pw_c, ph_c,
                         yp.ctypes.data_as(u8p), cbp.ctypes.data_as(u8p),
                         crp.ctypes.data_as(u8p), nt)
+    from ..utils import xfer
+    xfer.add_h2d(bufs.nbytes)
     merged, small = _p1_batch_pre(jnp.asarray(bufs), tuple(geom),
                                   dering_on, precision, ris, qts81)
     return (mcus_x, mcus_y, geom), merged, small

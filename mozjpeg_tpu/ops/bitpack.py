@@ -250,7 +250,10 @@ def _fetch_trimmed(words, bits):
         bucket = 1 << (need - 1).bit_length()
         if bucket < cap:
             words = _trim_words(words, bucket)
-    return np.asarray(words), bits_h
+    words_h = np.asarray(words)
+    from ..utils import xfer
+    xfer.add_d2h(words_h.nbytes + bits_h.nbytes)
+    return words_h, bits_h
 
 
 def _finish_segments(words: np.ndarray, bits: np.ndarray,

@@ -252,6 +252,8 @@ def fetch_exact(header_dev, words_dev, nt: int):
             esc_dev = _trim_flat(esc_dev, ne)
         esc = np.asarray(esc_dev).view(np.int16)
     lo = np.asarray(lo_dev).view(np.uint8)
+    from ..utils import xfer
+    xfer.add_d2h(header.nbytes + lo.nbytes + esc.nbytes)
     return masks, lo, esc, total
 
 

@@ -290,7 +290,10 @@ def fetch(packed):
     bucket = -(-need // TRIM_STEP) * TRIM_STEP
     if bucket < capw:
         words_dev = _trim_rows(words_dev, bucket)
-    return np.asarray(words_dev), bits.astype(np.int32)
+    words = np.asarray(words_dev)
+    from ..utils import xfer
+    xfer.add_d2h(header.nbytes + words.nbytes)
+    return words, bits.astype(np.int32)
 
 
 @functools.lru_cache(maxsize=1)

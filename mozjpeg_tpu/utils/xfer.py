@@ -1,13 +1,40 @@
-"""Host<->device transfer helpers.
+"""Host<->device transfer helpers + byte counters.
 
 The axon TPU tunnel has pathological device-to-host paths for some 2D
 layouts (observed: (1024,1536) int16 took 160 s vs 85 ms flattened).
 Always round-trip through a flat 1D copy.
+
+The byte counters make the recorded throughput interpretable (VERDICT
+r3: a headline that swings with tunnel health needs a bytes-transferred
+line in the record).  The few bulk-transfer sites (pixel upload,
+coefficient download, pixel download) call add_h2d/add_d2h; bench.py
+snapshots around a run.  Counters are process-global and additive.
 """
 import jax.numpy as jnp
 import numpy as np
+
+_h2d = 0
+_d2h = 0
 
 
 def to_host(x) -> np.ndarray:
     shape = x.shape
     return np.asarray(jnp.reshape(x, (-1,))).reshape(shape)
+
+
+def add_h2d(nbytes: int) -> None:
+    global _h2d
+    _h2d += int(nbytes)
+
+
+def add_d2h(nbytes: int) -> None:
+    global _d2h
+    _d2h += int(nbytes)
+
+
+def snapshot():
+    return _h2d, _d2h
+
+
+def delta(since):
+    return _h2d - since[0], _d2h - since[1]
