@@ -185,6 +185,7 @@ def main():
             % (4 * base[0].shape[0] * base[0].shape[1] / 1e6
                / (time.perf_counter() - t0)))
         pix = decode_many(datas)                   # warm batched programs
+        dec_before = xfer.snapshot()
         dec_rates = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -193,6 +194,22 @@ def main():
         log("decode_many pipelined: min %.2f / median %.2f / max %.2f MP/s"
             % (min(dec_rates), statistics.median(dec_rates),
                max(dec_rates)))
+        dh2d, dd2h = xfer.delta(dec_before)
+        log("decode tunnel bytes/px: H2D %.3f, D2H %.3f"
+            % (dh2d / (mp_corpus * 1e6 * reps),
+               dd2h / (mp_corpus * 1e6 * reps)))
+        # planar-YCbCr output (tj3DecompressToYUV8 shape): no host post,
+        # 1.5 B/px download for 4:2:0 — the deployment shape for
+        # YUV-consuming pipelines
+        decode_many(datas[:group], output="yuv")   # warm
+        yuv_rates = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            decode_many(datas, output="yuv")
+            yuv_rates.append(mp_corpus / (time.perf_counter() - t0))
+        log("decode_many YUV output: min %.2f / median %.2f / max %.2f "
+            "MP/s" % (min(yuv_rates), statistics.median(yuv_rates),
+                      max(yuv_rates)))
         import numpy as _np
         for i in range(min(ncheck, len(datas))):   # exact vs serial decode
             assert _np.array_equal(pix[i], decode(datas[i])), \

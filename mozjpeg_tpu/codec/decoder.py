@@ -273,6 +273,30 @@ def _render_plane(zz, qtbl, bh: int, bw: int, ch: int, cw: int,
     return plane[:ch, :cw]
 
 
+def decode_raw_planes_parsed(jp, planes):
+    """jpeg_read_raw_data render from already-decoded coefficients:
+    per-component (ph, pw) uint8 sample planes at sampling-grid-padded
+    dims (the single-image tail of decode_raw_planes)."""
+    max_h, max_v = jp.max_h, jp.max_v
+    pw0 = -(-jp.width // max_h) * max_h
+    ph0 = -(-jp.height // max_v) * max_v
+    out = []
+    for ci, c in enumerate(jp.components):
+        pw = pw0 * c.h // max_h
+        ph = ph0 * c.v // max_v
+        cw = -(-jp.width * c.h // max_h)
+        ch = -(-jp.height * c.v // max_v)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        qt = _comp_qtable(jp, ci)
+        pl = np.asarray(_render_plane(
+            jnp.asarray(planes[ci][:bh, :bw]), jnp.asarray(qt),
+            bh, bw, min(ph, bh * 8), min(pw, bw * 8), jp.precision))
+        full = np.zeros((ph, pw), np.uint8)
+        full[:pl.shape[0], :pl.shape[1]] = pl
+        out.append(full)
+    return out
+
+
 def decode_raw_planes(data: bytes):
     """jpeg_read_raw_data semantics (jdapistd.c, raw_data_out=TRUE): decode
     to per-component sample planes at sampling-grid-padded dims with no
@@ -1021,13 +1045,14 @@ def _render_ycc_batch(yzz, cbzz, crzz, qty, qtc,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "b", "dims", "nt", "n_tot", "cap_sb", "gray", "precision"))
-def _render_packed(masks, vals, qty, qtc, b: int, dims, nt: int,
-                   n_tot: int, cap_sb: int, gray: bool,
+    "b", "dims", "nt", "n_tot", "capv", "cape", "gray", "precision"))
+def _render_packed(masks, vals, esc, qty, qtc, b: int, dims, nt: int,
+                   n_tot: int, capv: int, cape: int, gray: bool,
                    precision: int = 8):
-    """Sparse-uploaded batched render: per-block nonzero masks +
-    superblock-packed values (native mj_sparse_pack) expand on device
-    (ops/sparsepack.py expand_dev) and render to per-component SAMPLE
+    """Sparse-uploaded batched render: per-block nonzero masks + the
+    exact flat 1-byte value stream (+int16 escapes) expand on device
+    (ops/sparsepack.py expand_flat_dev, ~0.4 B/px upload — host sizes
+    the buckets exactly, no overflow) and render to per-component SAMPLE
     planes — upsampling and color conversion happen on host
     (native/post.cpp mj_post_ycc) so the download is 1.5 B/px for 4:2:0
     instead of 3 B/px RGB. Returns (y, cb, cr) uint8 stacks, or just y
@@ -1038,7 +1063,8 @@ def _render_packed(masks, vals, qty, qtc, b: int, dims, nt: int,
     if masks is None:
         dense = vals
     else:
-        dense = sparsepack.expand_dev.__wrapped__(masks, vals, nt, cap_sb)
+        dense = sparsepack.expand_flat_dev.__wrapped__(
+            masks, vals, esc, nt, capv, cape)
     per = dense[:, :b * n_tot].reshape(64, b, n_tot)
     ny, nc = lbh * lbw, cbh * cbw
     yzz = per[:, :, :ny].transpose(1, 2, 0).reshape(b, lbh, lbw, 64)
@@ -1096,7 +1122,8 @@ def _fast_decode_key(jp, planes, fancy_upsample, block_smoothing):
 
 
 def _decode_chunk_packed(key, idxs, jps, planes_list, out,
-                         fancy_upsample=True, block_smoothing=True):
+                         fancy_upsample=True, block_smoothing=True,
+                         output="rgb"):
     """Render one same-geometry chunk through the sparse-upload path,
     with the same device-runtime recovery as the encode side: a jit
     executable can lose its lifted-constant binding after other shapes'
@@ -1105,7 +1132,7 @@ def _decode_chunk_packed(key, idxs, jps, planes_list, out,
     from .encoder import _device_runtime_error
     try:
         return _decode_chunk_packed_inner(key, idxs, jps, planes_list,
-                                          out)
+                                          out, output)
     except Exception as e:
         if not _device_runtime_error(e):
             raise
@@ -1113,22 +1140,50 @@ def _decode_chunk_packed(key, idxs, jps, planes_list, out,
     _jax.clear_caches()
     try:
         return _decode_chunk_packed_inner(key, idxs, jps, planes_list,
-                                          out)
+                                          out, output)
     except Exception as e:
         if not _device_runtime_error(e):
             raise
         for i in idxs:
-            out[i] = render(jps[i], planes_list[i], None, fancy_upsample,
-                            "islow", block_smoothing)
+            if output == "yuv":
+                out[i] = decode_raw_planes_parsed(jps[i], planes_list[i])
+            else:
+                out[i] = render(jps[i], planes_list[i], None,
+                                fancy_upsample, "islow", block_smoothing)
 
 
-def _decode_chunk_packed_inner(key, idxs, jps, planes_list, out):
-    """Render one same-geometry chunk through the sparse-upload path and
-    finish upsample+color on host (runs on a stage worker thread)."""
+def _decode_chunk_packed_inner(key, idxs, jps, planes_list, out,
+                               output="rgb"):
+    """Render one same-geometry chunk through the sparse-upload path;
+    output="rgb" finishes upsample+color on host (native mj_post_ycc),
+    output="yuv" returns the per-component sample planes directly at
+    jpeg_read_raw_data / tj3DecompressToYUV8 dims — same 1.5 B/px
+    download, zero host post (runs on a stage worker thread)."""
     import ctypes
     from ..ops import sparsepack
     from ..native import lib, u8p
+    from ..utils import xfer
     w, h, gray, mode, hexp, vexp, dims = key
+    raw_dims = None
+    if output == "yuv":
+        jp0 = jps[idxs[0]]
+        pw0 = -(-w // jp0.max_h) * jp0.max_h
+        ph0 = -(-h // jp0.max_v) * jp0.max_v
+        raw_dims, dims_r = [], []
+        ncomp = 1 if gray else 3
+        for c, (bh_, bw_, _, _) in zip(
+                jp0.components[:ncomp],
+                [dims[0]] + [dims[1]] * (ncomp - 1)):
+            pw = pw0 * c.h // jp0.max_h
+            ph = ph0 * c.v // jp0.max_v
+            raw_dims.append((ph, pw))
+            dims_r.append((bh_, bw_, min(ph, bh_ * 8), min(pw, bw_ * 8)))
+        if gray:
+            dims_r.append((0, 0, 0, 0))
+        else:
+            assert dims_r[1] == dims_r[2]
+            dims_r = dims_r[:2]
+        dims = tuple(dims_r)
     (lbh, lbw, lch, lcw), (cbh, cbw, cch, ccw) = dims
     b = len(idxs)
     flats = []
@@ -1143,23 +1198,38 @@ def _decode_chunk_packed_inner(key, idxs, jps, planes_list, out):
         flats.append(np.concatenate(parts, axis=0))
     n_tot = flats[0].shape[0]
     flat = np.concatenate(flats, axis=0)
-    packed = sparsepack.pack_host(flat)
+    masks, lo, esc, nt, _total, _nesc = sparsepack.pack_flat_host(flat)
     qty = jnp.stack([jnp.asarray(_comp_qtable(jps[i], 0)) for i in idxs])
     qtc = (None if gray else
            jnp.stack([jnp.asarray(_comp_qtable(jps[i], 1)) for i in idxs]))
-    if packed is not None:
-        masks, vals, nt, cap_sb = packed
-        res = _render_packed(jnp.asarray(masks), jnp.asarray(vals),
-                             qty, qtc, b, dims, nt, n_tot, cap_sb, gray)
-    else:                               # too dense: one dense upload
-        nt = b * n_tot
-        res = _render_packed(None, jnp.asarray(flat.T), qty, qtc,
-                             b, dims, nt, n_tot, 0, gray)
-    if gray:
+    xfer.add_h2d(masks.nbytes + lo.nbytes + esc.nbytes)
+    res = _render_packed(jnp.asarray(masks), jnp.asarray(lo),
+                         jnp.asarray(esc), qty, qtc, b, dims, nt, n_tot,
+                         len(lo), len(esc), gray)
+    if output == "yuv":
+        if gray:
+            py = np.asarray(res)
+            xfer.add_d2h(py.nbytes)
+            stacks = [py]
+        else:
+            stacks = [np.asarray(r) for r in res]
+            xfer.add_d2h(sum(st.nbytes for st in stacks))
         for bi, i in enumerate(idxs):
-            out[i] = np.asarray(res[bi])[:h, :w]
+            planes = []
+            for st, (ph, pw) in zip(stacks, raw_dims):
+                full = np.zeros((ph, pw), np.uint8)
+                full[:st.shape[1], :st.shape[2]] = st[bi]
+                planes.append(full)
+            out[i] = planes
+        return
+    if gray:
+        py = np.asarray(res)
+        xfer.add_d2h(py.nbytes)
+        for bi, i in enumerate(idxs):
+            out[i] = py[bi][:h, :w]
         return
     py, pcb, pcr = (np.asarray(r) for r in res)
+    xfer.add_d2h(py.nbytes + pcb.nbytes + pcr.nbytes)
     m = _POST_MODES[mode]
     for bi, i in enumerate(idxs):
         rgb = np.empty((h, w, 3), np.uint8)
@@ -1172,7 +1242,7 @@ def _decode_chunk_packed_inner(key, idxs, jps, planes_list, out):
 
 
 def decode_many(datas, fancy_upsample: bool = True,
-                block_smoothing: bool = True):
+                block_smoothing: bool = True, output: str = "rgb"):
     """Decode a list of JPEGs with a software pipeline: host entropy
     decoding runs on a thread pool; same-geometry groups upload sparse
     coefficients (masks + packed values), render dequant+IDCT on device
@@ -1181,8 +1251,19 @@ def decode_many(datas, fancy_upsample: bool = True,
     bytes of the naive dense-up/RGB-down scheme and every blocking sync
     runs on a stage worker. Exotic paths (CMYK/YCCK, RGB, 12-bit,
     partial progressive needing block smoothing) fall back to grouped or
-    single-image rendering."""
+    single-image rendering.
+
+    output="yuv" returns, per image, the per-component sample planes at
+    jpeg_read_raw_data / tj3DecompressToYUV8 dims (no upsample/color,
+    no host post — the deployment shape when the consumer wants planar
+    YCbCr); output="rgb565" returns (h, w) uint16 RGB565 with the
+    reference's ordered dither (per-image path)."""
     from concurrent.futures import ThreadPoolExecutor
+
+    if output not in ("rgb", "yuv", "rgb565"):
+        raise ValueError("output must be rgb, yuv or rgb565")
+    if output == "rgb565":
+        return [decode_rgb565(d, fancy_upsample) for d in datas]
 
     jps = [marker.parse(d) for d in datas]
 
@@ -1221,13 +1302,23 @@ def decode_many(datas, fancy_upsample: bool = True,
             if len(pending[key]) >= g:
                 jobs.append(stage_pool.submit(
                     _decode_chunk_packed, key, pending.pop(key), jps,
-                    planes_list, out, fancy_upsample, block_smoothing))
+                    planes_list, out, fancy_upsample, block_smoothing,
+                    output))
         for key, idxs in pending.items():
             jobs.append(stage_pool.submit(
                 _decode_chunk_packed, key, idxs, jps, planes_list, out,
-                fancy_upsample, block_smoothing))
+                fancy_upsample, block_smoothing, output))
         for j in jobs:
             j.result()
+
+    if output == "yuv":
+        for i in leftovers:
+            jp = jps[i]
+            if planes_list[i] is None:
+                raise ValueError(
+                    "yuv output requires a lossy (DCT) stream")
+            out[i] = decode_raw_planes_parsed(jp, planes_list[i])
+        return out
 
     groups: dict = {}
     for i in leftovers:

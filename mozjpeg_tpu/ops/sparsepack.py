@@ -281,3 +281,79 @@ def expand_flat_to_planes(masks: np.ndarray, lo: np.ndarray,
             off += n
         images.append(planes)
     return images
+
+
+# ---------------------------------------------------------------------------
+# Decode-direction exact flat upload: the same [masks | 1-byte values with
+# 0x80-escape | int16 escapes] layout as the ENCODE download
+# (pack_planes_exact), packed on host in numpy and expanded on device.
+# Replaces the superblock int16-pair upload whose worst-superblock bucket
+# slack measured ~1.3 B/px on real corpora (~0.4 B/px here): host sizes
+# the value buckets exactly, so there is NO overflow path, and a block
+# may hold up to all 64 nonzeros.
+# ---------------------------------------------------------------------------
+
+VAL_STEP = 16384                # value-bucket granularity bounds programs
+
+
+def pack_flat_host(flat: np.ndarray):
+    """(n, 64) int16 zigzag planes -> (masks (nt*2,) int32 view,
+    lo (capv,) uint8, esc (cape//2*2,) int16, nt, total, nesc).
+    Buckets are exact-by-construction (the host knows all counts)."""
+    n = flat.shape[0]
+    nt = n
+    m = flat != 0                                  # (n, 64)
+    masks = np.packbits(m, axis=1, bitorder="little")   # (n, 8) u8
+    vals = flat[m].astype(np.int32)                # block-major, k-order
+    total = int(vals.size)
+    esc_mask = (vals < -127) | (vals > 127)
+    esc = vals[esc_mask].astype(np.int16)
+    nesc = int(esc.size)
+    capv = -(-max(total, 1) // VAL_STEP) * VAL_STEP
+    cape = -(-max(nesc, 1) // 2048) * 2048
+    lo = np.zeros(capv, np.uint8)
+    lo[:total] = np.where(esc_mask, 0x80, vals & 0xFF).astype(np.uint8)
+    esc_buf = np.zeros(cape, np.int16)
+    esc_buf[:nesc] = esc
+    return (np.ascontiguousarray(masks).view(np.int32).reshape(-1),
+            lo, esc_buf, nt, total, nesc)
+
+
+@functools.partial(jax.jit, static_argnames=("nt", "capv", "cape"))
+def expand_flat_dev(masks, lo, esc, nt: int, capv: int, cape: int):
+    """Device inverse of pack_flat_host: masks (nt*2,) int32, lo (capv,)
+    uint8, esc (cape,) int16 -> dense (64, nt) int16 zigzag planes.
+    Value slots map to (block, rank) by the boundary-scatter + cummax
+    trick; rank -> zigzag position by a bitonic sort over the 64 mask
+    bits (no per-position gathers)."""
+    m2 = jax.lax.bitcast_convert_type(masks.reshape(nt, 2), jnp.uint32)
+    k = np.arange(64, dtype=np.int32)
+    word = jnp.where(k[None, :] < 32, m2[:, 0:1], m2[:, 1:2])
+    nzb = ((word >> (k[None, :] & 31).astype(jnp.uint32)) & 1)         .astype(jnp.int32)                            # (nt, 64)
+    counts = jnp.sum(nzb, axis=1)
+    off = jnp.cumsum(counts) - counts
+    total = off[-1] + counts[-1]
+
+    keys = jnp.where(nzb > 0, k[None, :], np.int32(64))
+    pos_s = jax.lax.sort(keys, dimension=-1)          # set bits ascending
+
+    vidx = jnp.arange(capv, dtype=jnp.int32)
+    bnd = jnp.zeros((capv,), jnp.int32).at[off].add(
+        jnp.ones((nt,), jnp.int32), mode="drop")
+    # empty blocks tie with their successor at the same offset and lose
+    # (cumsum counts every block with off <= v, so blk is the LAST one)
+    blk = jnp.clip(jnp.cumsum(bnd) - 1, 0, nt - 1)
+    r = jnp.clip(vidx - off[blk], 0, 63)
+    kpos = pos_s.reshape(-1)[blk * 64 + r]
+
+    byte = lo.astype(jnp.int32)
+    is_esc = byte == 0x80
+    erank = jnp.cumsum(is_esc.astype(jnp.int32)) - is_esc.astype(jnp.int32)
+    ev = esc[jnp.clip(erank, 0, cape - 1)].astype(jnp.int32)
+    small = jnp.where(byte >= 128, byte - 256, byte)
+    val = jnp.where(is_esc, ev, small)
+    live = vidx < total
+    dense = jnp.zeros((64 * nt,), jnp.int32).at[
+        jnp.where(live, kpos * nt + blk, 64 * nt)].add(
+        jnp.where(live, val, 0), mode="drop")
+    return dense.reshape(64, nt).astype(jnp.int16)
