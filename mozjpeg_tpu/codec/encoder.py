@@ -1225,12 +1225,17 @@ def _batch_fetch(st, cfg):
     if "transport" in st:
         from ..ops import sparsepack, transport
         fetched = transport.fetch(st["transport"])
+        if fetched is None:
+            # symbol capacity overflow (denser than the default bucket):
+            # retry once at the big bucket before giving up on transport
+            fetched = transport.fetch(transport.pack_batch(
+                tuple(st["finals"]), tuple(comps), b, scap=32))
         if fetched is not None:
             words, bits = fetched
             planes = transport.decode_to_planes(words, bits, b, comps)
             if planes is not None:
                 return planes
-        # overflow or malformed: dispatch the sparse pack now (rare)
+        # still over (or malformed): sparse download (rare)
         st["sparse2"] = sparsepack.pack_planes_exact(
             tuple(st["finals"]), tuple(comps), b)
     if "sparse2" in st:

@@ -53,7 +53,7 @@ TRIM_STEP = 8192            # word-download bucket (32 KB) bounds programs
 
 
 def _scap() -> int:
-    return int(os.environ.get("MJ_TRANSPORT_SCAP", "16"))
+    return int(os.environ.get("MJ_TRANSPORT_SCAP", "12"))
 
 
 def _luts():
@@ -198,9 +198,21 @@ def _pack_transport(flat, b: int, n_tot: int, captot: int, capw: int):
     sym = (meta_c & 255).astype(jnp.int32)
     nb_s = ((meta_c >> 8) & 15).astype(jnp.int32)
     t2_s = ((meta_c >> 12) & 0x3FF).astype(jnp.uint32)
-    ent = jnp.asarray(ac_lut_np)[sym]                  # the one LUT gather
+    # LUT lookup as a one-hot contraction (MXU) instead of a gather:
+    # ~9 ns per gathered element vs ~1 ms of streamed HBM traffic for
+    # the whole batch (docs/perf_notes.md). co | si<<16 < 2^21 is
+    # f32-exact and each row has exactly one hot term.
+    lut21 = (ac_lut_np & np.uint32(0xFFFF)).astype(np.float32) \
+        + (ac_lut_np >> np.uint32(24)).astype(np.float32) * 65536.0
+    sym_r = sym.reshape(-1, 512)
+    oh = (sym_r[:, :, None] ==
+          np.arange(256, dtype=np.int32)[None, None, :]).astype(
+        jnp.float32)
+    ent = jnp.einsum("cls,s->cl", oh, lut21,
+                     preferred_element_type=jnp.float32) \
+        .reshape(-1).astype(jnp.uint32)
     aco_c = ent & jnp.uint32(0xFFFF)
-    asi_c = (ent >> 24).astype(jnp.int32)
+    asi_c = (ent >> 16).astype(jnp.int32)
     v_s2 = (aco_c << nb_s) | (t2_s & ((jnp.uint32(1) << nb_s) - 1))
     l_s2 = asi_c + nb_s
 
@@ -261,16 +273,18 @@ def _trim_rows(w, n: int):
     return w[:, :n]
 
 
-def pack_batch(finals, comps, b: int):
+def pack_batch(finals, comps, b: int, scap: int = 0):
     """finals: tuple per comp of (64, B*n_c) int16 device arrays ->
     (words_dev, header_dev, n_tot, capw).  Same flat block order as
-    sparsepack.pack_planes_exact."""
+    sparsepack.pack_planes_exact.  scap overrides the per-block symbol
+    capacity (the retry path packs again at 32 when the default
+    overflows — denser than that falls back to the sparse download)."""
     per_img = [f.reshape(64, b, -1) for f in finals]
     flat = jnp.concatenate(per_img, axis=2)            # (64, B, n_tot)
     n_tot = flat.shape[2]
     nt = b * n_tot
     flat = flat.reshape(64, nt)
-    captot = nt * _scap()
+    captot = -(-nt * (scap or _scap()) // 512) * 512
     capw = 13 * n_tot + 2
     words, header = _pack_transport(flat, b, n_tot, captot, capw)
     return words, header, n_tot, capw
