@@ -273,6 +273,21 @@ def _trim_rows(w, n: int):
     return w[:, :n]
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _trim_concat(header, w, n: int):
+    """[header | per-row word prefixes] as ONE i32 buffer so the fetch
+    is a single blocking transfer (each np.asarray on this attachment
+    costs a ~25-50 ms round trip)."""
+    return jnp.concatenate(
+        [header, jax.lax.bitcast_convert_type(
+            w[:, :n], jnp.int32).reshape(-1)])
+
+
+# running per-geometry estimate of the largest image's word count, so
+# the speculative single-transfer fetch rarely needs a second trip
+_EST_WORDS: dict = {}
+
+
 def pack_batch(finals, comps, b: int, scap: int = 0):
     """finals: tuple per comp of (64, B*n_c) int16 device arrays ->
     (words_dev, header_dev, n_tot, capw).  Same flat block order as
@@ -291,22 +306,31 @@ def pack_batch(finals, comps, b: int, scap: int = 0):
 
 
 def fetch(packed):
-    """Sync the tiny header, then download only the word bucket the
-    largest image's bits need.  -> (words_host (b, w) u32, bits (b,)
-    int32) or None on overflow (caller falls back to the sparse
-    download)."""
+    """One speculative transfer: [header | per-row word prefix] sized by
+    the running estimate for this geometry; a second (exact) transfer
+    only when an image outgrew the guess.  -> (words_host (b, w) u32,
+    bits (b,) int32) or None on overflow (caller falls back to the
+    sparse download)."""
+    from ..utils import xfer
     words_dev, header_dev, n_tot, capw = packed
-    header = np.asarray(header_dev)
+    b = words_dev.shape[0]
+    est = _EST_WORDS.get(n_tot, max(1, n_tot * 5 // 32))
+    bucket = min(capw, -(-int(est * 1.3) // TRIM_STEP) * TRIM_STEP)
+    buf = np.asarray(_trim_concat(header_dev, words_dev, bucket))
+    xfer.add_d2h(buf.nbytes)
+    header = buf[:b + 2]
     if int(header[-1]):
         return None
     bits = header[:-2]
     need = int(max(1, (int(bits.max()) + 31) // 32))
-    bucket = -(-need // TRIM_STEP) * TRIM_STEP
-    if bucket < capw:
-        words_dev = _trim_rows(words_dev, bucket)
-    words = np.asarray(words_dev)
-    from ..utils import xfer
-    xfer.add_d2h(header.nbytes + words.nbytes)
+    _EST_WORDS[n_tot] = need
+    if need <= bucket:
+        words = buf[b + 2:].view(np.uint32).reshape(b, bucket)
+        return words, bits.astype(np.int32)
+    # guess too small: one exact follow-up transfer
+    bucket = min(capw, -(-need // TRIM_STEP) * TRIM_STEP)
+    words = np.asarray(_trim_rows(words_dev, bucket))
+    xfer.add_d2h(words.nbytes)
     return words, bits.astype(np.int32)
 
 
