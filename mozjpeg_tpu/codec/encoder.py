@@ -847,11 +847,46 @@ def _reset_device_programs():
 
 def _batch_max_mp() -> float:
     """Per-image megapixel ceiling for the batched fast path; larger
-    images take the staged per-image path. 4K frames batch fine since
-    the captured-constant fix (docs/perf_notes.md) — the ceiling now
-    only bounds device memory for truly huge frames."""
+    images take the row-sharded encoder (multi-device, restart configs)
+    or the staged per-image path. Group sizes shrink automatically for
+    big frames (MJ_BATCH_BUDGET_MP), so the ceiling only bounds device
+    memory for truly huge singles."""
     import os as _os
-    return float(_os.environ.get("MJ_BATCH_MAX_MP", "16.0"))
+    return float(_os.environ.get("MJ_BATCH_MAX_MP", "48.0"))
+
+
+def _batch_budget_mp() -> float:
+    """Total megapixels per batched device group (bounds device memory:
+    big frames get proportionally smaller groups). 128 = the proven r3
+    envelope (16 MP x 8)."""
+    import os as _os
+    return float(_os.environ.get("MJ_BATCH_BUDGET_MP", "128.0"))
+
+
+def _route_rows(img, config, overrides) -> Optional[bytes]:
+    """Huge singles on a multi-device attachment: encode via
+    parallel/rows.py row sharding (VERDICT r4 item 5). Only taken when
+    the config is the rows profile — full mozjpeg default with
+    restart_in_rows set (shard independence needs the restart markers,
+    so a non-restart config's bytes would differ) — and more than one
+    device is attached. Byte-exact vs the staged encoder."""
+    import jax as _jax
+    if img.ndim != 3 or len(_jax.devices()) < 2:
+        return None
+    cfg_o = config if config is not None else EncoderConfig()
+    if overrides:
+        import dataclasses as _dc
+        cfg_o = _dc.replace(cfg_o, **overrides)
+    rr = cfg_o.restart_in_rows
+    if not rr:
+        return None
+    if cfg_o != EncoderConfig(quality=cfg_o.quality, restart_in_rows=rr):
+        return None
+    if not isinstance(cfg_o.quality, (int, float)):
+        return None
+    from ..parallel import rows as _rows
+    return _rows.encode_row_sharded_scanopt(
+        img, float(cfg_o.quality), restart_rows=rr)
 
 
 def _fast_ctx(img, config, overrides):
@@ -869,14 +904,11 @@ def _fast_ctx(img, config, overrides):
     if (pipeline_t.batchable(geom) and cs == "ycbcr"
             and not cfg.trellis_q_opt
             and not cfg.use_scans_in_trellis
-            # options _p1_batch hardcodes away — fall back to the
-            # per-image pipeline when any is in play
             and not cfg.arithmetic
-            and cfg.smoothing_factor == 0
-            and cfg.dct_method == DCTMethod.ISLOW
-            and not cfg.restart_interval
-            and not cfg.restart_in_rows
             and _qt_slots(cfg, cs, ncomps) == (0, 1, 1)):
+        # restart intervals, ifast/float DCT and input smoothing ride
+        # the batched pipeline too (r4; the r3 6x staged-path cliff for
+        # these options is gone)
         return (cfg_o, cfg, ncomps, samp, qt)
     return None
 
@@ -900,14 +932,42 @@ def _encode_many(images, config: Optional[EncoderConfig] = None,
             by_shape.setdefault(img.shape, []).append(i)
         fast_groups = []
         slow_idx = []
+        rows_done = {}
         for shape, idxs in by_shape.items():
             ctx = _fast_ctx(images[idxs[0]], config, overrides)
             if ctx is not None:
                 fast_groups.append((idxs, ctx))
-            else:
-                slow_idx.extend(idxs)
+                continue
+            img0 = images[idxs[0]]
+            if (img0.ndim == 3
+                    and img0.shape[0] * img0.shape[1]
+                    > _batch_max_mp() * 1e6):
+                routed = True
+                for i in idxs:
+                    r = _route_rows(images[i], config, overrides)
+                    if r is None:
+                        routed = False
+                        break
+                    rows_done[i] = r
+                if routed:
+                    continue
+                for i in idxs:
+                    rows_done.pop(i, None)
+            slow_idx.extend(idxs)
+        if rows_done and not fast_groups:
+            out = [None] * len(images)
+            for i, r in rows_done.items():
+                out[i] = r
+            if slow_idx:
+                slow_out = _encode_many([images[i] for i in slow_idx],
+                                        config, **overrides)
+                for j, i in enumerate(slow_idx):
+                    out[i] = slow_out[j]
+            return out
         if fast_groups:
             out = [None] * len(images)
+            for i, r in rows_done.items():
+                out[i] = r
             _encode_pipelined_groups(images, fast_groups, out)
             if slow_idx:
                 slow_out = _encode_many([images[i] for i in slow_idx],
@@ -974,8 +1034,11 @@ def _encode_pipelined_groups(images, fast_groups, out):
     g = _group_size()
     chunks = []
     for idxs, ctx in fast_groups:
-        for k in range(0, len(idxs), g):
-            chunks.append((idxs[k:k + g], ctx))
+        img0 = images[idxs[0]]
+        mp = img0.shape[0] * img0.shape[1] / 1e6
+        ge = max(1, min(g, int(_batch_budget_mp() / max(mp, 1e-6))))
+        for k in range(0, len(idxs), ge):
+            chunks.append((idxs[k:k + ge], ctx))
     if len(chunks) == 1:
         idxs, (cfg_o, cfg, ncomps, samp, qt) = chunks[0]
         imgs = [images[i] for i in idxs]
@@ -1065,14 +1128,23 @@ def _batch_p1(images, cfg, samp, qtables):
     usually already resident."""
     import numpy as _np
     from . import pipeline_t
-    if cfg.host_prep:
+    from .pipeline import geometry as _geometry
+    _, _, comps = _geometry(images[0].shape[1], images[0].shape[0], samp)
+    ris = _trellis_ris(cfg, comps)
+    dctm = (cfg.dct_method.value if hasattr(cfg.dct_method, "value")
+            else cfg.dct_method)
+    if cfg.host_prep and cfg.smoothing_factor == 0:
         # host C++ color+downsample halves the pixel upload (prep.cpp)
         geom, merged, smalls = pipeline_t.run_p1_batch_pre(
-            images, samp, qtables, cfg.overshoot_deringing, cfg.precision)
+            images, samp, qtables, cfg.overshoot_deringing, cfg.precision,
+            ris=ris, dct_method=dctm)
     else:
+        # input smoothing happens inside downsampling (jcsample.c) —
+        # device prep path carries it
         stack = _np.stack(images)
         geom, merged, smalls = pipeline_t.run_p1_batch(
-            stack, samp, qtables, cfg.overshoot_deringing, cfg.precision)
+            stack, samp, qtables, cfg.overshoot_deringing, cfg.precision,
+            ris=ris, smoothing=cfg.smoothing_factor, dct_method=dctm)
     if cfg.trellis_quant and (cfg.arithmetic or not cfg.optimize_coding):
         # only the host-tablegen trellis path reads smalls on host —
         # prefetch for it. (The dev-first trellis consumes them on

@@ -268,14 +268,16 @@ def batchable(geom) -> bool:
                and g.bw == g.bw_pad and g.bh == g.bh_pad for g in comps)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit,
+                   static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
-              precision: int = 8, ris: tuple = None, qts81=None):
+              precision: int = 8, ris: tuple = None, smoothing: int = 0,
+              dct_method: str = "islow", qts81=None, dts81=None):
     def one(rgb):
         return _p1.__wrapped__(rgb, mcus_x, mcus_y, geom, dering_on,
                                precision, "ycbcr",
-                               (0,) + (1,) * (len(geom) - 1), 0, "islow",
-                               ris, qts81, None)
+                               (0,) + (1,) * (len(geom) - 1), smoothing,
+                               dct_method, ris, qts81, dts81)
 
     res, smalls = jax.vmap(one)(rgbs)
     b = rgbs.shape[0]
@@ -287,18 +289,37 @@ def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
     return merged, smalls.reshape(-1)           # one small buffer for all B
 
 
+def _divisor_tables(qtables, qt_slots, dct_method):
+    """Per-slot ifast/float divisor tables (None for islow)."""
+    if dct_method == "ifast":
+        from ..ops import dct as _dct
+        return tuple(
+            jnp.asarray(_dct.ifast_divisors(qtables[s]).reshape(8, 8, 1))
+            for s in qt_slots)
+    if dct_method == "float":
+        from ..ops import dct as _dct
+        return tuple(
+            jnp.asarray(_dct.float_divisors(qtables[s]).reshape(8, 8, 1))
+            for s in qt_slots)
+    return None
+
+
 def run_p1_batch(images: np.ndarray, samp, qtables, dering_on: bool,
-                 precision: int = 8, ris: tuple = None):
+                 precision: int = 8, ris: tuple = None,
+                 smoothing: int = 0, dct_method: str = "islow"):
     """images (B, H, W, 3) -> (geom, [(q,raw) with N'=B*N], smalls (B,...))."""
     b, h, w = images.shape[:3]
     mcus_x, mcus_y, geom = geometry(w, h, samp)
     q81 = [_dev_qtbl(np.asarray(t)) for t in qtables[:2]]
     qts81 = tuple(q81[0 if i == 0 else min(1, len(q81) - 1)]
                   for i in range(len(geom)))
+    qt_slots = tuple(0 if i == 0 else 1 for i in range(len(geom)))
+    dts81 = _divisor_tables(qtables, qt_slots, dct_method)
     from ..utils import xfer
     xfer.add_h2d(images.nbytes)
     res, small = _p1_batch(jnp.asarray(images), mcus_x, mcus_y, tuple(geom),
-                           dering_on, precision, ris, qts81=qts81)
+                           dering_on, precision, ris, smoothing,
+                           dct_method, qts81=qts81, dts81=dts81)
     return (mcus_x, mcus_y, geom), res, small
 
 
@@ -456,9 +477,10 @@ def run_p1_raw(planes, width: int, height: int, samp, qtables,
 
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _p1_batch_pre(bufs, geom: tuple, dering_on: bool, precision: int = 8,
-                  ris: tuple = None, qts81=None):
+                  ris: tuple = None, dct_method: str = "islow",
+                  qts81=None, dts81=None):
     """Batched p1 from host-prepared YCbCr planes (native/prep.cpp):
     bufs (B, total_bytes) uint8 = per image [Y | Cb | Cr] edge-padded
     planes. Skips color conversion and downsampling on device — the
@@ -473,7 +495,8 @@ def _p1_batch_pre(bufs, geom: tuple, dering_on: bool, precision: int = 8,
                                                    g.bw_pad * 8))
             off += n
         return _p1_raw.__wrapped__(tuple(planes), geom, dering_on,
-                                   precision, ris, "islow", qts81, None)
+                                   precision, ris, dct_method, qts81,
+                                   dts81)
 
     res, smalls = jax.vmap(one)(bufs)
     merged = []
@@ -485,7 +508,8 @@ def _p1_batch_pre(bufs, geom: tuple, dering_on: bool, precision: int = 8,
 
 
 def run_p1_batch_pre(images, samp, qtables, dering_on: bool,
-                     precision: int = 8, ris: tuple = None):
+                     precision: int = 8, ris: tuple = None,
+                     dct_method: str = "islow"):
     """Host color+downsample (multithreaded C++) -> one packed uint8
     upload -> batched p1. Byte-identical results to run_p1_batch."""
     import os as _os
@@ -514,6 +538,9 @@ def run_p1_batch_pre(images, samp, qtables, dering_on: bool,
                         crp.ctypes.data_as(u8p), nt)
     from ..utils import xfer
     xfer.add_h2d(bufs.nbytes)
+    qt_slots = tuple(0 if i == 0 else 1 for i in range(len(geom)))
+    dts81 = _divisor_tables(qtables, qt_slots, dct_method)
     merged, small = _p1_batch_pre(jnp.asarray(bufs), tuple(geom),
-                                  dering_on, precision, ris, qts81)
+                                  dering_on, precision, ris, dct_method,
+                                  qts81, dts81)
     return (mcus_x, mcus_y, geom), merged, small

@@ -1,0 +1,92 @@
+"""r4 fast-path cliff removal: restart intervals, ifast/float DCT and
+input smoothing run through the BATCHED pipeline byte-identically to the
+reference (`cjpeg`) and to the staged per-image path."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from mozjpeg_tpu.codec.config import DCTMethod  # noqa: E402
+
+from conftest import CJPEG, have_reference
+
+from mozjpeg_tpu import EncoderConfig, encode_many
+from mozjpeg_tpu.utils import ppm
+
+
+def _cjpeg(args, img, tmp_path):
+    src = str(tmp_path / "src.ppm")
+    dst = str(tmp_path / "out.jpg")
+    ppm.write(src, img)
+    subprocess.run([CJPEG] + args + ["-outfile", dst, src], check=True)
+    with open(dst, "rb") as f:
+        return f.read()
+
+
+CFGS = [
+    (dict(quality=75, restart_interval=2), ["-quality", "75",
+                                            "-restart", "2b"]),
+    (dict(quality=75, restart_in_rows=1), ["-quality", "75",
+                                           "-restart", "1"]),
+    (dict(quality=75, dct_method=DCTMethod.IFAST),
+     ["-quality", "75", "-dct", "fast"]),
+    (dict(quality=75, smoothing_factor=30), ["-quality", "75",
+                                             "-smooth", "30"]),
+]
+
+
+@pytest.mark.parametrize("kw,args", CFGS,
+                         ids=["restart2", "restart-rows", "ifast-baseline",
+                              "smooth30"])
+def test_batched_cliff_configs_byte_exact(testorig, tmp_path, kw, args):
+    if not have_reference():
+        pytest.skip("no reference build")
+    imgs = [testorig, np.roll(testorig, 13, axis=1).copy(),
+            np.roll(testorig, 29, axis=0).copy()]
+    cfg = EncoderConfig(**kw)
+    outs = encode_many(imgs, cfg)
+    for img, out in zip(imgs, outs):
+        ref = _cjpeg(args, img, tmp_path)
+        assert out == ref
+
+
+def test_batched_float_dct_matches_staged(testorig):
+    """float DCT: batched output equals the staged per-image path (the
+    float path is not byte-pinned vs cjpeg — C float ops differ across
+    compilers — but batched-vs-staged must be exact)."""
+    from mozjpeg_tpu.codec import encoder as E
+    imgs = [testorig, np.roll(testorig, 7, axis=1).copy()]
+    cfg = EncoderConfig(quality=75, dct_method=DCTMethod.FLOAT)
+    outs = encode_many(imgs, cfg)
+    old = os.environ.get("MJ_BATCH_MAX_MP")
+    os.environ["MJ_BATCH_MAX_MP"] = "0"      # force the staged path
+    try:
+        staged = encode_many(imgs, cfg)
+    finally:
+        if old is None:
+            os.environ.pop("MJ_BATCH_MAX_MP", None)
+        else:
+            os.environ["MJ_BATCH_MAX_MP"] = old
+    assert outs == staged
+
+
+def test_oversize_single_routes_to_rows(testorig):
+    """An over-cap restart_in_rows single routes through the row-sharded
+    encoder (8-device CPU mesh) byte-identically to the staged path."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    img = np.ascontiguousarray(testorig[:144, :208])
+    cfg = EncoderConfig(quality=75, restart_in_rows=1)
+    old = os.environ.get("MJ_BATCH_MAX_MP")
+    os.environ["MJ_BATCH_MAX_MP"] = "0.01"   # force the over-cap branch
+    try:
+        routed = encode_many([img], cfg)[0]
+    finally:
+        if old is None:
+            os.environ.pop("MJ_BATCH_MAX_MP", None)
+        else:
+            os.environ["MJ_BATCH_MAX_MP"] = old
+    staged = encode_many([img, img], cfg)[0]   # batched path, same bytes
+    assert routed == staged
