@@ -110,57 +110,74 @@ def encode_lossless(image: np.ndarray, predictor: int = 1,
 
 
 def decode_lossless(jp: marker.ParsedJpeg, data: bytes) -> np.ndarray:
+    """Lossless (SOF3) decode incl. MULTI-SCAN streams: each scan covers
+    a disjoint component subset with its own predictor, point transform,
+    tables and restart interval (jdlhuff.c per-scan entropy + jdinput.c
+    scan sequencing). The reference encoder cannot emit these, but its
+    decoder accepts them — golden-tested against djpeg on synthesized
+    streams (tests/test_lossless_multiscan.py)."""
     marker.validate_decodable(jp)
     if jp.arithmetic:
         raise ValueError("arithmetic-coded lossless (SOF11) is not "
                          "supported")
-    if len(jp.scans) != 1:
-        raise ValueError("multi-scan lossless streams are not supported")
-    ri = int(jp.scan_restart[0] or 0)
-    if ri and ri % jp.width != 0:
-        # the reference decoder requires a whole number of MCU rows per
-        # restart interval (jddiffct.c:104-109 JERR_BAD_RESTART)
-        raise ValueError("lossless restart interval must be a multiple "
-                         "of the samples per row")
     if any(c.h != 1 or c.v != 1 for c in jp.components):
         raise ValueError("subsampled lossless components are not "
                          "supported")
-    scan = jp.scans[0]
-    predictor = scan.Ss
-    pt = scan.Al
     ncomp = len(jp.components)
-    if sorted(scan.comp_indices) != list(range(ncomp)):
-        raise ValueError("lossless scan must cover all components")
+    covered = sorted(ci for sc in jp.scans for ci in sc.comp_indices)
+    if covered != list(range(ncomp)):
+        raise ValueError("lossless scans must cover each component "
+                         "exactly once")
     h, w = jp.height, jp.width
     planes = [np.zeros((h, w), np.uint16) for _ in range(ncomp)]
-    ptrs = (ctypes.c_void_p * ncomp)(*[p.ctypes.data for p in planes])
-    tbl_idx = np.array([scan.dc_tbls[i] for i in range(ncomp)], np.int32)
-
-    htables = jp.scan_htables[0]
-    mincode = np.zeros((4, 17), np.int32)
-    maxcode = np.full((4, 18), -1, np.int64)
-    valptr = np.zeros((4, 17), np.int32)
-    vals = np.zeros((4, 256), np.uint8)
-    for (cls, i), t in htables.items():
-        if cls != 0:
-            continue
-        mn, mx, vp, vl = derive_decode_table(t)
-        mincode[i] = mn
-        maxcode[i] = mx
-        valptr[i] = vp
-        vals[i, :len(vl)] = vl
+    pts = [0] * ncomp
     buf = np.frombuffer(data, np.uint8)
-    seg = np.ascontiguousarray(buf[scan.data_start:scan.data_end])
-    r = lib.mj_lossless_decode(
-        seg.ctypes.data_as(u8p), seg.size, ptrs, ncomp, w, h, predictor,
-        jp.precision, pt, tbl_idx.ctypes.data_as(i32p),
-        np.ascontiguousarray(mincode).ctypes.data_as(i32p),
-        np.ascontiguousarray(maxcode).ctypes.data_as(i64p),
-        np.ascontiguousarray(valptr).ctypes.data_as(i32p),
-        np.ascontiguousarray(vals).ctypes.data_as(u8p), ri)
-    if r < 0:
-        raise ValueError("corrupt lossless scan")
-    out = [(p.astype(np.uint32) << pt) for p in planes]
+    for si, scan in enumerate(jp.scans):
+        ri = int(jp.scan_restart[si] or 0)
+        # the reference decoder requires a whole number of MCU rows per
+        # restart interval (jddiffct.c:104-109 JERR_BAD_RESTART); a
+        # scan's MCUs per row is w times its component count when
+        # interleaved, w for a single-component scan (jdinput.c)
+        row_mcus = w * (len(scan.comp_indices)
+                        if len(scan.comp_indices) > 1 else 1)
+        if ri and ri % row_mcus != 0:
+            raise ValueError("lossless restart interval must be a "
+                             "multiple of the samples per row")
+        predictor = scan.Ss
+        pt = scan.Al
+        nsc = len(scan.comp_indices)
+        scomps = list(scan.comp_indices)
+        for ci in scomps:
+            pts[ci] = pt
+        ptrs = (ctypes.c_void_p * nsc)(
+            *[planes[ci].ctypes.data for ci in scomps])
+        tbl_idx = np.array([scan.dc_tbls[ci] for ci in scomps], np.int32)
+
+        htables = jp.scan_htables[si]
+        mincode = np.zeros((4, 17), np.int32)
+        maxcode = np.full((4, 18), -1, np.int64)
+        valptr = np.zeros((4, 17), np.int32)
+        vals = np.zeros((4, 256), np.uint8)
+        for (cls, i), t in htables.items():
+            if cls != 0:
+                continue
+            mn, mx, vp, vl = derive_decode_table(t)
+            mincode[i] = mn
+            maxcode[i] = mx
+            valptr[i] = vp
+            vals[i, :len(vl)] = vl
+        seg = np.ascontiguousarray(buf[scan.data_start:scan.data_end])
+        r = lib.mj_lossless_decode(
+            seg.ctypes.data_as(u8p), seg.size, ptrs, nsc, w, h,
+            predictor, jp.precision, pt, tbl_idx.ctypes.data_as(i32p),
+            np.ascontiguousarray(mincode).ctypes.data_as(i32p),
+            np.ascontiguousarray(maxcode).ctypes.data_as(i64p),
+            np.ascontiguousarray(valptr).ctypes.data_as(i32p),
+            np.ascontiguousarray(vals).ctypes.data_as(u8p), ri)
+        if r < 0:
+            raise ValueError("corrupt lossless scan")
+    out = [(p.astype(np.uint32) << pts[ci])
+           for ci, p in enumerate(planes)]
     dt = np.uint16 if jp.precision > 8 else np.uint8
     maxv = (1 << jp.precision) - 1
     out = [np.clip(p, 0, maxv).astype(dt) for p in out]
