@@ -21,15 +21,25 @@ MAXS = 127  # 255 - CENTERJSAMPLE
 
 # IEEE f32 1/n for n in [0, 65]: TPU f32 division is reciprocal-based and
 # can be 1 ulp off IEEE (codec/trellis.py _recip2_np), while C computes
-# step = 1/(length+1) as an IEEE f32 divide. length+1 is 0 at non-run
-# positions (inf, exactly like the former on-device 1/0) and in [2, 65]
-# inside a run.
+# step = 1/(length+1) as an IEEE f32 divide. length+1 is in [2, 65]
+# inside a run; entries 0/1 are only read at masked non-run positions,
+# so they hold 0 instead of inf (a gathered inf and a contracted 0 are
+# equally discarded, and 0 keeps the one-hot contraction NaN-free).
 with np.errstate(divide="ignore"):
     _STEP_LUT = np.float32(1.0) / np.arange(66, dtype=np.float32)
+_STEP_LUT[:2] = 0.0
 
 
 def _step_of(length):
-    return jnp.asarray(_STEP_LUT)[jnp.clip(length + 1, 0, 65)]
+    """LUT lookup as a one-hot contraction: a 66-entry gather at (64, N)
+    indices costs ~9 ns per element (≈25 ms per 8-image group — it was
+    2/3 of the whole dering cost); the contraction streams at HBM rate.
+    Exact: one hot term per row selects the IEEE f32 table value."""
+    idx = jnp.clip(length + 1, 0, 65)
+    oh = (idx[..., None] ==
+          np.arange(66, dtype=np.int32)).astype(jnp.float32)
+    return jnp.einsum("...s,s->...", oh, _STEP_LUT,
+                      preferred_element_type=jnp.float32)
 
 
 def _hold_op(a, b):
