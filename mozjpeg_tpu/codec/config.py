@@ -273,10 +273,15 @@ def _auto_device_scanopt(flag):
         return True
     # auto: OFF everywhere. The device search is byte-exact and (since
     # the captured-constant fix, docs/perf_notes.md) runs stably on the
-    # chip — but its bit-packing kernels are scatter-bound: measured
-    # 0.08 MP/s vs the hybrid path's 12 MP/s, plus 100-200 s compile
-    # for the fused candidate sweep. It replaces jcmaster.c:773-962 on
-    # device capability-wise; speed needs a matmul-based pack.
+    # chip, but it LOSES structurally on this class of attachment: its
+    # reason to exist was deleting the coefficient D2H, and the r4
+    # transport download (ops/transport.py) already shrank that to
+    # ~0.17 B/px with ~35 ms/group of device work — while the full
+    # ~130-candidate device sweep costs more device time than the
+    # pipeline's bottleneck stage and the threaded host search runs in
+    # parallel on otherwise-idle cores (~50 ms/group). Re-evaluate on
+    # locally-attached multi-chip hosts where host cores are the
+    # scarce resource.
     return False
 
 
