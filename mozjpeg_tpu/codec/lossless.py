@@ -135,12 +135,10 @@ def decode_lossless(jp: marker.ParsedJpeg, data: bytes) -> np.ndarray:
     for si, scan in enumerate(jp.scans):
         ri = int(jp.scan_restart[si] or 0)
         # the reference decoder requires a whole number of MCU rows per
-        # restart interval (jddiffct.c:104-109 JERR_BAD_RESTART); a
-        # scan's MCUs per row is w times its component count when
-        # interleaved, w for a single-component scan (jdinput.c)
-        row_mcus = w * (len(scan.comp_indices)
-                        if len(scan.comp_indices) > 1 else 1)
-        if ri and ri % row_mcus != 0:
+        # restart interval (jddiffct.c:104-109 JERR_BAD_RESTART); with
+        # h=v=1 an MCU is one sample position (all the scan's components
+        # together when interleaved), so MCUs per row is w either way
+        if ri and ri % w != 0:
             raise ValueError("lossless restart interval must be a "
                              "multiple of the samples per row")
         predictor = scan.Ss
