@@ -113,7 +113,8 @@ def main():
     encode_many(corpus[:group], cfg)
     log("warmup+compile batched: %.1fs" % (time.perf_counter() - t0))
 
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps = int(os.environ.get("BENCH_REPS", "7"))  # tunnel drifts; a
+    # deeper rep set stabilizes the median (~2 s per extra rep)
     mp_corpus = sum(i.shape[0] * i.shape[1] for i in corpus) / 1e6
 
     t0 = time.perf_counter()
