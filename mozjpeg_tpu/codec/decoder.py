@@ -1279,15 +1279,17 @@ def decode_many(datas, fancy_upsample: bool = True,
     import os as _os
     out: List = [None] * len(datas)
     planes_list: List = [None] * len(datas)
-    # decode's optimum differs from encode's (bigger device batches
-    # amortize the sparse upload; no trellis-like compute to interleave)
+    # r4 re-measured after the flat upload shrank transfers: smaller
+    # groups with a deeper stage pool pipeline best (g8/w4 12.3-12.7
+    # MP/s vs g16/w2 7.7-8.7 in the same window)
     g = max(1, int(_os.environ.get("MJ_DECODE_GROUP",
                                    _os.environ.get("MJ_BATCH_GROUP",
-                                                   "16"))))
+                                                   "8"))))
     nthreads = min(8, max(2, (_os.cpu_count() or 4)))
+    nstage = max(1, int(_os.environ.get("MJ_DECODE_STAGE_WORKERS", "4")))
     leftovers: List[int] = []
     with ThreadPoolExecutor(max_workers=nthreads) as ent_pool, \
-            ThreadPoolExecutor(max_workers=2) as stage_pool:
+            ThreadPoolExecutor(max_workers=nstage) as stage_pool:
         futs = [ent_pool.submit(entropy, i) for i in range(len(datas))]
         pending: dict = {}              # fast-path key -> buffered indices
         jobs = []
