@@ -1133,8 +1133,9 @@ def _batch_p1(images, cfg, samp, qtables):
     ris = _trellis_ris(cfg, comps)
     dctm = (cfg.dct_method.value if hasattr(cfg.dct_method, "value")
             else cfg.dct_method)
-    if cfg.host_prep and cfg.smoothing_factor == 0:
-        # host C++ color+downsample halves the pixel upload (prep.cpp)
+    if cfg.host_prep and cfg.smoothing_factor == 0 and cfg.precision == 8:
+        # host C++ color+downsample halves the pixel upload (prep.cpp);
+        # uint8-only — deep-precision batches take the device prep path
         geom, merged, smalls = pipeline_t.run_p1_batch_pre(
             images, samp, qtables, cfg.overshoot_deringing, cfg.precision,
             ris=ris, dct_method=dctm)

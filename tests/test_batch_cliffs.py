@@ -90,3 +90,32 @@ def test_oversize_single_routes_to_rows(testorig):
             os.environ["MJ_BATCH_MAX_MP"] = old
     staged = encode_many([img, img], cfg)[0]   # batched path, same bytes
     assert routed == staged
+
+
+def test_batched_12bit_with_host_prep_env(testorig, tmp_path):
+    """12-bit batches must not take the uint8 host-prep path even when
+    MJ_HOST_PREP=1 (it reads uint8; a uint16 image would corrupt)."""
+    import subprocess
+    if not have_reference():
+        pytest.skip("no reference build")
+    img12 = ((testorig[:48, :64].astype(np.uint16) << 4)
+             | (testorig[:48, :64] >> 4))
+    src = str(tmp_path / "t12.ppm")
+    ppm.write(src, img12, maxval=4095)
+    dst = str(tmp_path / "r12.jpg")
+    subprocess.run([CJPEG, "-precision", "12", "-quality", "75",
+                    "-fastcrush", "-notrellis", "-notrellis-dc",
+                    "-outfile", dst, src], check=True)
+    old = os.environ.get("MJ_HOST_PREP")
+    os.environ["MJ_HOST_PREP"] = "1"
+    try:
+        out = encode_many([img12], EncoderConfig(
+            quality=75, precision=12, optimize_scans=False,
+            trellis_quant=False))[0]
+    finally:
+        if old is None:
+            os.environ.pop("MJ_HOST_PREP", None)
+        else:
+            os.environ["MJ_HOST_PREP"] = old
+    with open(dst, "rb") as f:
+        assert out == f.read()
