@@ -1286,7 +1286,7 @@ def decode_many(datas, fancy_upsample: bool = True,
                                    _os.environ.get("MJ_BATCH_GROUP",
                                                    "8"))))
     nthreads = min(8, max(2, (_os.cpu_count() or 4)))
-    nstage = max(1, int(_os.environ.get("MJ_DECODE_STAGE_WORKERS", "4")))
+    nstage = max(1, int(_os.environ.get("MJ_DECODE_STAGE_WORKERS", "6")))
     leftovers: List[int] = []
     with ThreadPoolExecutor(max_workers=nthreads) as ent_pool, \
             ThreadPoolExecutor(max_workers=nstage) as stage_pool:
