@@ -1048,7 +1048,7 @@ def _encode_pipelined_groups(images, fast_groups, out):
             out[i] = res[k]
         return
     nthreads = max(2, (_os.cpu_count() or 4) - 1)
-    nstage = max(1, int(_os.environ.get("MJ_STAGE_WORKERS", "4")))
+    nstage = max(1, int(_os.environ.get("MJ_STAGE_WORKERS", "6")))
     with ThreadPoolExecutor(max_workers=nstage) as stage_pool, \
             ThreadPoolExecutor(max_workers=nthreads) as ent_pool:
         jobs = []
