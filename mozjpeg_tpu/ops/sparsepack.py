@@ -293,7 +293,16 @@ def expand_flat_to_planes(masks: np.ndarray, lo: np.ndarray,
 # may hold up to all 64 nonzeros.
 # ---------------------------------------------------------------------------
 
-VAL_STEP = 16384                # value-bucket granularity bounds programs
+def _relbucket(n: int, floor_step: int) -> int:
+    """Round n up to a 3-bit-mantissa bucket (12.5%% relative
+    granularity, never finer than floor_step). The bucket is a STATIC
+    shape of the downstream jitted render program — fine-grained
+    absolute steps would recompile it every time a batch's nonzero
+    count crossed a step (30-60 s per remote TPU compile); relative
+    buckets keep the variants per geometry to a handful."""
+    n = max(n, 1)
+    step = max(floor_step, 1 << max((n - 1).bit_length() - 3, 0))
+    return -(-n // step) * step
 
 
 def pack_flat_host(flat: np.ndarray):
@@ -309,8 +318,8 @@ def pack_flat_host(flat: np.ndarray):
     esc_mask = (vals < -127) | (vals > 127)
     esc = vals[esc_mask].astype(np.int16)
     nesc = int(esc.size)
-    capv = -(-max(total, 1) // VAL_STEP) * VAL_STEP
-    cape = -(-max(nesc, 1) // 2048) * 2048
+    capv = _relbucket(total, 16384)
+    cape = _relbucket(nesc, 2048)
     lo = np.zeros(capv, np.uint8)
     lo[:total] = np.where(esc_mask, 0x80, vals & 0xFF).astype(np.uint8)
     esc_buf = np.zeros(cape, np.int16)
