@@ -294,8 +294,8 @@ def expand_flat_to_planes(masks: np.ndarray, lo: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def _relbucket(n: int, floor_step: int) -> int:
-    """Round n up to a 3-bit-mantissa bucket (12.5%% relative
-    granularity, never finer than floor_step). The bucket is a STATIC
+    """Round n up to a coarse-mantissa bucket (<=20% relative
+    slack, never finer than floor_step). The bucket is a STATIC
     shape of the downstream jitted render program — fine-grained
     absolute steps would recompile it every time a batch's nonzero
     count crossed a step (30-60 s per remote TPU compile); relative
