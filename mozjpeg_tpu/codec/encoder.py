@@ -904,7 +904,6 @@ def _fast_ctx(img, config, overrides):
     if (pipeline_t.batchable(geom) and cs == "ycbcr"
             and not cfg.trellis_q_opt
             and not cfg.use_scans_in_trellis
-            and not cfg.arithmetic
             and _qt_slots(cfg, cs, ncomps) == (0, 1, 1)):
         # restart intervals, ifast/float DCT and input smoothing ride
         # the batched pipeline too (r4; the r3 6x staged-path cliff for

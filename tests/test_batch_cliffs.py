@@ -119,3 +119,16 @@ def test_batched_12bit_with_host_prep_env(testorig, tmp_path):
             os.environ["MJ_HOST_PREP"] = old
     with open(dst, "rb") as f:
         assert out == f.read()
+
+
+def test_batched_arithmetic_byte_exact(testorig, tmp_path):
+    """Arithmetic coding rides the batched pipeline (r4): byte-identical
+    to cjpeg -arithmetic for a multi-image batch."""
+    if not have_reference():
+        pytest.skip("no reference build")
+    imgs = [testorig, np.roll(testorig, 11, axis=1).copy(),
+            np.roll(testorig, 23, axis=0).copy()]
+    outs = encode_many(imgs, EncoderConfig(quality=75, arithmetic=True))
+    for img, out in zip(imgs, outs):
+        ref = _cjpeg(["-quality", "75", "-arithmetic"], img, tmp_path)
+        assert out == ref
