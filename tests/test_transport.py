@@ -110,3 +110,47 @@ def test_encode_many_transport_matches(ref_tools, testorig):
             os.environ["MJ_COEF_TRANSPORT"] = old
     assert [len(x) for x in got] == [len(x) for x in ref]
     assert got == ref
+
+
+def test_scap_retry_dense_batch(ref_tools, testorig):
+    """A batch denser than the default per-block symbol bucket must
+    repack at the big bucket (not fall to sparse) and stay
+    byte-identical: q95 4:4:4-ish content exceeds SCAP=12 easily."""
+    import os
+    from mozjpeg_tpu import EncoderConfig, encode_many
+    rng = np.random.default_rng(3)
+    noisy = (testorig.astype(np.int32)
+             + rng.integers(-28, 28, testorig.shape)).clip(0, 255) \
+        .astype(np.uint8)
+    cfg = EncoderConfig(quality=95)
+    old = os.environ.get("MJ_COEF_TRANSPORT")
+    try:
+        os.environ["MJ_COEF_TRANSPORT"] = "0"
+        ref = encode_many([noisy], cfg)
+        os.environ["MJ_COEF_TRANSPORT"] = "1"
+        got = encode_many([noisy], cfg)
+    finally:
+        if old is None:
+            os.environ.pop("MJ_COEF_TRANSPORT", None)
+        else:
+            os.environ["MJ_COEF_TRANSPORT"] = old
+    assert got == ref
+
+
+def test_fetch_speculative_undershoot():
+    """When the running estimate guesses too small (stream larger than
+    one TRIM_STEP bucket), the second exact transfer must return
+    correct words (forced via the estimate cache)."""
+    rng = np.random.default_rng(5)
+    comps = [G(64, 96)]                      # big enough for >8192 words
+    imgs = [_rand_planes(rng, comps, density=0.14, amp=50)]
+    n_tot = comps[0].bh * comps[0].bw
+    transport._EST_WORDS[n_tot] = 1          # force a one-bucket guess
+    try:
+        dec = _roundtrip(imgs, comps)
+        # the run must actually have outgrown the first bucket
+        assert transport._EST_WORDS[n_tot] > transport.TRIM_STEP
+    finally:
+        transport._EST_WORDS.pop(n_tot, None)
+    assert dec is not None
+    np.testing.assert_array_equal(dec[0][0], imgs[0][0])
