@@ -901,14 +901,15 @@ def _fast_ctx(img, config, overrides):
     cfg_o, cfg, cs, ncomps, samp, qt = _resolve(img, config, overrides)
     h, w = img.shape[:2]
     geom = geometry(w, h, samp)
-    if (pipeline_t.batchable(geom) and cs == "ycbcr"
+    if (pipeline_t.batchable(geom)
+            and cs in ("ycbcr", "grayscale", "rgb", "cmyk", "ycck")
             and not cfg.trellis_q_opt
             and not cfg.use_scans_in_trellis
-            and _qt_slots(cfg, cs, ncomps) == (0, 1, 1)):
-        # restart intervals, ifast/float DCT and input smoothing ride
-        # the batched pipeline too (r4; the r3 6x staged-path cliff for
-        # these options is gone)
-        return (cfg_o, cfg, ncomps, samp, qt)
+            and _qt_slots(cfg, cs, ncomps) == _CS_INFO[cs][0][:ncomps]):
+        # restart intervals, ifast/float DCT, input smoothing,
+        # arithmetic and every batchable colorspace ride the batched
+        # pipeline (r4; the r3 6x staged-path cliffs are gone)
+        return (cfg_o, cfg, cs, ncomps, samp, qt)
     return None
 
 
@@ -1039,10 +1040,10 @@ def _encode_pipelined_groups(images, fast_groups, out):
         for k in range(0, len(idxs), ge):
             chunks.append((idxs[k:k + ge], ctx))
     if len(chunks) == 1:
-        idxs, (cfg_o, cfg, ncomps, samp, qt) = chunks[0]
+        idxs, (cfg_o, cfg, cs, ncomps, samp, qt) = chunks[0]
         imgs = [images[i] for i in idxs]
-        p1 = _batch_p1(imgs, cfg, samp, qt)
-        res = _batch_finish(imgs, p1, cfg_o, cfg, ncomps, samp, qt)
+        p1 = _batch_p1(imgs, cfg, samp, qt, cs)
+        res = _batch_finish(imgs, p1, cfg_o, cfg, cs, ncomps, samp, qt)
         for k, i in enumerate(idxs):
             out[i] = res[k]
         return
@@ -1051,11 +1052,11 @@ def _encode_pipelined_groups(images, fast_groups, out):
     with ThreadPoolExecutor(max_workers=nstage) as stage_pool, \
             ThreadPoolExecutor(max_workers=nthreads) as ent_pool:
         jobs = []
-        for idxs, (cfg_o, cfg, ncomps, samp, qt) in chunks:
+        for idxs, (cfg_o, cfg, cs, ncomps, samp, qt) in chunks:
             imgs = [images[i] for i in idxs]
-            p1 = _batch_p1(imgs, cfg, samp, qt)
+            p1 = _batch_p1(imgs, cfg, samp, qt, cs)
             jobs.append((idxs, stage_pool.submit(
-                _batch_finish, imgs, p1, cfg_o, cfg, ncomps, samp,
+                _batch_finish, imgs, p1, cfg_o, cfg, cs, ncomps, samp,
                 qt, ent_pool)))
         for idxs, j in jobs:
             res = j.result()
@@ -1063,7 +1064,7 @@ def _encode_pipelined_groups(images, fast_groups, out):
                 out[i] = res[k]
 
 
-def _batch_finish(images, p1, config, cfg, ncomps, samp, qtables,
+def _batch_finish(images, p1, config, cfg, cs, ncomps, samp, qtables,
                   ent_pool=None):
     """Everything downstream of the p1 dispatch for one group: trellis +
     scan-search dispatch and their blocking syncs, then host entropy.
@@ -1075,10 +1076,11 @@ def _batch_finish(images, p1, config, cfg, ncomps, samp, qtables,
     the batch must degrade, never error (the per-image-error-isolation
     contract of SURVEY.md §5)."""
     try:
-        st = _batch_rest(images, p1, config, cfg, ncomps, samp, qtables)
+        st = _batch_rest(images, p1, config, cfg, cs, ncomps, samp,
+                         qtables)
         if isinstance(st, list):
             return st                   # device scan search produced bytes
-        return _batch_host(images, st, config, cfg, ncomps, qtables,
+        return _batch_host(images, st, config, cfg, cs, ncomps, qtables,
                            ent_pool)
     except Exception as e:
         if not _device_runtime_error(e):
@@ -1089,11 +1091,12 @@ def _batch_finish(images, p1, config, cfg, ncomps, samp, qtables,
     # cleanly (the on-disk compile cache keeps it cheap)
     _reset_device_programs()
     try:
-        p1 = _batch_p1(images, cfg, samp, qtables)   # fresh dispatch
-        st = _batch_rest(images, p1, config, cfg, ncomps, samp, qtables)
+        p1 = _batch_p1(images, cfg, samp, qtables, cs)   # fresh dispatch
+        st = _batch_rest(images, p1, config, cfg, cs, ncomps, samp,
+                         qtables)
         if isinstance(st, list):
             return st
-        return _batch_host(images, st, config, cfg, ncomps, qtables,
+        return _batch_host(images, st, config, cfg, cs, ncomps, qtables,
                            ent_pool)
     except Exception as e:
         if not _device_runtime_error(e):
@@ -1121,7 +1124,7 @@ def _device_runtime_error(e) -> bool:
                 "buffers but compiled program expected"))
 
 
-def _batch_p1(images, cfg, samp, qtables):
+def _batch_p1(images, cfg, samp, qtables, cs="ycbcr"):
     """Upload + p1 dispatch for one group (async; nothing blocks). The
     smalls D2H starts immediately so the stage worker's later sync is
     usually already resident."""
@@ -1132,19 +1135,20 @@ def _batch_p1(images, cfg, samp, qtables):
     ris = _trellis_ris(cfg, comps)
     dctm = (cfg.dct_method.value if hasattr(cfg.dct_method, "value")
             else cfg.dct_method)
-    if cfg.host_prep and cfg.smoothing_factor == 0 and cfg.precision == 8:
+    if (cfg.host_prep and cfg.smoothing_factor == 0
+            and cfg.precision == 8 and cs == "ycbcr"):
         # host C++ color+downsample halves the pixel upload (prep.cpp);
-        # uint8-only — deep-precision batches take the device prep path
+        # uint8 YCbCr only — other colorspaces / deep precision /
+        # smoothing take the device prep path
         geom, merged, smalls = pipeline_t.run_p1_batch_pre(
             images, samp, qtables, cfg.overshoot_deringing, cfg.precision,
             ris=ris, dct_method=dctm)
     else:
-        # input smoothing happens inside downsampling (jcsample.c) —
-        # device prep path carries it
         stack = _np.stack(images)
         geom, merged, smalls = pipeline_t.run_p1_batch(
             stack, samp, qtables, cfg.overshoot_deringing, cfg.precision,
-            ris=ris, smoothing=cfg.smoothing_factor, dct_method=dctm)
+            ris=ris, smoothing=cfg.smoothing_factor, dct_method=dctm,
+            cs=cs, qt_slots=_qt_slots(cfg, cs, len(samp)))
     if cfg.trellis_quant and (cfg.arithmetic or not cfg.optimize_coding):
         # only the host-tablegen trellis path reads smalls on host —
         # prefetch for it. (The dev-first trellis consumes them on
@@ -1156,7 +1160,7 @@ def _batch_p1(images, cfg, samp, qtables):
     return geom, merged, smalls
 
 
-def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
+def _batch_rest(images, p1, config, cfg, cs, ncomps, samp, qtables):
     """Post-p1 device work for one group: trellis (+ device scan search).
     Blocks on the smalls sync; run it off the main dispatch thread."""
     import numpy as _np
@@ -1166,8 +1170,9 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
     geom, merged, smalls = p1
     mcus_x, mcus_y, comps = geom
     restart = _restart_interval(cfg, mcus_x)
-    tcomps = _trellis_comps(cfg, "grayscale" if ncomps == 1 else "ycbcr",
-                            comps)
+    tcomps = _trellis_comps(cfg, cs, comps)
+    tbl_slots = _CS_INFO[cs][1]
+    qt_slots = _qt_slots(cfg, cs, ncomps)
 
     if cfg.trellis_quant:
         bands = [(1, 63)]
@@ -1175,7 +1180,10 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
             fs = cfg.trellis_freq_split
             bands = [(1, fs), (fs + 1, 63)]
         import os as _os
+        # the device-tablegen trellis front is verified for the 2-slot
+        # YCbCr/grayscale layouts; other colorspaces use host tables
         dev_first = (cfg.optimize_coding and not cfg.arithmetic
+                     and cs in ("ycbcr", "grayscale")
                      and _os.environ.get("MJ_DEV_FIRST", "1") != "0")
         dc_sis, qtblzz, ncands = [], [], []
         lams, ac_sis = [], []
@@ -1183,7 +1191,7 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
         if not dev_first:
             per_img = pipeline_t.unpack_small_batch(geom, smalls, b)
         for ci in range(ncomps):
-            slot = 0 if ci == 0 else 1
+            slot = tbl_slots[ci]
             if dev_first:
                 from ..entropy.huffman import derive_codes as _dc
                 dc_si = _dc(STD_TABLES[(0, slot)])[1].astype(_np.int32)
@@ -1201,7 +1209,8 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
                 lams.append(_np.concatenate(lam_imgs))
                 ac_sis.append(_np.stack(ac_tbl_imgs))
             dc_sis.append(dc_si)
-            qz = _np.asarray(qtables[0] if ci == 0 else qtables[1]) \
+            qz = _np.asarray(
+                qtables[min(qt_slots[ci], len(qtables) - 1)]) \
                 .reshape(64)[consts.JPEG_ZIGZAG].astype(_np.int32)
             qtblzz.append(qz)
             ncands.append(trellis.get_num_dc_candidates(int(qz[0])))
@@ -1255,8 +1264,7 @@ def _batch_rest(images, p1, config, cfg, ncomps, samp, qtables):
     if (cfg.progressive and cfg.optimize_scans and cfg.scan_script is None
             and not cfg.arithmetic and cfg.device_scanopt):
         from . import scanopt_dev
-        if scanopt_dev.supported(cfg, "ycbcr" if ncomps == 3 else
-                                 "grayscale", ncomps,
+        if scanopt_dev.supported(cfg, cs, ncomps,
                                  _restart_interval(cfg, mcus_x), geom):
             extra = None
             if cfg.icc:
@@ -1332,7 +1340,8 @@ def _batch_fetch(st, cfg):
     return pipeline_t.split_flat_batch(geom, flat_h, b)
 
 
-def _batch_host(images, st, config, cfg, ncomps, qtables, ent_pool=None):
+def _batch_host(images, st, config, cfg, cs, ncomps, qtables,
+                ent_pool=None):
     """Host half: coefficient download + per-image entropy (threaded)."""
     from concurrent.futures import ThreadPoolExecutor
     import contextvars
@@ -1349,7 +1358,7 @@ def _batch_host(images, st, config, cfg, ncomps, qtables, ent_pool=None):
             ctx = contextvars.copy_context()   # progress/trace reporter
             futs.append(ex.submit(
                 ctx.run, _phase_entropy, img.shape[1], img.shape[0], geom,
-                planes, qtables, config, cfg, ncomps, restart,
+                planes, qtables, config, cfg, ncomps, restart, cs,
                 parallel=(b == 1)))
         outs = []
         for f in futs:

@@ -269,14 +269,17 @@ def batchable(geom) -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+                   static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _p1_batch(rgbs, mcus_x: int, mcus_y: int, geom: tuple, dering_on: bool,
               precision: int = 8, ris: tuple = None, smoothing: int = 0,
-              dct_method: str = "islow", qts81=None, dts81=None):
+              dct_method: str = "islow", cs: str = "ycbcr",
+              qt_slots: tuple = None, qts81=None, dts81=None):
+    if qt_slots is None:
+        qt_slots = (0,) + (1,) * (len(geom) - 1)
+
     def one(rgb):
         return _p1.__wrapped__(rgb, mcus_x, mcus_y, geom, dering_on,
-                               precision, "ycbcr",
-                               (0,) + (1,) * (len(geom) - 1), smoothing,
+                               precision, cs, qt_slots, smoothing,
                                dct_method, ris, qts81, dts81)
 
     res, smalls = jax.vmap(one)(rgbs)
@@ -306,20 +309,22 @@ def _divisor_tables(qtables, qt_slots, dct_method):
 
 def run_p1_batch(images: np.ndarray, samp, qtables, dering_on: bool,
                  precision: int = 8, ris: tuple = None,
-                 smoothing: int = 0, dct_method: str = "islow"):
-    """images (B, H, W, 3) -> (geom, [(q,raw) with N'=B*N], smalls (B,...))."""
+                 smoothing: int = 0, dct_method: str = "islow",
+                 cs: str = "ycbcr", qt_slots: tuple = None):
+    """images (B, H, W, C) -> (geom, [(q,raw) with N'=B*N], smalls (B,...))."""
     b, h, w = images.shape[:3]
     mcus_x, mcus_y, geom = geometry(w, h, samp)
-    q81 = [_dev_qtbl(np.asarray(t)) for t in qtables[:2]]
-    qts81 = tuple(q81[0 if i == 0 else min(1, len(q81) - 1)]
-                  for i in range(len(geom)))
-    qt_slots = tuple(0 if i == 0 else 1 for i in range(len(geom)))
+    if qt_slots is None:
+        qt_slots = tuple(0 if i == 0 else 1 for i in range(len(geom)))
+    qts81 = tuple(_dev_qtbl(np.asarray(
+        qtables[min(s_, len(qtables) - 1)])) for s_ in qt_slots)
     dts81 = _divisor_tables(qtables, qt_slots, dct_method)
     from ..utils import xfer
     xfer.add_h2d(images.nbytes)
     res, small = _p1_batch(jnp.asarray(images), mcus_x, mcus_y, tuple(geom),
                            dering_on, precision, ris, smoothing,
-                           dct_method, qts81=qts81, dts81=dts81)
+                           dct_method, cs, tuple(qt_slots),
+                           qts81=qts81, dts81=dts81)
     return (mcus_x, mcus_y, geom), res, small
 
 

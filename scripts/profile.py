@@ -104,7 +104,8 @@ def mode_stages():
         t0 = time.perf_counter()
         p1 = E._batch_p1(corpus, cfgr, samp, qt)
         t1 = time.perf_counter()
-        st = E._batch_rest(corpus, p1, cfg_o, cfgr, ncomps, samp, qt)
+        st = E._batch_rest(corpus, p1, cfg_o, cfgr, cs, ncomps, samp,
+                           qt)
         t2 = time.perf_counter()
         planes = E._batch_fetch(st, cfgr)
         t3 = time.perf_counter()

@@ -132,3 +132,38 @@ def test_batched_arithmetic_byte_exact(testorig, tmp_path):
     for img, out in zip(imgs, outs):
         ref = _cjpeg(["-quality", "75", "-arithmetic"], img, tmp_path)
         assert out == ref
+
+
+def test_batched_colorspaces_match_staged(testorig):
+    """grayscale / rgb / cmyk / ycck ride the batched pipeline (r4)
+    byte-identically to the staged path (whose colorspace outputs are
+    pinned vs the reference-library harness in test_features.py)."""
+    rng = np.random.default_rng(11)
+    h, w = 59, 83
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([(yy * 3 + xx * 2) % 256, (xx * 5) % 256,
+                     ((yy + xx) * 4) % 256, (yy * 2) % 256],
+                    -1).astype(float)
+    cmyk = np.clip(base * 0.8 + rng.integers(0, 90, (h, w, 4)),
+                   0, 255).astype(np.uint8)
+    cases = [
+        (dict(quality=75, grayscale=True), testorig[:56, :72].copy()),
+        (dict(quality=75, colorspace="rgb", optimize_scans=False),
+         cmyk[..., :3].copy()),
+        (dict(quality=75, colorspace="cmyk", optimize_scans=False), cmyk),
+        (dict(quality=75, colorspace="ycck", optimize_scans=False), cmyk),
+    ]
+    for kw, im in cases:
+        cfg = EncoderConfig(**kw)
+        batched = encode_many([im, im], cfg)
+        old = os.environ.get("MJ_BATCH_MAX_MP")
+        os.environ["MJ_BATCH_MAX_MP"] = "0"
+        try:
+            staged = encode_many([im], cfg)
+        finally:
+            if old is None:
+                os.environ.pop("MJ_BATCH_MAX_MP", None)
+            else:
+                os.environ["MJ_BATCH_MAX_MP"] = old
+        assert batched[0] == staged[0], kw
+        assert batched[1] == staged[0], kw
