@@ -904,7 +904,6 @@ def _fast_ctx(img, config, overrides):
     if (pipeline_t.batchable(geom)
             and cs in ("ycbcr", "grayscale", "rgb", "cmyk", "ycck")
             and not cfg.trellis_q_opt
-            and not cfg.use_scans_in_trellis
             and _qt_slots(cfg, cs, ncomps) == _CS_INFO[cs][0][:ncomps]):
         # restart intervals, ifast/float DCT, input smoothing,
         # arithmetic and every batchable colorspace ride the batched
@@ -1160,6 +1159,69 @@ def _batch_p1(images, cfg, samp, qtables, cs="ycbcr"):
     return geom, merged, smalls
 
 
+def _batch_trellis_bands(geom, merged, smalls, cfg, cs, ncomps,
+                         qtables, b):
+    """Batched use_scans_in_trellis: the staged per-band pass structure
+    (each band's rate statistics regather from the CURRENT coefficients
+    after the previous band's trellis, DC trellis only in band 0 —
+    _phase_trellis) run with batch=b device programs. Host tablegen per
+    band (the sequential band dependency already forces a sync)."""
+    import numpy as _np
+    import jax.numpy as jnp
+    from . import pipeline_t, trellis
+    mcus_x, mcus_y, comps = geom
+    tcomps = _trellis_comps(cfg, cs, comps)
+    tbl_slots = _CS_INFO[cs][1]
+    qt_slots = _qt_slots(cfg, cs, ncomps)
+    opt = cfg.optimize_coding and not cfg.arithmetic
+    per_img = pipeline_t.unpack_small_batch(geom, smalls, b)
+    lams, dc_sis, qtblzz, ncands = [], [], [], []
+    for ci in range(ncomps):
+        lam_imgs = []
+        for (norms, hists) in per_img:
+            lam_imgs.append(trellis.lambda_from_norm(
+                norms[ci], cfg.lambda_log_scale1, cfg.lambda_log_scale2))
+            _, dc_si = trellis.trellis_tables_from_hist(
+                hists[ci], tbl_slots[ci], False)
+        lams.append(_np.concatenate(lam_imgs))
+        dc_sis.append(dc_si)
+        qz = _np.asarray(qtables[min(qt_slots[ci], len(qtables) - 1)]) \
+            .reshape(64)[consts.JPEG_ZIGZAG].astype(_np.int32)
+        qtblzz.append(qz)
+        ncands.append(trellis.get_num_dc_candidates(int(qz[0])))
+    upal, uint = trellis.ac_impl_flags(cfg.precision)
+    fs = cfg.trellis_freq_split
+    cur = tuple(m[0] for m in merged)
+    raws_b = tuple(m[1] for m in merged)
+    ris = _trellis_ris(cfg, comps)
+    for _loop in range(max(1, cfg.trellis_num_loops)):
+        for bi_, (ss, se) in enumerate([(1, fs), (fs + 1, 63)]):
+            if opt:
+                hist_fn = trellis.make_band_hist_t(ss, se, batch=b,
+                                                   ris=ris)
+                bh = hist_fn(cur)
+                ac_sis = [_np.stack([
+                    trellis.trellis_tables_from_hist(
+                        _np.asarray(bh[ci])[im], tbl_slots[ci], True)[0]
+                    for im in range(b)]) for ci in range(ncomps)]
+            else:
+                ac_sis = [_np.stack([
+                    trellis.trellis_tables_from_hist(
+                        None, tbl_slots[ci], False)[0]] * b)
+                    for ci in range(ncomps)]
+            packed = jnp.asarray(trellis.pack_trellis_inputs(
+                lams, ac_sis, dc_sis, qtblzz))
+            run = trellis.make_trellis_all_t(
+                tuple(tcomps), None, ((ss, se),),
+                cfg.trellis_quant_dc and bi_ == 0, tuple(ncands),
+                batch=b, precision=cfg.precision,
+                eob_opt=cfg.trellis_eob_opt,
+                delta_w=float(cfg.trellis_delta_dc_weight),
+                use_pallas=upal, interpret=uint)
+            cur = run(raws_b, cur, packed)
+    return cur
+
+
 def _batch_rest(images, p1, config, cfg, cs, ncomps, samp, qtables):
     """Post-p1 device work for one group: trellis (+ device scan search).
     Blocks on the smalls sync; run it off the main dispatch thread."""
@@ -1174,11 +1236,11 @@ def _batch_rest(images, p1, config, cfg, cs, ncomps, samp, qtables):
     tbl_slots = _CS_INFO[cs][1]
     qt_slots = _qt_slots(cfg, cs, ncomps)
 
-    if cfg.trellis_quant:
+    if cfg.trellis_quant and cfg.use_scans_in_trellis:
+        finals = _batch_trellis_bands(geom, merged, smalls, cfg, cs,
+                                      ncomps, qtables, b)
+    elif cfg.trellis_quant:
         bands = [(1, 63)]
-        if cfg.use_scans_in_trellis:
-            fs = cfg.trellis_freq_split
-            bands = [(1, fs), (fs + 1, 63)]
         import os as _os
         # the device-tablegen trellis front is verified for the 2-slot
         # YCbCr/grayscale layouts; other colorspaces use host tables

@@ -167,3 +167,22 @@ def test_batched_colorspaces_match_staged(testorig):
                 os.environ["MJ_BATCH_MAX_MP"] = old
         assert batched[0] == staged[0], kw
         assert batched[1] == staged[0], kw
+
+
+def test_batched_scans_in_trellis_matches_staged(testorig):
+    """use_scans_in_trellis rides the batched pipeline (r4): per-band
+    stats regather sequentially like _phase_trellis; staged output is
+    pinned vs the reference-library harness (TestTrellisFlags)."""
+    imgs = [testorig, np.roll(testorig, 5, axis=1).copy()]
+    cfg = EncoderConfig(quality=75, use_scans_in_trellis=True)
+    batched = encode_many(imgs, cfg)
+    old = os.environ.get("MJ_BATCH_MAX_MP")
+    os.environ["MJ_BATCH_MAX_MP"] = "0"
+    try:
+        staged = encode_many(imgs, cfg)
+    finally:
+        if old is None:
+            os.environ.pop("MJ_BATCH_MAX_MP", None)
+        else:
+            os.environ["MJ_BATCH_MAX_MP"] = old
+    assert batched == staged
