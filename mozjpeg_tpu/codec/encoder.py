@@ -904,6 +904,11 @@ def _fast_ctx(img, config, overrides):
     if (pipeline_t.batchable(geom)
             and cs in ("ycbcr", "grayscale", "rgb", "cmyk", "ycck")
             and not cfg.trellis_q_opt
+            # the arithmetic TRELLIS (quantize_trellis_arith: adaptive
+            # per-row rate snapshots) is a host-sequential pass the
+            # batch pipeline does not carry — arithmetic without
+            # trellis batches fine
+            and not (cfg.arithmetic and cfg.trellis_quant)
             and _qt_slots(cfg, cs, ncomps) == _CS_INFO[cs][0][:ncomps]):
         # restart intervals, ifast/float DCT, input smoothing,
         # arithmetic and every batchable colorspace ride the batched

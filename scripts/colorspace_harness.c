@@ -10,7 +10,7 @@
  *        fastcrush  - optimize_scans off
  *        reprogress - re-run jpeg_simple_progression after the
  *                     colorspace change (per-component scan script)
- *        notrellis / notrellis-dc / noovershoot
+ *        notrellis / notrellis-dc / noovershoot / arith
  *        eobopt / qopt / bands - the API-only trellis knobs
  *
  * Build: scripts/build_harnesses.sh (gcc against .refbuild).
@@ -76,6 +76,8 @@ int main(int argc, char **argv) {
       jpeg_c_set_bool_param(&cinfo, JBOOLEAN_TRELLIS_Q_OPT, TRUE);
     } else if (!strcmp(argv[i], "bands")) {
       jpeg_c_set_bool_param(&cinfo, JBOOLEAN_USE_SCANS_IN_TRELLIS, TRUE);
+    } else if (!strcmp(argv[i], "arith")) {
+      cinfo.arith_code = TRUE;
     } else {
       fprintf(stderr, "bad flag %s\n", argv[i]);
       return 2;

@@ -4,9 +4,17 @@ The axon TPU tunnel ignores JAX_PLATFORMS env; jax.config works. Tests run
 on CPU for speed and to exercise multi-device sharding without real chips.
 """
 import os
+import tempfile
 
 os.environ.setdefault("XLA_FLAGS",
                       "--xla_force_host_platform_device_count=8")
+# Per-session throwaway compile cache: sharing XLA:CPU AOT executables
+# across processes with different XLA target tuning (axon plugin loaded
+# vs not, other containers) can SIGSEGV in the cache loader
+# (jax compilation_cache get_executable_and_time). Same-process entries
+# are safe; cross-process CPU sharing is not worth the risk in tests.
+os.environ.setdefault("MOZJPEG_TPU_JAX_CACHE",
+                      tempfile.mkdtemp(prefix="mj_jax_cache_"))
 
 import jax  # noqa: E402
 

@@ -15,6 +15,22 @@ from mozjpeg_tpu import EncoderConfig, encode_many
 from mozjpeg_tpu.utils import ppm
 
 
+def _batchable(img):
+    """Crop to dims with no dummy blocks at 4:2:0 (multiples of 16) so
+    encode_many REALLY takes the batched pipeline — testorig's 227x149
+    is NOT batchable and silently falls to the staged path, turning a
+    batched-vs-staged comparison into a tautology."""
+    h = img.shape[0] // 16 * 16
+    w = img.shape[1] // 16 * 16
+    return np.ascontiguousarray(img[:h, :w])
+
+
+def _assert_batched(img, cfg):
+    from mozjpeg_tpu.codec.encoder import _fast_ctx
+    assert _fast_ctx(img, cfg, {}) is not None, \
+        "config/geometry unexpectedly fell off the batched path"
+
+
 def _cjpeg(args, img, tmp_path):
     src = str(tmp_path / "src.ppm")
     dst = str(tmp_path / "out.jpg")
@@ -42,9 +58,11 @@ CFGS = [
 def test_batched_cliff_configs_byte_exact(testorig, tmp_path, kw, args):
     if not have_reference():
         pytest.skip("no reference build")
-    imgs = [testorig, np.roll(testorig, 13, axis=1).copy(),
-            np.roll(testorig, 29, axis=0).copy()]
+    base = _batchable(testorig)
+    imgs = [base, np.roll(base, 13, axis=1).copy(),
+            np.roll(base, 29, axis=0).copy()]
     cfg = EncoderConfig(**kw)
+    _assert_batched(base, cfg)
     outs = encode_many(imgs, cfg)
     for img, out in zip(imgs, outs):
         ref = _cjpeg(args, img, tmp_path)
@@ -55,9 +73,10 @@ def test_batched_float_dct_matches_staged(testorig):
     """float DCT: batched output equals the staged per-image path (the
     float path is not byte-pinned vs cjpeg — C float ops differ across
     compilers — but batched-vs-staged must be exact)."""
-    from mozjpeg_tpu.codec import encoder as E
-    imgs = [testorig, np.roll(testorig, 7, axis=1).copy()]
+    base = _batchable(testorig)
+    imgs = [base, np.roll(base, 7, axis=1).copy()]
     cfg = EncoderConfig(quality=75, dct_method=DCTMethod.FLOAT)
+    _assert_batched(base, cfg)
     outs = encode_many(imgs, cfg)
     old = os.environ.get("MJ_BATCH_MAX_MP")
     os.environ["MJ_BATCH_MAX_MP"] = "0"      # force the staged path
@@ -122,16 +141,26 @@ def test_batched_12bit_with_host_prep_env(testorig, tmp_path):
 
 
 def test_batched_arithmetic_byte_exact(testorig, tmp_path):
-    """Arithmetic coding rides the batched pipeline (r4): byte-identical
-    to cjpeg -arithmetic for a multi-image batch."""
+    """Arithmetic WITHOUT trellis rides the batched pipeline; the
+    arithmetic TRELLIS (host-sequential adaptive rate snapshots) stays
+    staged — both byte-identical to cjpeg for a multi-image batch."""
     if not have_reference():
         pytest.skip("no reference build")
-    imgs = [testorig, np.roll(testorig, 11, axis=1).copy(),
-            np.roll(testorig, 23, axis=0).copy()]
-    outs = encode_many(imgs, EncoderConfig(quality=75, arithmetic=True))
+    base = _batchable(testorig)
+    imgs = [base, np.roll(base, 11, axis=1).copy(),
+            np.roll(base, 23, axis=0).copy()]
+    cfg = EncoderConfig(quality=75, arithmetic=True, trellis_quant=False)
+    _assert_batched(base, cfg)
+    outs = encode_many(imgs, cfg)
     for img, out in zip(imgs, outs):
-        ref = _cjpeg(["-quality", "75", "-arithmetic"], img, tmp_path)
+        ref = _cjpeg(["-quality", "75", "-arithmetic", "-notrellis",
+                      "-notrellis-dc"], img, tmp_path)
         assert out == ref
+    # arith WITH trellis: correctly routed to the staged path, exact
+    full = encode_many(imgs[:1], EncoderConfig(quality=75,
+                                               arithmetic=True))[0]
+    assert full == _cjpeg(["-quality", "75", "-arithmetic"], imgs[0],
+                          tmp_path)
 
 
 def test_batched_colorspaces_match_staged(testorig):
@@ -173,8 +202,10 @@ def test_batched_scans_in_trellis_matches_staged(testorig):
     """use_scans_in_trellis rides the batched pipeline (r4): per-band
     stats regather sequentially like _phase_trellis; staged output is
     pinned vs the reference-library harness (TestTrellisFlags)."""
-    imgs = [testorig, np.roll(testorig, 5, axis=1).copy()]
+    base = _batchable(testorig)
+    imgs = [base, np.roll(base, 5, axis=1).copy()]
     cfg = EncoderConfig(quality=75, use_scans_in_trellis=True)
+    _assert_batched(base, cfg)
     batched = encode_many(imgs, cfg)
     old = os.environ.get("MJ_BATCH_MAX_MP")
     os.environ["MJ_BATCH_MAX_MP"] = "0"

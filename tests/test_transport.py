@@ -95,8 +95,13 @@ def test_encode_many_transport_matches(ref_tools, testorig):
     sparse-download path (full mozjpeg default config)."""
     import os
     from mozjpeg_tpu import EncoderConfig, encode_many
-    imgs = [testorig, np.roll(testorig, 17, axis=1).copy()]
+    from mozjpeg_tpu.codec.encoder import _fast_ctx
+    # crop to dummy-block-free dims: testorig's 227x149 is NOT batchable
+    # and would silently test the staged path twice
+    base = np.ascontiguousarray(testorig[:144, :224])
+    imgs = [base, np.roll(base, 17, axis=1).copy()]
     cfg = EncoderConfig(quality=75)
+    assert _fast_ctx(base, cfg, {}) is not None
     old = os.environ.get("MJ_COEF_TRANSPORT")
     try:
         os.environ["MJ_COEF_TRANSPORT"] = "0"
