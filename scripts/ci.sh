@@ -3,6 +3,11 @@
 # wheel build smoke. Mirrors what the reference's CMake/CTest wiring
 # covers (CMakeLists.txt:903+) plus the TPU-specific dryrun.
 set -euo pipefail
+
+# XLA:CPU AOT executables hold many mmaps; a big test module's compile
+# volume can exhaust the default vm.max_map_count (~65530) and segfault
+# the compiler mid-mmap. Raise it when we can (best effort).
+sysctl -w vm.max_map_count=1048576 2>/dev/null || true
 cd "$(dirname "$0")/.."
 
 echo "== native build (pinned flags) =="
