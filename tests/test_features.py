@@ -1639,10 +1639,20 @@ def test_trellis_num_loops_batched_matches_serial():
     the serial per-image encoder exactly."""
     import numpy as np
     import mozjpeg_tpu as mj
-    img = ppm.read(corpus("testorig.ppm"))
+    from mozjpeg_tpu.codec.encoder import _fast_ctx
+    # dummy-block-free crop: testorig itself is NOT batchable at 4:2:0
+    # and silently turned this into a staged-vs-staged tautology (r4)
+    img = np.ascontiguousarray(ppm.read(corpus("testorig.ppm"))[:128, :192])
     imgs = [np.roll(img, 13 * i, axis=1).copy() for i in range(3)]
     cfg = mj.EncoderConfig(quality=75, trellis_num_loops=2,
                            optimize_scans=False)
+    assert _fast_ctx(img, cfg, {}) is not None
     batched = mj.encode_many(imgs, cfg)
-    for i, im in enumerate(imgs):
-        assert batched[i] == mj.encode(im, cfg), "image %d" % i
+    import os as _os
+    _os.environ["MJ_BATCH_MAX_MP"] = "0"
+    try:
+        staged = [mj.encode_many([im], cfg)[0] for im in imgs]
+    finally:
+        del _os.environ["MJ_BATCH_MAX_MP"]
+    for i in range(len(imgs)):
+        assert batched[i] == staged[i], "image %d" % i
