@@ -47,9 +47,28 @@ def load_baseline():
 def main():
     # A dead TPU tunnel makes backend init hang forever rather than raise,
     # and the codec modules build device constants at import time — so probe
-    # the backend (subprocess + timeout, CPU fallback) before importing them.
+    # the backend (subprocess + timeout) before importing them. The TPU
+    # worker restarts and comes back on its own (docs/perf_notes.md), so a
+    # dead first probe WAITS and retries before surrendering to the CPU
+    # fallback: a CPU number in the record would misstate the chip by ~50x.
+    import subprocess as _sp
+    import sys as _sys
+    probe_s = float(os.environ.get("BENCH_PROBE_S", "90"))
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "8"))
+    for attempt in range(retries):
+        try:
+            r = _sp.run([_sys.executable, "-c", "import jax; jax.devices()"],
+                        timeout=probe_s, capture_output=True)
+            ok = r.returncode == 0
+        except _sp.TimeoutExpired:
+            ok = False
+        if ok:
+            break
+        log("accelerator probe %d/%d failed (tunnel down?); waiting 120 s"
+            % (attempt + 1, retries))
+        time.sleep(120)
     from mozjpeg_tpu._jaxcache import ensure_backend
-    ensure_backend(probe_timeout=float(os.environ.get("BENCH_PROBE_S", "90")))
+    ensure_backend(probe_timeout=probe_s)
 
     from mozjpeg_tpu.utils import ppm
     from mozjpeg_tpu import encode, encode_many, EncoderConfig
