@@ -53,8 +53,10 @@ def main():
     # fallback: a CPU number in the record would misstate the chip by ~50x.
     import subprocess as _sp
     import sys as _sys
+    import jax as _jax
     probe_s = float(os.environ.get("BENCH_PROBE_S", "90"))
-    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "8"))
+    retries = (0 if _jax.config.jax_platforms == "cpu"
+               else int(os.environ.get("BENCH_PROBE_RETRIES", "8")))
     for attempt in range(retries):
         try:
             r = _sp.run([_sys.executable, "-c", "import jax; jax.devices()"],
@@ -63,6 +65,16 @@ def main():
         except _sp.TimeoutExpired:
             ok = False
         if ok:
+            # refresh the probe-verdict cache so ensure_backend cannot
+            # act on a stale "cpu" verdict from a failed earlier probe
+            import tempfile as _tf
+            try:
+                with open(os.path.join(_tf.gettempdir(),
+                                       "mozjpeg_tpu_backend_probe"),
+                          "w") as f:
+                    f.write("ok")
+            except OSError:
+                pass
             break
         log("accelerator probe %d/%d failed (tunnel down?); waiting 120 s"
             % (attempt + 1, retries))
