@@ -911,8 +911,9 @@ def _fast_ctx(img, config, overrides):
             and not (cfg.arithmetic and cfg.trellis_quant)
             and _qt_slots(cfg, cs, ncomps) == _CS_INFO[cs][0][:ncomps]):
         # restart intervals, ifast/float DCT, input smoothing,
-        # arithmetic and every batchable colorspace ride the batched
-        # pipeline (r4; the r3 6x staged-path cliffs are gone)
+        # arithmetic-sans-trellis, use_scans_in_trellis and every
+        # batchable colorspace ride the batched pipeline (r4; the r3
+        # 6x staged-path cliffs are gone)
         return (cfg_o, cfg, cs, ncomps, samp, qt)
     return None
 
