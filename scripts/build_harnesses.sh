@@ -5,8 +5,12 @@ set -e
 cd "$(dirname "$0")/.."
 mkdir -p .bench
 CFLAGS="-O2 -I/root/reference -I.refbuild"
-LDFLAGS="-L.refbuild -ljpeg -Wl,-rpath,\$ORIGIN/../.refbuild -lm"
-gcc $CFLAGS scripts/encode_harness.c $LDFLAGS -o .bench/encode_harness
-gcc $CFLAGS scripts/colorspace_harness.c $LDFLAGS -o .bench/colorspace_harness
-gcc $CFLAGS scripts/decode_harness.c $LDFLAGS -o .bench/decode_harness
+if [ -f .refbuild/libjpeg.so ]; then
+  LIBS="-L.refbuild -ljpeg -Wl,-rpath,\$ORIGIN/../.refbuild"
+else
+  LIBS=".refbuild/libjpeg.a"      # ENABLE_SHARED=0 builds
+fi
+for h in encode_harness colorspace_harness decode_harness; do
+  gcc $CFLAGS scripts/$h.c $LIBS -lm -o .bench/$h
+done
 echo "harnesses built in .bench/"

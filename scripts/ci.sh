@@ -26,6 +26,9 @@ if [ ! -x .refbuild/cjpeg ] && [ -d /root/reference ]; then
       && cp /root/reference/testimages/testorig.ppm .)
 fi
 
+echo "== reference-library harnesses (oracle tests skip without) =="
+scripts/build_harnesses.sh || true
+
 echo "== corpus =="
 python scripts/make_corpus.py
 
