@@ -91,9 +91,11 @@ def main():
         p = os.path.join(REPO, "corpus", n)
         if not os.path.exists(p):
             import subprocess
+            # stdout must stay pristine for the one-JSON-line contract:
+            # make_corpus.py prints its file listing, so route it to stderr.
             subprocess.run([sys.executable,
                             os.path.join(REPO, "scripts", "make_corpus.py")],
-                           check=True)
+                           check=True, stdout=sys.stderr.fileno())
         base.append(ppm.read(p))
     # distinct images (rolled) so nothing dedupes; the pipelined path
     # streams same-shape groups of MJ_BATCH_GROUP images
