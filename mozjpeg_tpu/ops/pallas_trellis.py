@@ -104,9 +104,16 @@ def _make_kernel(Ss: int, Se: int):
             tail = (azd_im1 - azd) + acc               # (64, L)
             j_ok = (j_nonzero | start_mask) & (j_iota < i)
 
-            minval = jnp.full((1, L), jnp.float32(BIGF))
-            minidx = jnp.full((1, L), 64 * KMAX, jnp.int32)
-            mincand = jnp.zeros((1, L), jnp.int32)
+            # k-candidates fold ELEMENTWISE (strict < keeps the smallest k
+            # on ties), then ONE j-reduction after the loop. This is
+            # exactly the first-minimum flat-index (j*KMAX+k) tie-break of
+            # the two-reductions-per-k formulation — smallest j among the
+            # min-cost pairs, then the smallest k within that j — but it
+            # cuts the sublane reductions per DP step from 2*KMAX to 3
+            # (reductions were ~2/3 of the kernel's step time).
+            bestc = jnp.full((64, L), jnp.float32(BIGF))
+            bestk = jnp.zeros((64, L), jnp.int32)
+            bestcand = jnp.zeros((64, L), jnp.int32)
             for k in range(KMAX):
                 cand_k = jnp.where(nc_i == k + 1, qval_i, (2 << k) - 1)
                 delta = cand_k * q8_i - x_i
@@ -117,14 +124,20 @@ def _make_kernel(Ss: int, Se: int):
                 valid = (j_ok & (k < nc_i) & (qval_i != 0)
                          & (rate_jk < jnp.float32(BIGF)))
                 cost_k = jnp.where(valid, cost_k, jnp.float32(BIGF))
-                mk = jnp.min(cost_k, axis=0, keepdims=True)
-                jk_idx = jnp.where(cost_k == mk, j_iota * KMAX + k,
-                                   64 * KMAX)
-                mi = jnp.min(jk_idx, axis=0, keepdims=True)
-                upd = (mk < minval) | ((mk == minval) & (mi < minidx))
-                minval = jnp.where(upd, mk, minval)
-                minidx = jnp.where(upd, mi, minidx)
-                mincand = jnp.where(upd, cand_k, mincand)
+                upd = cost_k < bestc
+                bestc = jnp.where(upd, cost_k, bestc)
+                bestk = jnp.where(upd, k, bestk)
+                bestcand = jnp.where(upd, cand_k + jnp.zeros((64, 1),
+                                                             jnp.int32),
+                                     bestcand)
+            minval = jnp.min(bestc, axis=0, keepdims=True)      # (1, L)
+            flat = j_iota * KMAX + bestk                        # (64, L)
+            jflat = jnp.where(bestc == minval, flat, 64 * KMAX)
+            minidx = jnp.min(jflat, axis=0, keepdims=True)      # (1, L)
+            # flat indices are distinct per j, so the winner row is unique
+            csel = jnp.where(jflat == minidx, bestcand,
+                             jnp.int32(1 << 30))
+            mincand = jnp.min(csel, axis=0, keepdims=True)      # (1, L)
 
             new_acc_i = jnp.where(qval_i != 0, minval, jnp.float32(BIGF))
             row_i = j_iota == i                        # select row i
