@@ -223,6 +223,36 @@ def test_trellis_ac_pallas_matches_xla(n_img, band, eob_opt):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_trellis_ac_pallas_tie_break_stress():
+    """Adversarial cost-tie corpus for the DP's first-minimum (j, k)
+    flat-index tie-break: few distinct coefficient magnitudes and a
+    power-of-two lambda make exact f32 cost collisions common, so any
+    reordering of the kernel's candidate fold that changes tie
+    resolution (jcdctmgr.c:936-1329 semantics) diverges here."""
+    from mozjpeg_tpu.codec import trellis
+
+    rng = np.random.default_rng(99)
+    B, n_img = 2, 512
+    N = B * n_img
+    qtbl = np.clip(rng.integers(1, 32, 64), 1, 255).astype(np.int32)
+    vals = np.array([0, 8, 16, 64, 256, 1024], np.int32)
+    raw = (vals[rng.integers(0, len(vals), size=(64, N))]
+           * rng.choice([-1, 1], size=(64, N))).astype(np.int32)
+    qcoef = rng.integers(-8, 8, size=(64, N)).astype(np.int16)
+    ac_si = np.stack([_rand_ac_si(rng), _rand_ac_si(rng, zrl_zero=True)])
+    lam = np.full(N, 2.0, np.float32)
+    Ss, Se = 1, 63
+    ref = np.asarray(trellis._trellis_ac_t(
+        jnp.asarray(raw), jnp.asarray(qcoef), jnp.asarray(qtbl),
+        jnp.asarray(ac_si), jnp.asarray(lam), Ss, Se, kmax=10, maxq=1023))
+    lut = trellis.rate_lut_dev(jnp.asarray(ac_si), Ss, Se, 10)
+    got = np.asarray(trellis._trellis_ac_pallas(
+        jnp.asarray(raw), jnp.asarray(qcoef), jnp.asarray(qtbl),
+        lut, jnp.asarray(ac_si), jnp.asarray(lam), Ss, Se,
+        interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_rate_lut_dev_matches_host():
     """Device-side rate LUT builder equals the host builder."""
     from mozjpeg_tpu.codec import trellis
