@@ -16,6 +16,19 @@ os.environ.setdefault("XLA_FLAGS",
 os.environ.setdefault("MOZJPEG_TPU_JAX_CACHE",
                       tempfile.mkdtemp(prefix="mj_jax_cache_"))
 
+# Best-effort: raise vm.max_map_count for direct `pytest tests/` runs
+# (scripts/ci.sh does the same). XLA:CPU AOT executables hold several
+# mmaps each; a big module's compile volume can exhaust the ~65530
+# default and SIGABRT the compiler mid-mmap (observed at ~52% of the
+# suite on a fresh kernel).
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1048576:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("1048576")
+except OSError:
+    pass
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
