@@ -93,9 +93,17 @@ def main():
             import subprocess
             # stdout must stay pristine for the one-JSON-line contract:
             # make_corpus.py prints its file listing, so route it to stderr.
+            # stderr may be a non-file object (pytest capture); subprocess
+            # accepts file objects, so pass it directly with DEVNULL fallback
+            try:
+                _err = sys.stderr if sys.stderr.fileno() >= 0 else None
+            except Exception:
+                _err = None
             subprocess.run([sys.executable,
                             os.path.join(REPO, "scripts", "make_corpus.py")],
-                           check=True, stdout=sys.stderr.fileno())
+                           check=True,
+                           stdout=_err if _err is not None
+                           else subprocess.DEVNULL)
         base.append(ppm.read(p))
     # distinct images (rolled) so nothing dedupes; the pipelined path
     # streams same-shape groups of MJ_BATCH_GROUP images

@@ -111,6 +111,11 @@ def _make_kernel(Ss: int, Se: int):
             # min-cost pairs, then the smallest k within that j — but it
             # cuts the sublane reductions per DP step from 2*KMAX to 3
             # (reductions were ~2/3 of the kernel's step time).
+            # Degenerate rows (every candidate invalid, bestc stays BIGF)
+            # keep bestcand's init 0 where the old per-k formulation kept
+            # cand_0; the divergence is confined to rows whose acc stays
+            # BIGF, which the EOB argmin and path walk can never select,
+            # so final outputs are identical.
             bestc = jnp.full((64, L), jnp.float32(BIGF))
             bestk = jnp.zeros((64, L), jnp.int32)
             bestcand = jnp.zeros((64, L), jnp.int32)

@@ -20,14 +20,20 @@ os.environ.setdefault("MOZJPEG_TPU_JAX_CACHE",
 # (scripts/ci.sh does the same). XLA:CPU AOT executables hold several
 # mmaps each; a big module's compile volume can exhaust the ~65530
 # default and SIGABRT the compiler mid-mmap (observed at ~52% of the
-# suite on a fresh kernel).
-try:
-    with open("/proc/sys/vm/max_map_count") as _f:
-        if int(_f.read()) < 1048576:
-            with open("/proc/sys/vm/max_map_count", "w") as _g:
-                _g.write("1048576")
-except OSError:
-    pass
+# suite on a fresh kernel). This is a persistent system-wide sysctl
+# change; opt out with MJ_SET_MAP_COUNT=0.
+if os.environ.get("MJ_SET_MAP_COUNT", "1") != "0":
+    try:
+        with open("/proc/sys/vm/max_map_count") as _f:
+            if int(_f.read()) < 1048576:
+                with open("/proc/sys/vm/max_map_count", "w") as _g:
+                    _g.write("1048576")
+                import sys as _sys
+                print("conftest: raised vm.max_map_count to 1048576 "
+                      "(persistent; MJ_SET_MAP_COUNT=0 to skip)",
+                      file=_sys.stderr)
+    except OSError:
+        pass
 
 import jax  # noqa: E402
 
