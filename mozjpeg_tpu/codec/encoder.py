@@ -803,6 +803,12 @@ def encode(image: np.ndarray, config: Optional[EncoderConfig] = None,
            progress=None, trace=None, **overrides) -> bytes:
     """Encode an RGB (H, W, 3) or grayscale (H, W) uint8 image to JPEG.
 
+    Single images route through the host CPU engine (codec/host_engine:
+    native FDCT+dering+trellis, zero device warmup — the low-latency
+    serial path) when the config is in its supported matrix; otherwise
+    through the device pipeline. Byte-identical either way;
+    MJ_HOST_ENGINE=0 forces the device path.
+
     progress(completed, total, desc): per-pass callback (the
     jpeg_progress_mgr analog, cdjpeg.c:29-59); trace(msg): trace-message
     stream (cinfo->err->trace_level analog, jcmaster.c:747-754).
@@ -894,7 +900,7 @@ def _fast_ctx(img, config, overrides):
     None when the config/shape needs the general per-image path."""
     from . import pipeline_t
     from .pipeline import geometry
-    if img.ndim != 3:
+    if img.ndim not in (2, 3):    # 2-D = grayscale sample plane (r5)
         return None
     if img.shape[0] * img.shape[1] > _batch_max_mp() * 1e6:
         return None
@@ -911,9 +917,10 @@ def _fast_ctx(img, config, overrides):
             and not (cfg.arithmetic and cfg.trellis_quant)
             and _qt_slots(cfg, cs, ncomps) == _CS_INFO[cs][0][:ncomps]):
         # restart intervals, ifast/float DCT, input smoothing,
-        # arithmetic-sans-trellis, use_scans_in_trellis and every
-        # batchable colorspace ride the batched pipeline (r4; the r3
-        # 6x staged-path cliffs are gone)
+        # arithmetic-sans-trellis, use_scans_in_trellis, every batchable
+        # colorspace (r4) AND arbitrary non-iMCU-aligned dimensions (r5:
+        # dummy blocks are host-synthesized post-download) ride the
+        # batched pipeline
         return (cfg_o, cfg, cs, ncomps, samp, qt)
     return None
 
@@ -1365,11 +1372,22 @@ def _batch_rest(images, p1, config, cfg, cs, ncomps, samp, qtables):
 
 
 def _batch_fetch(st, cfg):
-    """Sync the coefficient download -> per-image host plane lists."""
+    """Sync the coefficient download -> per-image host plane lists.
+
+    Every download path returns REAL-block planes; iMCU dummy blocks
+    (non-16-aligned dims) are synthesized here on host (repeat-DC fill,
+    jccoefct.c:300-347) so the entropy stage always sees padded planes."""
     from . import pipeline_t
     geom = st["geom"]
     _, _, comps = geom
     b = st["b"]
+
+    def pad(images_planes):
+        if all(g.bw == g.bw_pad and g.bh == g.bh_pad for g in comps):
+            return images_planes
+        return [[pipeline_t.add_dummy_blocks_host(p, g)
+                 for p, g in zip(planes, comps)]
+                for planes in images_planes]
     if "transport" in st:
         from ..ops import sparsepack, transport
         fetched = transport.fetch(st["transport"])
@@ -1382,7 +1400,7 @@ def _batch_fetch(st, cfg):
             words, bits = fetched
             planes = transport.decode_to_planes(words, bits, b, comps)
             if planes is not None:
-                return planes
+                return pad(planes)
         # still over (or malformed): sparse download (rare)
         st["sparse2"] = sparsepack.pack_planes_exact(
             tuple(st["finals"]), tuple(comps), b)
@@ -1395,7 +1413,7 @@ def _batch_fetch(st, cfg):
             planes = sparsepack.expand_flat_to_planes(masks, lo, esc, nt,
                                                       n_tot, b, comps)
             if planes is not None:
-                return planes
+                return pad(planes)
     flat_dev = pipeline_t._pack_all_batch(tuple(st["finals"]),
                                           tuple(comps), b)
     try:
@@ -1405,7 +1423,7 @@ def _batch_fetch(st, cfg):
     flat_h = np.asarray(flat_dev)
     from ..utils import xfer
     xfer.add_d2h(flat_h.nbytes)
-    return pipeline_t.split_flat_batch(geom, flat_h, b)
+    return pad(pipeline_t.split_flat_batch(geom, flat_h, b))
 
 
 def _batch_host(images, st, config, cfg, cs, ncomps, qtables,

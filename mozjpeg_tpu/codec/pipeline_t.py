@@ -258,14 +258,34 @@ def download_final(geom, planes_t) -> List[np.ndarray]:
 # Batched variants: a group of same-shape images in ONE dispatch and ONE
 # transfer each way. Image blocks are concatenated along the lane dimension
 # (N' = B*N) so every downstream kernel (trellis included) runs unchanged.
-# Requires dummy-free geometry (bw % h == 0 and bh % v == 0 per comp) —
-# callers fall back to the per-image path otherwise.
+# All kernels operate on REAL blocks only; iMCU dummy blocks
+# (jccoefct.c:197-214,322-345 repeat-DC fill) are synthesized AFTER the
+# coefficient download (add_dummy_blocks_host) so arbitrary image
+# dimensions ride this path (r5 — the r4 16-alignment cliff is gone).
 # ---------------------------------------------------------------------------
 
 def batchable(geom) -> bool:
-    _, _, comps = geom
-    return all(g.bw % g.h == 0 and g.bh % g.v == 0
-               and g.bw == g.bw_pad and g.bh == g.bh_pad for g in comps)
+    """Every geometry batches since r5 (dummy blocks are host-synthesized
+    post-download; the batched trellis DC chain slices phases per image)."""
+    del geom
+    return True
+
+
+def add_dummy_blocks_host(plane: np.ndarray, g: CompGeom) -> np.ndarray:
+    """(bh, bw, 64) real-block plane -> (bh_pad, bw_pad, 64) with iMCU
+    dummy blocks: DC of the row's last real block for dummy columns,
+    per-MCU-column repeated DC for dummy rows, zero AC — the host numpy
+    twin of ops/layout.add_dummy_blocks_t (jccoefct.c:300-347)."""
+    if g.bw == g.bw_pad and g.bh == g.bh_pad:
+        return plane
+    out = np.zeros((g.bh_pad, g.bw_pad, 64), plane.dtype)
+    out[:g.bh, :g.bw] = plane
+    if g.bw < g.bw_pad:
+        out[:g.bh, g.bw:, 0] = plane[:, g.bw - 1, 0:1]
+    if g.bh < g.bh_pad:
+        src = out[g.bh - 1, :, 0].reshape(g.bw_pad // g.h, g.h)[:, -1]
+        out[g.bh:, :, 0] = np.repeat(src, g.h)[None, :]
+    return out
 
 
 @functools.partial(jax.jit,

@@ -485,33 +485,39 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
             if dc_on:
                 q0 = qtbl_zzs[ci][0]
                 ltbl0 = _ltbl_lookup(qtbl_zzs[ci][0])
-                bh_t = batch * g.bh
-                lam_dc_full = (lam * ltbl0).reshape(bh_t, g.bw)
-                raw_dc = raw[0].reshape(bh_t, g.bw)
+                # phase decomposition is PER IMAGE (leading batch axis):
+                # with bh % v != 0 (dummy-row geometry, jccoefct.c:322)
+                # a flat (batch*bh, bw) stride-v slice would mix phases
+                # across image boundaries
+                lam_dc_full = (lam * ltbl0).reshape(batch, g.bh, g.bw)
+                raw_dc = raw[0].reshape(batch, g.bh, g.bw)
                 v = g.v
-                dc_rows = []
-                prev = None
+                dc_rows = []                 # per phase (batch, nph, bw)
+                prev = None                  # (batch, nph_prev)
                 for p in range(v):
-                    rr = raw_dc[p::v]
-                    ll = lam_dc_full[p::v]
-                    nph = rr.shape[0]
-                    init = (jnp.zeros(nph, jnp.int32) if p == 0
-                            else prev[:nph])
+                    rr = raw_dc[:, p::v]
+                    ll = lam_dc_full[:, p::v]
+                    nph = rr.shape[1]
+                    init = (jnp.zeros(batch * nph, jnp.int32) if p == 0
+                            else prev[:, :nph].reshape(-1))
                     ar = ad = None
                     if delta_w > 0.0 and p > 0:
                         # row above = phase p-1 of the same iMCU row
-                        ar = raw_dc[p - 1::v][:nph]
-                        ad = dc_rows[p - 1][:nph]
-                    dc, fin = _trellis_dc_t(rr, init, q0, dc_sis[ci], ll,
+                        ar = raw_dc[:, p - 1::v][:, :nph] \
+                            .reshape(-1, g.bw)
+                        ad = dc_rows[p - 1][:, :nph].reshape(-1, g.bw)
+                    dc, fin = _trellis_dc_t(rr.reshape(-1, g.bw), init,
+                                            q0, dc_sis[ci],
+                                            ll.reshape(-1, g.bw),
                                             ncands[ci], maxq=maxq,
                                             delta_w=delta_w,
                                             above_raw=ar, above_dc=ad)
-                    dc_rows.append(dc)
-                    prev = fin
+                    dc_rows.append(dc.reshape(batch, nph, g.bw))
+                    prev = fin.reshape(batch, nph)
                 # interleave phases back into row order
-                dc_all = jnp.zeros((bh_t, g.bw), jnp.int32)
+                dc_all = jnp.zeros((batch, g.bh, g.bw), jnp.int32)
                 for p in range(v):
-                    dc_all = dc_all.at[p::v].set(dc_rows[p])
+                    dc_all = dc_all.at[:, p::v].set(dc_rows[p])
                 new_q = new_q.at[0].set(
                     dc_all.reshape(-1).astype(jnp.int16))
             outs.append(new_q)
