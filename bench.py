@@ -157,8 +157,11 @@ def main():
         serial_first = f_serial.result()
         t_serial = time.perf_counter() - t0
         f_batch.result()
-    log("warmup+compile serial: %.1fs" % t_serial)
-    log("warmup+compile both (overlapped): %.1fs"
+    # serial encode() routes through the host CPU engine (r5) — its
+    # "warmup" is just the first call; the device pipeline compiles
+    # concurrently underneath
+    log("warm first-encode (serial, host engine): %.2fs" % t_serial)
+    log("device pipeline warmup+compile: %.1fs"
         % (time.perf_counter() - t0))
 
     reps = int(os.environ.get("BENCH_REPS", "7"))  # tunnel drifts; a
@@ -221,6 +224,26 @@ def main():
             "pipelined vs serial output mismatch on image %d" % i
     log("byte equality verified on %d images" % min(ncheck, len(corpus)))
     log("bytes (first image): %d" % len(datas[0]))
+
+    # unaligned corpus (r5): real-photo dims that are NOT iMCU multiples
+    # ride the same batched pipeline (dummy blocks host-synthesized after
+    # the download) — must land within ~20% of the aligned headline.
+    # 757x499 -> Y 95x63 blocks (dummy col AND row at 4:2:0).
+    if os.environ.get("BENCH_UNALIGNED", "1") == "1":
+        ua = [np.ascontiguousarray(im[:499, :757]) for im in corpus]
+        mp_ua = sum(i.shape[0] * i.shape[1] for i in ua) / 1e6
+        encode_many(ua[:group], cfg)        # warm the 757x499 programs
+        ua_rates = []
+        for _ in range(max(3, reps // 2)):
+            t0 = time.perf_counter()
+            ua_out = encode_many(ua, cfg)
+            ua_rates.append(mp_ua / (time.perf_counter() - t0))
+        ua_med = statistics.median(ua_rates)
+        log("unaligned 757x499 corpus (Y dummy col+row): min %.2f / "
+            "median %.2f / max %.2f MP/s (%.0f%% of aligned median)"
+            % (min(ua_rates), ua_med, max(ua_rates), 100 * ua_med / med))
+        assert ua_out[0] == encode(ua[0], cfg), \
+            "unaligned pipelined vs serial output mismatch"
 
     # decode throughput (context only; headline stays encode):
     # reference djpeg on this corpus is ~41 MP/s single-core (BASELINE.md)

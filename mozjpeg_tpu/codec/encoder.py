@@ -813,6 +813,15 @@ def encode(image: np.ndarray, config: Optional[EncoderConfig] = None,
     jpeg_progress_mgr analog, cdjpeg.c:29-59); trace(msg): trace-message
     stream (cinfo->err->trace_level analog, jcmaster.c:747-754).
     """
+    from . import host_engine
+    if host_engine.enabled() and image.ndim in (2, 3):
+        cfg_o, cfg, cs, ncomps, samp, qt = _resolve(image, config,
+                                                    overrides)
+        if (host_engine.supported(cfg, cs)
+                and _qt_slots(cfg, cs, ncomps) == _CS_INFO[cs][0][:ncomps]):
+            with report.reporting(progress, trace):
+                return host_engine.encode_host(image, cfg_o, cfg, cs,
+                                               ncomps, samp, qt)
     return encode_many([image], config, progress=progress, trace=trace,
                        **overrides)[0]
 

@@ -156,6 +156,27 @@ lib.mj_sparse_pack.restype = ctypes.c_long
 lib.mj_sparse_pack.argtypes = [
     i16p, ctypes.c_long, ctypes.c_int, ctypes.c_int, u32p, i16p]
 
+f32p = _p(ctypes.c_float)
+lib.mj_host_p1.restype = ctypes.c_long
+lib.mj_host_p1.argtypes = [
+    u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+    ctypes.c_int, ctypes.c_int, i16p, i32p, f32p, ctypes.c_int]
+
+lib.mj_hist_ac_first.restype = ctypes.c_long
+lib.mj_hist_ac_first.argtypes = [
+    i16p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_long, i32p]
+
+lib.mj_host_trellis_ac.restype = ctypes.c_long
+lib.mj_host_trellis_ac.argtypes = [
+    i32p, i16p, ctypes.c_long, ctypes.c_int, i32p, f32p, i32p,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_int]
+
+lib.mj_host_trellis_dc.restype = ctypes.c_long
+lib.mj_host_trellis_dc.argtypes = [
+    i32p, i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    i32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int]
+
 lib.mj_post_ycc.restype = None
 lib.mj_post_ycc.argtypes = [
     u8p, ctypes.c_long, ctypes.c_long, u8p, u8p, ctypes.c_long,

@@ -23,12 +23,17 @@ SOURCES = (
     "scansearch.cpp",   # full jpegrescan candidate sweep + selection
     "prep.cpp",         # RGB->YCbCr + subsampling host prep
     "post.cpp",         # decode: sparse coeff upload pack, upsample+color
+    "hostenc.cpp",      # host engine: FDCT + dering + trellis (serial path)
 )
 
 LIB_NAME = "libmjentropy.so"
 
+# -ffp-contract=off: the trellis/dering float semantics require every f32
+# product to round before feeding an add (the reference's SSE2 build has
+# no FMA; codec/trellis.py _frnd enforces the same on TPU). -march=native
+# enables FMA on this host, so contraction must be explicitly forbidden.
 BASE_FLAGS = ["-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-              "-DNDEBUG"]
+              "-ffp-contract=off", "-DNDEBUG"]
 
 
 def compile_flags() -> list:

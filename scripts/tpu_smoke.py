@@ -45,6 +45,9 @@ def djpeg(data, *args):
 
 
 def main():
+    # this smoke exists to prove the DEVICE paths byte-exact on the real
+    # chip — the host CPU engine must not shadow them (r5 serial routing)
+    os.environ["MJ_HOST_ENGINE"] = "0"
     from mozjpeg_tpu._jaxcache import ensure_backend
     ensure_backend(probe_timeout=float(os.environ.get("SMOKE_PROBE_S",
                                                       "90")))

@@ -1,0 +1,117 @@
+"""Host CPU engine (codec/host_engine + native/hostenc.cpp): the serial
+low-latency path must be byte-identical to the device pipeline across the
+mozjpeg config matrix.
+
+`encode()` routes single images through the host engine when supported
+(its FDCT/dering/trellis are scalar C++ twins of ops/dct.py,
+ops/dering.py, codec/trellis.py). These tests diff it against the DEVICE
+paths (MJ_HOST_ENGINE=0) — both are independently pinned against the
+reference binaries elsewhere, so a pass here means three-way agreement.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from mozjpeg_tpu import EncoderConfig, encode
+from mozjpeg_tpu.codec import host_engine
+
+
+def _routed(img, cfg):
+    """The config must actually be in the host engine's matrix."""
+    from mozjpeg_tpu.codec.encoder import (_CS_INFO, _qt_slots, _resolve)
+    cfg_o, rcfg, cs, ncomps, samp, qt = _resolve(img, cfg, {})
+    assert host_engine.supported(rcfg, cs), "config fell off host engine"
+    assert _qt_slots(rcfg, cs, ncomps) == _CS_INFO[cs][0][:ncomps]
+
+
+def _device(img, cfg):
+    old = os.environ.get("MJ_HOST_ENGINE")
+    os.environ["MJ_HOST_ENGINE"] = "0"
+    try:
+        return encode(img, cfg)
+    finally:
+        if old is None:
+            os.environ.pop("MJ_HOST_ENGINE", None)
+        else:
+            os.environ["MJ_HOST_ENGINE"] = old
+
+
+CFGS = [
+    dict(quality=75),                                   # full default
+    dict(quality=75, restart_in_rows=2),
+    dict(quality=75, restart_interval=5),
+    dict(quality=95, subsampling=(1, 1)),               # heavy dering
+    dict(quality=75, subsampling=(2, 1)),
+    dict(quality=75, optimize_scans=False),
+    dict(quality=75, progressive=False, optimize_scans=False),
+    dict(quality=75, trellis_quant=False),
+    dict(quality=75, trellis_quant_dc=False),
+    dict(quality=75, overshoot_deringing=False),
+    dict(quality=75, optimize_coding=False, optimize_scans=False,
+         progressive=False, trellis_quant=False),
+    dict(quality=75, trellis_eob_opt=True, optimize_scans=False),
+    dict(quality=75, use_scans_in_trellis=True, optimize_scans=False),
+    dict(quality=75, trellis_num_loops=3, optimize_scans=False),
+    dict(quality=75, trellis_q_opt=True, optimize_scans=False),
+    dict(quality=75, trellis_delta_dc_weight=0.5, optimize_scans=False),
+    dict(quality=75, quant_tbl_idx=0, lambda_log_scale1=9.0,
+         lambda_log_scale2=0.0),                        # tune-psnr
+    dict(quality=75, quant_tbl_idx=8, lambda_log_scale1=11.5,
+         lambda_log_scale2=12.75),                      # tune-ms-ssim
+    dict(quality=30),
+    dict(quality=[75, 60]),                             # per-table quality
+    dict(quality=75, trellis_eob_opt=True, use_scans_in_trellis=True,
+         trellis_num_loops=2, optimize_scans=False),
+]
+IDS = ["default", "restart-rows", "restart5b", "q95-1x1", "2x1",
+       "fastcrush", "seq-opt", "notrellis", "notrellis-dc", "noovershoot",
+       "baseline-std", "eobopt", "bands", "loops3", "qopt", "dcweight",
+       "tune-psnr", "tune-ms-ssim", "q30", "dual-quality",
+       "eobopt-bands-loops2"]
+
+
+@pytest.mark.parametrize("kw", CFGS, ids=IDS)
+def test_host_engine_matches_device(testorig, kw):
+    cfg = EncoderConfig(**kw)
+    _routed(testorig, cfg)
+    host = encode(testorig, cfg)
+    dev = _device(testorig, cfg)
+    assert host == dev, kw
+
+
+def test_host_engine_grayscale(testorig):
+    g2d = np.ascontiguousarray(testorig[:77, :101, 1])
+    for kw in (dict(quality=75, grayscale=True),
+               dict(quality=75, grayscale=True, gray_sample=(2, 2)),
+               dict(quality=85, grayscale=True, gray_sample=(2, 1))):
+        cfg = EncoderConfig(**kw)
+        _routed(g2d, cfg)
+        assert encode(g2d, cfg) == _device(g2d, cfg), kw
+    # 3-channel input with grayscale=True (native Y conversion)
+    rgb = np.ascontiguousarray(testorig[:61, :89])
+    cfg = EncoderConfig(quality=75, grayscale=True)
+    _routed(rgb, cfg)
+    assert encode(rgb, cfg) == _device(rgb, cfg)
+
+
+def test_host_engine_unsupported_falls_through(testorig):
+    """Out-of-matrix configs silently take the device path (same bytes)."""
+    from mozjpeg_tpu.codec.config import DCTMethod
+    for kw in (dict(quality=75, arithmetic=True),
+               dict(quality=75, dct_method=DCTMethod.IFAST),
+               dict(quality=75, smoothing_factor=20)):
+        cfg = EncoderConfig(**kw)
+        from mozjpeg_tpu.codec.encoder import _resolve
+        _, rcfg, cs, _, _, _ = _resolve(testorig, cfg, {})
+        assert not host_engine.supported(rcfg, cs)
+        assert encode(testorig, cfg) == _device(testorig, cfg), kw
+
+
+def test_host_engine_sizes_sweep(testorig):
+    """Dims sweep incl. 1-px edges through the host engine."""
+    cfg = EncoderConfig(quality=75)
+    for (h, w) in [(1, 1), (1, 64), (64, 1), (8, 8), (17, 31), (149, 227)]:
+        img = np.ascontiguousarray(testorig[:h, :w])
+        _routed(img, cfg)
+        assert encode(img, cfg) == _device(img, cfg), (h, w)
