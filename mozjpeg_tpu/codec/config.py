@@ -120,6 +120,17 @@ class EncoderConfig:
     # coefficient planes), off on CPU where the threaded host engine wins.
     device_scanopt: Optional[bool] = None
 
+    # attachment class for the device-vs-host engine trade (r5):
+    #   "auto"   -> probe (utils/attachment.py): local iff real TPU with
+    #               < 2 ms sync latency
+    #   "local"  -> device search/emission engines ON (scanopt_dev +
+    #               device entropy): host cores are the scarce resource
+    #   "remote" -> engines OFF: the transport download already deleted
+    #               the transfer they existed to delete, and the full
+    #               candidate sweep costs bottleneck device time
+    # MJ_DEPLOYMENT env overrides "auto".
+    deployment: str = "auto"
+
     # download coefficient planes for host entropy as [nonzero masks |
     # compacted values] (ops/sparsepack.py) instead of dense (64, N)
     # int16 — ~10x fewer transferred elements on the remote TPU tunnel.
@@ -192,8 +203,10 @@ class EncoderConfig:
                                  else maxc),
             dct_method=self.dct_method,
             scan_script=self.scan_script,
-            device_entropy=_auto_device_entropy(self.device_entropy),
-            device_scanopt=_auto_device_scanopt(self.device_scanopt),
+            device_entropy=_auto_device_entropy(self.device_entropy,
+                                                self.deployment),
+            device_scanopt=_auto_device_scanopt(self.device_scanopt,
+                                                self.deployment),
             sparse_download=_auto_backend_flag(self.sparse_download,
                                                "MJ_SPARSE_DL"),
             host_prep=_auto_backend_flag(self.host_prep, "MJ_HOST_PREP"),
@@ -246,7 +259,17 @@ class ResolvedConfig:
     coef_transport: bool
 
 
-def _auto_device_entropy(flag):
+def _deployment_local(deployment: str) -> bool:
+    d = (deployment or "auto").lower()
+    if d == "local":
+        return True
+    if d == "remote":
+        return False
+    from ..utils import attachment
+    return attachment.is_local_tpu()
+
+
+def _auto_device_entropy(flag, deployment: str = "auto"):
     if flag is not None:
         return bool(flag)
     env = os.environ.get("MJ_DEVICE_ENTROPY", "auto").lower()
@@ -254,16 +277,17 @@ def _auto_device_entropy(flag):
         return False
     if env in ("1", "true", "on"):
         return True
-    # auto: OFF everywhere.  Measured on the remote-attached TPU tunnel
-    # (docs/perf_notes.md): per-candidate device emission costs one
-    # ~33 ms table upload + dispatch round trip per scan, 5x slower than
-    # the threaded host engine; the batched fused-scanopt path
-    # (codec/scanopt_dev.py) is where device entropy pays off, and it is
-    # selected separately.
-    return False
+    # auto (r5): ON for locally-attached TPUs, where per-scan dispatches
+    # are microseconds and host cores are the scarce resource; OFF on
+    # remote attachments — measured there (docs/perf_notes.md):
+    # per-candidate device emission costs one ~33 ms table upload +
+    # dispatch round trip per scan, 5x slower than the threaded host
+    # engine. The batched fused-scanopt path (codec/scanopt_dev.py) is
+    # where device entropy pays off, selected separately below.
+    return _deployment_local(deployment)
 
 
-def _auto_device_scanopt(flag):
+def _auto_device_scanopt(flag, deployment: str = "auto"):
     if flag is not None:
         return bool(flag)
     env = os.environ.get("MJ_DEVICE_SCANOPT", "auto").lower()
@@ -271,18 +295,19 @@ def _auto_device_scanopt(flag):
         return False
     if env in ("1", "true", "on"):
         return True
-    # auto: OFF everywhere. The device search is byte-exact and (since
-    # the captured-constant fix, docs/perf_notes.md) runs stably on the
-    # chip, but it LOSES structurally on this class of attachment: its
-    # reason to exist was deleting the coefficient D2H, and the r4
-    # transport download (ops/transport.py) already shrank that to
-    # ~0.17 B/px with ~35 ms/group of device work — while the full
-    # ~130-candidate device sweep costs more device time than the
-    # pipeline's bottleneck stage and the threaded host search runs in
-    # parallel on otherwise-idle cores (~50 ms/group). Re-evaluate on
-    # locally-attached multi-chip hosts where host cores are the
-    # scarce resource.
-    return False
+    # auto (r5): ON for locally-attached TPUs (deployment="local" or the
+    # <2 ms sync-latency probe), OFF on remote attachments. The device
+    # search is byte-exact and runs stably on the chip, but it LOSES
+    # structurally on remote tunnels: its reason to exist was deleting
+    # the coefficient D2H, and the r4 transport download
+    # (ops/transport.py) already shrank that to ~0.17 B/px with
+    # ~35 ms/group of device work — while the full ~130-candidate device
+    # sweep costs more device time than the pipeline's bottleneck stage
+    # and the threaded host search runs in parallel on otherwise-idle
+    # cores (~50 ms/group). On local attachments those tunnel terms
+    # vanish and the sweep replaces host-core work with idle device
+    # time (scripts/engine_tradeoff.py measures the cross-over).
+    return _deployment_local(deployment)
 
 
 def _auto_backend_flag(flag, env_name):
