@@ -1363,13 +1363,16 @@ def _batch_rest(images, p1, config, cfg, cs, ncomps, samp, qtables):
                 pass
 
     st = {"geom": geom, "finals": finals, "b": b, "restart": restart}
-    if cfg.coef_transport and cfg.precision == 8:
+    if cfg.coef_transport:
         # device-Huffman transport download (~0.15 B/px vs ~1.0 for the
         # sparse layout, ops/transport.py); the header sync + bucketed
         # word download happen in _batch_fetch. On overflow the sparse
-        # pack is dispatched lazily there from st["finals"].
+        # pack is dispatched lazily there from st["finals"]. 12-bit
+        # batches use the extended fixed tables (r5, transport._tables).
         from ..ops import transport
-        st["transport"] = transport.pack_batch(tuple(finals), comps, b)
+        st["transport"] = transport.pack_batch(tuple(finals), comps, b,
+                                               precision=cfg.precision)
+        st["precision"] = cfg.precision
     elif cfg.sparse_download:
         # dispatch the exact-global sparse pack (ops/sparsepack.py
         # pack_planes_exact): masks + value stream with no slack; the
@@ -1399,15 +1402,18 @@ def _batch_fetch(st, cfg):
                 for planes in images_planes]
     if "transport" in st:
         from ..ops import sparsepack, transport
+        prec = st.get("precision", 8)
         fetched = transport.fetch(st["transport"])
         if fetched is None:
             # symbol capacity overflow (denser than the default bucket):
             # retry once at the big bucket before giving up on transport
             fetched = transport.fetch(transport.pack_batch(
-                tuple(st["finals"]), tuple(comps), b, scap=32))
+                tuple(st["finals"]), tuple(comps), b, scap=32,
+                precision=prec))
         if fetched is not None:
             words, bits = fetched
-            planes = transport.decode_to_planes(words, bits, b, comps)
+            planes = transport.decode_to_planes(words, bits, b, comps,
+                                                precision=prec)
             if planes is not None:
                 return pad(planes)
         # still over (or malformed): sparse download (rare)

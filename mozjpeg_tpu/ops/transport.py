@@ -4,8 +4,9 @@ The encode pipeline's dominant D2H transfer is the trellised coefficient
 download that feeds the host scan search + entropy stage (~1.0 B/px via
 the exact sparse pack, ops/sparsepack.py).  But quantized JPEG
 coefficients entropy-code to ~0.12-0.16 B/px — so this module
-Huffman-packs them ON DEVICE with FIXED std tables (ITU T.81 Annex K,
-the repo's STD_TABLES) into an internal baseline-style stream the host
+Huffman-packs them ON DEVICE with FIXED tables (ITU T.81 Annex K std
+tables at 8-bit; deterministic extended tables at 12-bit, see _tables)
+into an internal baseline-style stream the host
 C++ decodes back into planes (native/entropy.cpp mj_transport_decode).
 A ~7x smaller download unties encode throughput from tunnel D2H health
 (VERDICT r3 "what's missing" #1: shrink D2H toward finished bytes).
@@ -56,26 +57,51 @@ def _scap() -> int:
     return int(os.environ.get("MJ_TRANSPORT_SCAP", "12"))
 
 
-def _luts():
-    """(dc_co i32[12], dc_si i32[12], ac_lut u32[256] = co | si<<24,
-    zco, zsi, eco, esi) from the std luma tables — plain numpy so traced
-    functions inline them as literals (perf_notes: captured-constant
-    rule)."""
+def _tables(precision: int = 8):
+    """Transport Huffman tables: the std luma pair at 8-bit; fixed
+    EXTENDED tables at 12-bit (sizes to 15 DC / 14 AC exceed the std
+    tables' symbol sets). This is an internal format — any prefix code
+    both sides share works — so the extended pair is generated once,
+    deterministically, by Annex-K-optimal-coding a geometric synthetic
+    frequency profile (small sizes likelier)."""
     from ..codec.encoder import STD_TABLES
+    if precision == 8:
+        return STD_TABLES[(0, 0)], STD_TABLES[(1, 0)]
+    from ..entropy import encode as entenc
+    f = np.zeros(257, np.int64)
+    for s in range(16):
+        f[s] = 1 << (16 - s)
+    dc = entenc.gen_optimal_table(f)
+    f = np.zeros(257, np.int64)
+    f[0x00] = 1 << 16
+    f[0xF0] = 1 << 12
+    for run in range(16):
+        for size in range(1, 15):
+            f[(run << 4) | size] = max(1, (1 << 14) >> (run + size))
+    ac = entenc.gen_optimal_table(f)
+    return dc, ac
+
+
+def _luts(precision: int = 8):
+    """(dc_co u32[n], dc_si i32[n], ac_lut u32[256] = co | si<<24,
+    zco, zsi, eco, esi) — plain numpy so traced functions inline them
+    as literals (perf_notes: captured-constant rule)."""
     from ..entropy.huffman import derive_codes
-    dco, dsi = derive_codes(STD_TABLES[(0, 0)])
-    aco, asi = derive_codes(STD_TABLES[(1, 0)])
+    dct, act = _tables(precision)
+    dco, dsi = derive_codes(dct)
+    aco, asi = derive_codes(act)
     ac_lut = (aco.astype(np.uint32)
               | (asi.astype(np.uint32) << np.uint32(24)))
-    return (dco[:12].astype(np.int64).astype(np.uint32),
-            dsi[:12].astype(np.int32),
+    ndc = 12 if precision == 8 else 16
+    return (dco[:ndc].astype(np.int64).astype(np.uint32),
+            dsi[:ndc].astype(np.int32),
             ac_lut, int(aco[0xF0]), int(asi[0xF0]),
             int(aco[0x00]), int(asi[0x00]))
 
 
-@functools.lru_cache(maxsize=1)
-def _luts_cached():
-    return _luts()
+@functools.lru_cache(maxsize=2)
+def _luts_cached(precision: int = 8):
+    return _luts(precision)
 
 
 def _nbits(v):
@@ -84,20 +110,24 @@ def _nbits(v):
 
 
 # meta u32 layout: kind<<28 | payload
-#   kind 0 DC:  nb(4 @0) | t2low11(@4)
+#   kind 0 DC:  nb(4 @0) | t2low15(@4)
 #   kind 1 ZRL: count 1..2 (@0)
-#   kind 2 SYM: sym8(@0) | nb4(@8) | t2low10(@12)
+#   kind 2 SYM: sym8(@0) | nb4(@8) | t2low14(@12)
 #   kind 3 EOB: -
 K_DC, K_ZRL, K_SYM, K_EOB = 0, 1, 2, 3
 
 
 @functools.partial(
-    jax.jit, static_argnames=("b", "n_tot", "captot", "capw"))
-def _pack_transport(flat, b: int, n_tot: int, captot: int, capw: int):
+    jax.jit, static_argnames=("b", "n_tot", "captot", "capw",
+                              "precision"))
+def _pack_transport(flat, b: int, n_tot: int, captot: int, capw: int,
+                    precision: int = 8):
     """flat (64, nt) int16 zigzag planes (nt = b*n_tot, exact-sparse-pack
     block order) -> (words (b, capw) u32, header i32 (b+2,):
     [per-image bits..., total_syms, overflow])."""
-    dco_np, dsi_np, ac_lut_np, zco, zsi, eco, esi = _luts_cached()
+    dco_np, dsi_np, ac_lut_np, zco, zsi, eco, esi = \
+        _luts_cached(precision)
+    nbmax_ac = 10 if precision == 8 else 14
     nt = b * n_tot
     x = jnp.transpose(flat).astype(jnp.int32)          # (nt, 64)
 
@@ -109,7 +139,7 @@ def _pack_transport(flat, b: int, n_tot: int, captot: int, capw: int):
     dnb = _nbits(jnp.abs(delta))
     dt2 = jnp.where(delta < 0, delta - 1, delta)
     dc_meta = ((dnb & 15)
-               | ((dt2 & 0x7FF) << 4)).astype(jnp.uint32)  # kind 0
+               | ((dt2 & 0x7FFF) << 4)).astype(jnp.uint32)  # kind 0
 
     # ---- per-block nonzero compaction (bitonic sort, no gathers) ----
     ac = x[:, 1:]                                       # (nt, 63)
@@ -127,11 +157,11 @@ def _pack_transport(flat, b: int, n_tot: int, captot: int, capw: int):
     run = jnp.where(real, p_s - prev_p - 1, 0)
     zc = run >> 4                                       # 0..3
     anb = jnp.where(real, _nbits(jnp.abs(v_s)), 0)
-    over_mag = jnp.any(anb > 10)
+    over_mag = jnp.any(anb > nbmax_ac)
     at2 = jnp.where(v_s < 0, v_s - 1, v_s)
     rsym = (((run & 15) << 4) | anb) & 255
     sym_meta = (rsym | ((anb & 15) << 8)
-                | ((at2 & 0x3FF) << 12)).astype(jnp.uint32) \
+                | ((at2 & 0x3FFF) << 12)).astype(jnp.uint32) \
         | jnp.uint32(K_SYM << 28)
 
     cA = jnp.minimum(zc, 2)
@@ -177,12 +207,12 @@ def _pack_transport(flat, b: int, n_tot: int, captot: int, capw: int):
 
     # ---- meta -> (val, len) ----
     kind = (meta_c >> 28).astype(jnp.int32)
-    # DC (12-entry unrolled select: table too small to pay a gather)
+    # DC (small unrolled select: table too small to pay a gather)
     nb_dc = (meta_c & 15).astype(jnp.int32)
-    t2_dc = ((meta_c >> 4) & 0x7FF).astype(jnp.uint32)
+    t2_dc = ((meta_c >> 4) & 0x7FFF).astype(jnp.uint32)
     dcode = jnp.zeros_like(meta_c)
     dlen = jnp.zeros_like(nb_dc)
-    for i in range(12):
+    for i in range(len(dco_np)):
         m = nb_dc == i
         dcode = jnp.where(m, np.uint32(int(dco_np[i])), dcode)
         dlen = jnp.where(m, np.int32(int(dsi_np[i])), dlen)
@@ -197,7 +227,7 @@ def _pack_transport(flat, b: int, n_tot: int, captot: int, capw: int):
     # SYM
     sym = (meta_c & 255).astype(jnp.int32)
     nb_s = ((meta_c >> 8) & 15).astype(jnp.int32)
-    t2_s = ((meta_c >> 12) & 0x3FF).astype(jnp.uint32)
+    t2_s = ((meta_c >> 12) & 0x3FFF).astype(jnp.uint32)
     # LUT lookup as a one-hot contraction (MXU) instead of a gather:
     # ~9 ns per gathered element vs ~1 ms of streamed HBM traffic for
     # the whole batch (docs/perf_notes.md). co | si<<16 < 2^21 is
@@ -288,12 +318,15 @@ def _trim_concat(header, w, n: int):
 _EST_WORDS: dict = {}
 
 
-def pack_batch(finals, comps, b: int, scap: int = 0):
+def pack_batch(finals, comps, b: int, scap: int = 0,
+               precision: int = 8):
     """finals: tuple per comp of (64, B*n_c) int16 device arrays ->
     (words_dev, header_dev, n_tot, capw).  Same flat block order as
     sparsepack.pack_planes_exact.  scap overrides the per-block symbol
     capacity (the retry path packs again at 32 when the default
-    overflows — denser than that falls back to the sparse download)."""
+    overflows — denser than that falls back to the sparse download).
+    precision selects the table set (std at 8-bit, extended at 12-bit;
+    see _tables)."""
     per_img = [f.reshape(64, b, -1) for f in finals]
     flat = jnp.concatenate(per_img, axis=2)            # (64, B, n_tot)
     n_tot = flat.shape[2]
@@ -301,7 +334,8 @@ def pack_batch(finals, comps, b: int, scap: int = 0):
     flat = flat.reshape(64, nt)
     captot = -(-nt * (scap or _scap()) // 512) * 512
     capw = 13 * n_tot + 2
-    words, header = _pack_transport(flat, b, n_tot, captot, capw)
+    words, header = _pack_transport(flat, b, n_tot, captot, capw,
+                                    precision)
     return words, header, n_tot, capw
 
 
@@ -334,14 +368,14 @@ def fetch(packed):
     return words, bits.astype(np.int32)
 
 
-@functools.lru_cache(maxsize=1)
-def _dec_tables():
-    """Flattened std-table decoder arrays for the C++ walker."""
-    from ..codec.encoder import STD_TABLES
+@functools.lru_cache(maxsize=2)
+def _dec_tables(precision: int = 8):
+    """Flattened decoder arrays for the C++ walker (table set per
+    precision, see _tables)."""
     from ..entropy.huffman import derive_decode_table
     out = []
-    for key in ((0, 0), (1, 0)):
-        mn, mx, vp, vals = derive_decode_table(STD_TABLES[key])
+    for tbl in _tables(precision):
+        mn, mx, vp, vals = derive_decode_table(tbl)
         v = np.zeros(256, np.uint8)
         v[:len(vals)] = vals
         out.append((np.ascontiguousarray(mn.astype(np.int32)),
@@ -352,7 +386,7 @@ def _dec_tables():
 
 
 def decode_to_planes(words: np.ndarray, bits: np.ndarray, b: int,
-                     comps):
+                     comps, precision: int = 8):
     """Host decode of the transport stream -> per image per-comp
     (bh, bw, 64) int16 planes (native mj_transport_decode), or None on
     a malformed stream."""
@@ -360,7 +394,7 @@ def decode_to_planes(words: np.ndarray, bits: np.ndarray, b: int,
     n_tot = sum(g.bh * g.bw for g in comps)
     nt = b * n_tot
     out = np.zeros((nt, 64), np.int16)
-    (dmn, dmx, dvp, dvl), (amn, amx, avp, avl) = _dec_tables()
+    (dmn, dmx, dvp, dvl), (amn, amx, avp, avl) = _dec_tables(precision)
     words = np.ascontiguousarray(words)
     bits = np.ascontiguousarray(bits.astype(np.int32))
     rc = lib.mj_transport_decode(

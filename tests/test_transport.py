@@ -159,3 +159,63 @@ def test_fetch_speculative_undershoot():
         transport._EST_WORDS.pop(n_tot, None)
     assert dec is not None
     np.testing.assert_array_equal(dec[0][0], imgs[0][0])
+
+
+def test_transport_12bit_roundtrip(testorig):
+    """12-bit transport (r5): the extended-table pack/decode round-trips
+    batched 12-bit coefficients exactly — encode_many with transport on
+    equals the sparse-download path byte-for-byte (progressive+dering,
+    unaligned dims)."""
+    import os
+    from mozjpeg_tpu import EncoderConfig, encode_many
+    from mozjpeg_tpu.codec.encoder import _fast_ctx
+    img12 = ((testorig[:51, :69].astype(np.uint16) << 4)
+             | (testorig[:51, :69] >> 4))
+    imgs = [img12, np.roll(img12, 7, axis=1).copy()]
+    cfg = EncoderConfig(quality=75, precision=12, optimize_scans=False)
+    assert _fast_ctx(img12, cfg, {}) is not None
+    old = os.environ.get("MJ_COEF_TRANSPORT")
+    try:
+        os.environ["MJ_COEF_TRANSPORT"] = "0"
+        ref = encode_many(imgs, cfg)
+        os.environ["MJ_COEF_TRANSPORT"] = "1"
+        got = encode_many(imgs, cfg)
+    finally:
+        if old is None:
+            os.environ.pop("MJ_COEF_TRANSPORT", None)
+        else:
+            os.environ["MJ_COEF_TRANSPORT"] = old
+    assert got == ref
+
+
+def test_transport_12bit_pack_decode_direct():
+    """Direct device-pack -> host-decode round trip at 12-bit magnitudes
+    (values through +-16383, DC deltas through +-32766) — beyond the
+    8-bit tables' symbol range."""
+    import jax.numpy as jnp
+    from mozjpeg_tpu.codec.pipeline import CompGeom
+    rng = np.random.default_rng(7)
+    bw, bh, b = 6, 4, 2
+    n = bw * bh
+    vals = np.zeros((b * n, 64), np.int16)
+    # sparse-ish blocks with extreme magnitudes
+    for blk in range(b * n):
+        idx = rng.choice(63, size=8, replace=False) + 1
+        vals[blk, idx] = rng.integers(-16383, 16384, size=8)
+    vals[:, 0] = rng.integers(-16383, 16384, size=b * n)
+    g = CompGeom(h=1, v=1, bw=bw, bh=bh, bw_pad=bw, bh_pad=bh,
+                 w=bw * 8, hgt=bh * 8)
+    comps = [g]
+    finals = (jnp.asarray(
+        vals.reshape(b, n, 64).transpose(2, 0, 1).reshape(64, b * n)),)
+    from mozjpeg_tpu.ops import transport
+    packed = transport.pack_batch(finals, comps, b, scap=32, precision=12)
+    fetched = transport.fetch(packed)
+    assert fetched is not None, "12-bit pack overflowed unexpectedly"
+    words, bits = fetched
+    images = transport.decode_to_planes(words, bits, b, comps,
+                                        precision=12)
+    assert images is not None
+    for i in range(b):
+        got = images[i][0].reshape(n, 64)
+        assert np.array_equal(got, vals[i * n:(i + 1) * n]), i
