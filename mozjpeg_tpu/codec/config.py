@@ -143,6 +143,12 @@ class EncoderConfig:
     # None = auto: on for TPU backends (tunnel-bandwidth-bound).
     host_prep: Optional[bool] = None
 
+    # pack the prepped-plane upload with the lossless per-subtile-width
+    # plane codec (ops/planepack.py + native/planepack.cpp): ~0.6-1.0
+    # B/px over the tunnel instead of 1.5, expanded on device before p1.
+    # Byte-identical output. None = auto: on for TPU backends.
+    plane_pack: Optional[bool] = None
+
     # download coefficients for host entropy as a device-Huffman-packed
     # transport stream (~0.15 B/px, ops/transport.py + native
     # mj_transport_decode) instead of the sparse masks+values layout
@@ -210,6 +216,8 @@ class EncoderConfig:
             sparse_download=_auto_backend_flag(self.sparse_download,
                                                "MJ_SPARSE_DL"),
             host_prep=_auto_backend_flag(self.host_prep, "MJ_HOST_PREP"),
+            plane_pack=_auto_backend_flag(self.plane_pack,
+                                          "MJ_PLANEPACK"),
             coef_transport=_auto_backend_flag(self.coef_transport,
                                               "MJ_COEF_TRANSPORT"),
         )
@@ -256,6 +264,7 @@ class ResolvedConfig:
     device_scanopt: bool
     sparse_download: bool
     host_prep: bool
+    plane_pack: bool
     coef_transport: bool
 
 

@@ -1081,6 +1081,115 @@ def _render_packed(masks, vals, esc, qty, qtc, b: int, dims, nt: int,
     return py, pcb, pcr
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "b", "dims", "nt", "n_tot", "capv", "cape", "gray", "precision",
+    "nst", "nwh"))
+def _render_packed_pp(masks, vals, esc, qty, qtc, b: int, dims, nt: int,
+                      n_tot: int, capv: int, cape: int, gray: bool,
+                      precision: int, nst: int, nwh: int):
+    """_render_packed + device plane pack (ops/planepack.py): the sample
+    planes leave the chip as a ~0.6-1.0 B/px packed stream instead of
+    1.5 B/px raw; the host expands with native mj_plane_expand.
+    Returns (words (b, capw) i32, width-nibble words (b, nwh) i32,
+    word counts (b,) i32)."""
+    from ..ops import planepack
+    res = _render_packed.__wrapped__(masks, vals, esc, qty, qtc, b, dims,
+                                     nt, n_tot, capv, cape, gray,
+                                     precision)
+    capw = nst * 4 + 4
+
+    def pack_one(*planes):
+        stream = jnp.concatenate([p.reshape(-1) for p in planes])
+        words, widths, nw = planepack.pack_stream(stream, nst, capw)
+        pad = nwh * 8 - nst
+        wpad = (jnp.concatenate([widths,
+                                 jnp.zeros((pad,), widths.dtype)])
+                if pad else widths).reshape(nwh, 8)
+        ww = jnp.zeros((nwh,), jnp.int32)
+        for k in range(8):
+            ww = ww | (wpad[:, k] << (28 - 4 * k))
+        return jax.lax.bitcast_convert_type(words, jnp.int32), ww, \
+            nw.astype(jnp.int32)
+
+    if gray:
+        return jax.vmap(lambda y: pack_one(y))(res)
+    return jax.vmap(pack_one)(*res)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _pp_trim_concat(nws, ww, words, n: int):
+    """[word counts | width nibbles | payload prefix] as ONE i32 buffer
+    (a blocking transfer costs ~25-50 ms on this attachment)."""
+    return jnp.concatenate([nws, ww.reshape(-1),
+                            words[:, :n].reshape(-1)])
+
+
+_PP_EST: dict = {}     # total -> running max word count (speculative fetch)
+
+
+def _pp_enabled() -> bool:
+    import os as _os
+    env = _os.environ.get("MJ_PLANEPACK", "auto").lower()
+    if env in ("0", "false", "off"):
+        return False
+    if env in ("1", "true", "on"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _pp_fetch_planes(masks, vals, esc, qty, qtc, b, dims, nt, n_tot,
+                     capv, cape, gray, precision, plane_shapes):
+    """Run the packed render + one speculative fetch; -> per-image lists
+    of uint8 sample planes (host-expanded), or None to use the raw-stack
+    download path."""
+    from ..native import lib, u8p, u32p
+    from ..ops import planepack
+    from ..utils import xfer
+    total = sum(ph * pw for ph, pw in plane_shapes)
+    nst = -(-total // planepack.T)
+    nwh = -(-nst // 8)
+    words, ww, nws = _render_packed_pp(masks, vals, esc, qty, qtc, b,
+                                       dims, nt, n_tot, capv, cape, gray,
+                                       precision, nst, nwh)
+    est = _PP_EST.get(total, max(1, total // 5))
+    bucket = min(nst * 4 + 4, -(-int(est * 1.05) // 8192) * 8192)
+    buf = np.asarray(_pp_trim_concat(nws, ww, words, bucket))
+    xfer.add_d2h(buf.nbytes)
+    nws_h = buf[:b]
+    need = int(nws_h.max())
+    _PP_EST[total] = need
+    ww_h = buf[b:b + b * nwh].view(np.uint32).reshape(b, nwh)
+    if need <= bucket:
+        words_h = buf[b + b * nwh:].view(np.uint32).reshape(b, bucket)
+    else:
+        bucket = min(nst * 4 + 4, -(-need // 8192) * 8192)
+        words_h = np.asarray(jax.jit(
+            lambda w: w[:, :bucket].reshape(-1),
+            static_argnums=())(words)).view(np.uint32).reshape(b, bucket)
+        xfer.add_d2h(words_h.nbytes)
+    # width nibbles -> bytes, then native expansion per image
+    wb = np.stack([(ww_h >> np.uint32(28 - 4 * k)) & np.uint32(15)
+                   for k in range(8)], axis=2).reshape(b, nwh * 8)
+    wb = np.ascontiguousarray(wb[:, :nst].astype(np.uint8))
+    out = []
+    stream = np.empty(total, np.uint8)
+    for i in range(b):
+        wrow = np.ascontiguousarray(words_h[i])
+        rc = lib.mj_plane_expand(wb[i].ctypes.data_as(u8p),
+                                 wrow.ctypes.data_as(u32p), nst, total,
+                                 stream.ctypes.data_as(u8p))
+        if rc != 0:
+            return None
+        planes = []
+        off = 0
+        for ph, pw in plane_shapes:
+            planes.append(stream[off:off + ph * pw].reshape(ph, pw)
+                          .copy())
+            off += ph * pw
+        out.append(planes)
+    return out
+
+
 _POST_MODES = {"none": 0, "h2v1": 1, "h2v2": 2, "int": 3}
 
 
@@ -1203,39 +1312,44 @@ def _decode_chunk_packed_inner(key, idxs, jps, planes_list, out,
     qtc = (None if gray else
            jnp.stack([jnp.asarray(_comp_qtable(jps[i], 1)) for i in idxs]))
     xfer.add_h2d(masks.nbytes + lo.nbytes + esc.nbytes)
-    res = _render_packed(jnp.asarray(masks), jnp.asarray(lo),
-                         jnp.asarray(esc), qty, qtc, b, dims, nt, n_tot,
-                         len(lo), len(esc), gray)
+    plane_shapes = ([(lch, lcw)] if gray else
+                    [(lch, lcw), (cch, ccw), (cch, ccw)])
+    per_planes = None
+    if _pp_enabled():
+        # packed download (~0.6-1.0 B/px instead of 1.5): device packs
+        # the rendered planes, host expands (native mj_plane_expand)
+        per_planes = _pp_fetch_planes(
+            jnp.asarray(masks), jnp.asarray(lo), jnp.asarray(esc), qty,
+            qtc, b, dims, nt, n_tot, len(lo), len(esc), gray, 8,
+            plane_shapes)
+    if per_planes is None:
+        res = _render_packed(jnp.asarray(masks), jnp.asarray(lo),
+                             jnp.asarray(esc), qty, qtc, b, dims, nt,
+                             n_tot, len(lo), len(esc), gray)
+        stacks = ([np.asarray(res)] if gray
+                  else [np.asarray(r) for r in res])
+        xfer.add_d2h(sum(st.nbytes for st in stacks))
+        per_planes = [[st[bi] for st in stacks] for bi in range(b)]
     if output == "yuv":
-        if gray:
-            py = np.asarray(res)
-            xfer.add_d2h(py.nbytes)
-            stacks = [py]
-        else:
-            stacks = [np.asarray(r) for r in res]
-            xfer.add_d2h(sum(st.nbytes for st in stacks))
         for bi, i in enumerate(idxs):
             planes = []
-            for st, (ph, pw) in zip(stacks, raw_dims):
+            for pl, (ph, pw) in zip(per_planes[bi], raw_dims):
                 full = np.zeros((ph, pw), np.uint8)
-                full[:st.shape[1], :st.shape[2]] = st[bi]
+                full[:pl.shape[0], :pl.shape[1]] = pl
                 planes.append(full)
             out[i] = planes
         return
     if gray:
-        py = np.asarray(res)
-        xfer.add_d2h(py.nbytes)
         for bi, i in enumerate(idxs):
-            out[i] = py[bi][:h, :w]
+            out[i] = per_planes[bi][0][:h, :w]
         return
-    py, pcb, pcr = (np.asarray(r) for r in res)
-    xfer.add_d2h(py.nbytes + pcb.nbytes + pcr.nbytes)
     m = _POST_MODES[mode]
     for bi, i in enumerate(idxs):
+        py, pcb, pcr = per_planes[bi]
         rgb = np.empty((h, w, 3), np.uint8)
         lib.mj_post_ycc(
-            py[bi].ctypes.data_as(u8p), lch, lcw,
-            pcb[bi].ctypes.data_as(u8p), pcr[bi].ctypes.data_as(u8p),
+            py.ctypes.data_as(u8p), lch, lcw,
+            pcb.ctypes.data_as(u8p), pcr.ctypes.data_as(u8p),
             cch, ccw, m, hexp, vexp, h, w,
             rgb.ctypes.data_as(u8p))
         out[i] = rgb

@@ -1106,6 +1106,8 @@ def _batch_finish(images, p1, config, cfg, cs, ncomps, samp, qtables,
     except Exception as e:
         if not _device_runtime_error(e):
             raise
+        report.trace(1, "batch group: device runtime error (%s); "
+                        "resetting programs and retrying" % (e,))
     # a jit executable can lose its lifted-constant buffers after other
     # shapes' programs ran ("supplied N buffers but compiled program
     # expected M"); dropping the in-process executable caches retraces
@@ -1157,6 +1159,14 @@ def _batch_p1(images, cfg, samp, qtables, cs="ycbcr"):
     dctm = (cfg.dct_method.value if hasattr(cfg.dct_method, "value")
             else cfg.dct_method)
     if (cfg.host_prep and cfg.smoothing_factor == 0
+            and cfg.precision == 8 and cs == "ycbcr"
+            and cfg.plane_pack):
+        # host C++ color+downsample + plane pack: ~0.6-1.0 B/px upload
+        # (vs 1.5 prepped / 3.0 raw), device-expanded before p1
+        geom, merged, smalls = pipeline_t.run_p1_batch_packed(
+            images, samp, qtables, cfg.overshoot_deringing, cfg.precision,
+            ris=ris, dct_method=dctm)
+    elif (cfg.host_prep and cfg.smoothing_factor == 0
             and cfg.precision == 8 and cs == "ycbcr"):
         # host C++ color+downsample halves the pixel upload (prep.cpp);
         # uint8 YCbCr only — other colorspaces / deep precision /

@@ -532,6 +532,104 @@ def _p1_batch_pre(bufs, geom: tuple, dering_on: bool, precision: int = 8,
     return merged, smalls.reshape(-1)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _p1_batch_packed(hdrs, flat, bases, nwh: int, total: int,
+                     geom: tuple, dering_on: bool, precision: int = 8,
+                     ris: tuple = None, dct_method: str = "islow",
+                     qts81=None, dts81=None):
+    """Batched p1 from plane-packed uploads (ops/planepack.py format):
+    hdrs (B, nwh) u32 nibble widths, flat (capT,) u32 = every image's
+    payload concatenated with no per-image padding, bases (B,) i32 word
+    offsets. The device expands the ~0.6-1.0 B/px stream back to the
+    exact prepped planes, then runs the raw p1 — byte-identical to
+    _p1_batch_pre with ~40% of its upload bytes."""
+    from ..ops import planepack
+    sizes = [g.bh_pad * 8 * g.bw_pad * 8 for g in geom]
+    nst = -(-total // planepack.T)
+
+    def one(hdr, base):
+        widths = planepack._widths_from_words(hdr, nst)
+        stream = planepack.expand_stream(flat, widths, total, base)
+        planes = []
+        off = 0
+        for g, n in zip(geom, sizes):
+            planes.append(stream[off:off + n].reshape(g.bh_pad * 8,
+                                                      g.bw_pad * 8))
+            off += n
+        return _p1_raw.__wrapped__(tuple(planes), geom, dering_on,
+                                   precision, ris, dct_method, qts81,
+                                   dts81)
+
+    res, smalls = jax.vmap(one)(hdrs, bases)
+    merged = []
+    for (q_zz, raw_zz) in res:
+        q2 = jnp.moveaxis(q_zz, 0, 1).reshape(64, -1)
+        r2 = jnp.moveaxis(raw_zz, 0, 1).reshape(64, -1)
+        merged.append((q2, r2))
+    return merged, smalls.reshape(-1)
+
+
+def run_p1_batch_packed(images, samp, qtables, dering_on: bool,
+                        precision: int = 8, ris: tuple = None,
+                        dct_method: str = "islow"):
+    """Host C++ prep + plane pack -> one compressed upload -> device
+    expand + batched p1. Byte-identical to run_p1_batch_pre."""
+    import os as _os
+    from ..native import lib, u8p, u32p
+    from ..ops import planepack
+    b = len(images)
+    h, w = images[0].shape[:2]
+    mcus_x, mcus_y, geom = geometry(w, h, samp)
+    q81 = [_dev_qtbl(np.asarray(t)) for t in qtables[:2]]
+    qts81 = tuple(q81[0 if i == 0 else min(1, len(q81) - 1)]
+                  for i in range(len(geom)))
+    gy, gc = geom[0], geom[1]
+    pw_y, ph_y = gy.bw_pad * 8, gy.bh_pad * 8
+    pw_c, ph_c = gc.bw_pad * 8, gc.bh_pad * 8
+    total = ph_y * pw_y + 2 * ph_c * pw_c
+    nst = -(-total // planepack.T)
+    nwh = -(-nst // 8)
+    nt = max(1, (_os.cpu_count() or 4) - 1)
+    stream = np.empty(total, np.uint8)
+    widths = np.empty((b, nst), np.uint8)
+    words = np.empty((b, nst * 4 + 4), np.uint32)
+    nws = []
+    for i, img in enumerate(images):
+        rgb = np.ascontiguousarray(img)
+        yp = stream[:ph_y * pw_y]
+        cbp = stream[ph_y * pw_y:ph_y * pw_y + ph_c * pw_c]
+        crp = stream[ph_y * pw_y + ph_c * pw_c:]
+        lib.mj_prep_ycc(rgb.ctypes.data_as(u8p), w, h,
+                        samp[0][0], samp[0][1],
+                        pw_y, ph_y, pw_c, ph_c,
+                        yp.ctypes.data_as(u8p), cbp.ctypes.data_as(u8p),
+                        crp.ctypes.data_as(u8p), nt)
+        nws.append(int(lib.mj_plane_pack(
+            stream.ctypes.data_as(u8p), total,
+            widths[i].ctypes.data_as(u8p),
+            words[i].ctypes.data_as(u32p), nt)))
+    bases = np.zeros(b, np.int32)
+    bases[1:] = np.cumsum(nws[:-1])
+    capt = max(1, -(-int(sum(nws)) // 8192) * 8192)   # one bucket/group
+    flat = np.empty(capt, np.uint32)
+    off = 0
+    for i in range(b):
+        flat[off:off + nws[i]] = words[i, :nws[i]]
+        off += nws[i]
+    flat[off:] = 0
+    hdrs = planepack.widths_to_words_host(widths)
+    from ..utils import xfer
+    xfer.add_h2d(flat.nbytes + hdrs.nbytes + bases.nbytes)
+    qt_slots = tuple(0 if i == 0 else 1 for i in range(len(geom)))
+    dts81 = _divisor_tables(qtables, qt_slots, dct_method)
+    merged, small = _p1_batch_packed(jnp.asarray(hdrs),
+                                     jnp.asarray(flat),
+                                     jnp.asarray(bases), nwh, total,
+                                     tuple(geom), dering_on, precision,
+                                     ris, dct_method, qts81, dts81)
+    return (mcus_x, mcus_y, geom), merged, small
+
+
 def run_p1_batch_pre(images, samp, qtables, dering_on: bool,
                      precision: int = 8, ris: tuple = None,
                      dct_method: str = "islow"):

@@ -177,6 +177,13 @@ lib.mj_host_trellis_dc.argtypes = [
     i32p, i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     i32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int]
 
+lib.mj_plane_pack.restype = ctypes.c_long
+lib.mj_plane_pack.argtypes = [u8p, ctypes.c_long, u8p, u32p, ctypes.c_int]
+
+lib.mj_plane_expand.restype = ctypes.c_long
+lib.mj_plane_expand.argtypes = [u8p, u32p, ctypes.c_long, ctypes.c_long,
+                                u8p]
+
 lib.mj_post_ycc.restype = None
 lib.mj_post_ycc.argtypes = [
     u8p, ctypes.c_long, ctypes.c_long, u8p, u8p, ctypes.c_long,

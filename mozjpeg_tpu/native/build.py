@@ -24,6 +24,7 @@ SOURCES = (
     "prep.cpp",         # RGB->YCbCr + subsampling host prep
     "post.cpp",         # decode: sparse coeff upload pack, upsample+color
     "hostenc.cpp",      # host engine: FDCT + dering + trellis (serial path)
+    "planepack.cpp",    # lossless sample-plane pack for tunnel transfers
 )
 
 LIB_NAME = "libmjentropy.so"

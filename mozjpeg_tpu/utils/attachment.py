@@ -25,15 +25,24 @@ import time
 
 @functools.lru_cache(maxsize=1)
 def sync_latency_ms() -> float:
-    """Best-of-3 tiny device->host sync latency in milliseconds."""
+    """Best-of-2 4 MB device->host transfer time in milliseconds.
+
+    A BANDWIDTH-sized probe, not a tiny sync: remote tunnels answer tiny
+    syncs in ~1 ms (pipelined), which fooled the first version of this
+    probe into classifying the bench tunnel as local and turning the
+    device engines on (a 6x pipeline regression). 4 MB over PCIe/ICI is
+    ~1-3 ms; over a tens-of-MB/s tunnel it is >100 ms — unfakeable."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     try:
-        d = jnp.zeros(8, jnp.int32) + 1
-        d.block_until_ready()
         best = float("inf")
-        for _ in range(3):
+        for i in range(2):
+            # a FRESH array each round: jax caches the host copy of a
+            # device array after the first conversion, which made a
+            # repeat measurement read back in ~0.1 ms on any attachment
+            d = jnp.zeros(1 << 20, jnp.int32) + i    # 4 MB
+            d.block_until_ready()
             t0 = time.perf_counter()
             np.asarray(d)
             best = min(best, time.perf_counter() - t0)
@@ -44,7 +53,7 @@ def sync_latency_ms() -> float:
 
 @functools.lru_cache(maxsize=1)
 def is_local_tpu() -> bool:
-    """True when a real TPU is attached at PCIe/ICI-class latency."""
+    """True when a real TPU is attached at PCIe/ICI-class bandwidth."""
     env = os.environ.get("MJ_DEPLOYMENT", "").lower()
     if env == "local":
         return True
@@ -53,4 +62,4 @@ def is_local_tpu() -> bool:
     import jax
     if jax.default_backend() != "tpu":
         return False
-    return sync_latency_ms() < 2.0
+    return sync_latency_ms() < 20.0                 # 4 MB in < 20 ms
