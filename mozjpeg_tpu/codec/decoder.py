@@ -1098,30 +1098,35 @@ def _render_packed_pp(masks, vals, esc, qty, qtc, b: int, dims, nt: int,
                                      precision)
     capw = nst * 4 + 4
 
-    def pack_one(*planes):
-        stream = jnp.concatenate([p.reshape(-1) for p in planes])
-        words, widths, nw = planepack.pack_stream(stream, nst, capw)
-        pad = nwh * 8 - nst
-        wpad = (jnp.concatenate([widths,
-                                 jnp.zeros((pad,), widths.dtype)])
-                if pad else widths).reshape(nwh, 8)
-        ww = jnp.zeros((nwh,), jnp.int32)
-        for k in range(8):
-            ww = ww | (wpad[:, k] << (28 - 4 * k))
-        return jax.lax.bitcast_convert_type(words, jnp.int32), ww, \
-            nw.astype(jnp.int32)
-
+    # ONE stream for the whole group (images concatenated): no per-image
+    # bucket slack in the download, one width header, one word count
     if gray:
-        return jax.vmap(lambda y: pack_one(y))(res)
-    return jax.vmap(pack_one)(*res)
+        stream = res.reshape(-1)
+    else:
+        stream = jnp.concatenate(
+            [jnp.concatenate([r[i].reshape(-1) for r in res])
+             for i in range(b)])
+    words, widths, nw = planepack.pack_stream(stream, nst, capw)
+    pad = nwh * 8 - nst
+    wpad = (jnp.concatenate([widths, jnp.zeros((pad,), widths.dtype)])
+            if pad else widths).reshape(nwh, 8)
+    ww = jnp.zeros((nwh,), jnp.int32)
+    for k in range(8):
+        ww = ww | (wpad[:, k] << (28 - 4 * k))
+    return jax.lax.bitcast_convert_type(words, jnp.int32), ww, \
+        nw.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def _pp_trim_concat(nws, ww, words, n: int):
-    """[word counts | width nibbles | payload prefix] as ONE i32 buffer
+def _pp_trim_concat(nw, ww, words, n: int):
+    """[word count | width nibbles | payload prefix] as ONE i32 buffer
     (a blocking transfer costs ~25-50 ms on this attachment)."""
-    return jnp.concatenate([nws, ww.reshape(-1),
-                            words[:, :n].reshape(-1)])
+    return jnp.concatenate([nw.reshape(1), ww, words[:n]])
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _pp_trim(words, n: int):
+    return words[:n]
 
 
 _PP_EST: dict = {}     # total -> running max word count (speculative fetch)
@@ -1145,43 +1150,41 @@ def _pp_fetch_planes(masks, vals, esc, qty, qtc, b, dims, nt, n_tot,
     from ..native import lib, u8p, u32p
     from ..ops import planepack
     from ..utils import xfer
-    total = sum(ph * pw for ph, pw in plane_shapes)
+    total1 = sum(ph * pw for ph, pw in plane_shapes)
+    total = b * total1                 # ONE stream for the whole group
     nst = -(-total // planepack.T)
     nwh = -(-nst // 8)
-    words, ww, nws = _render_packed_pp(masks, vals, esc, qty, qtc, b,
-                                       dims, nt, n_tot, capv, cape, gray,
-                                       precision, nst, nwh)
+    words, ww, nw = _render_packed_pp(masks, vals, esc, qty, qtc, b,
+                                      dims, nt, n_tot, capv, cape, gray,
+                                      precision, nst, nwh)
     est = _PP_EST.get(total, max(1, total // 5))
-    bucket = min(nst * 4 + 4, -(-int(est * 1.05) // 8192) * 8192)
-    buf = np.asarray(_pp_trim_concat(nws, ww, words, bucket))
+    bucket = min(nst * 4 + 4, -(-int(est * 1.04) // 8192) * 8192)
+    buf = np.asarray(_pp_trim_concat(nw, ww, words, bucket))
     xfer.add_d2h(buf.nbytes)
-    nws_h = buf[:b]
-    need = int(nws_h.max())
+    need = int(buf[0])
     _PP_EST[total] = need
-    ww_h = buf[b:b + b * nwh].view(np.uint32).reshape(b, nwh)
+    ww_h = buf[1:1 + nwh].view(np.uint32)
     if need <= bucket:
-        words_h = buf[b + b * nwh:].view(np.uint32).reshape(b, bucket)
+        words_h = buf[1 + nwh:1 + nwh + need].view(np.uint32)
     else:
         bucket = min(nst * 4 + 4, -(-need // 8192) * 8192)
-        words_h = np.asarray(jax.jit(
-            lambda w: w[:, :bucket].reshape(-1),
-            static_argnums=())(words)).view(np.uint32).reshape(b, bucket)
+        words_h = np.asarray(_pp_trim(words, bucket)).view(np.uint32)
         xfer.add_d2h(words_h.nbytes)
-    # width nibbles -> bytes, then native expansion per image
+    # width nibbles -> bytes, then ONE native expansion for the group
     wb = np.stack([(ww_h >> np.uint32(28 - 4 * k)) & np.uint32(15)
-                   for k in range(8)], axis=2).reshape(b, nwh * 8)
-    wb = np.ascontiguousarray(wb[:, :nst].astype(np.uint8))
-    out = []
+                   for k in range(8)], axis=1).reshape(nwh * 8)
+    wb = np.ascontiguousarray(wb[:nst].astype(np.uint8))
     stream = np.empty(total, np.uint8)
-    for i in range(b):
-        wrow = np.ascontiguousarray(words_h[i])
-        rc = lib.mj_plane_expand(wb[i].ctypes.data_as(u8p),
-                                 wrow.ctypes.data_as(u32p), nst, total,
-                                 stream.ctypes.data_as(u8p))
-        if rc != 0:
-            return None
+    rc = lib.mj_plane_expand(wb.ctypes.data_as(u8p),
+                             np.ascontiguousarray(words_h)
+                             .ctypes.data_as(u32p), nst, total,
+                             stream.ctypes.data_as(u8p))
+    if rc != 0:
+        return None
+    out = []
+    off = 0
+    for _ in range(b):
         planes = []
-        off = 0
         for ph, pw in plane_shapes:
             planes.append(stream[off:off + ph * pw].reshape(ph, pw)
                           .copy())
