@@ -443,9 +443,16 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
                 noff += n_c
             if not dev_tables:
                 from ..ops import tablegen as _tg
+                # ONE stacked tablegen for all comps: the Annex-K merge
+                # is a ~200-iteration device while_loop whose cost is
+                # iteration overhead, not vector width — stacking cut
+                # the fused program ~16 ms/group (r5)
+                h_all = jnp.concatenate(
+                    [sm[:, noff + ci * 256: noff + (ci + 1) * 256]
+                     for ci in range(len(geoms))], axis=0)
+                si_all = _tg.trellis_rate_tables_t.__wrapped__(h_all)
                 for ci in range(len(geoms)):
-                    h = sm[:, noff + ci * 256: noff + (ci + 1) * 256]
-                    ac_sis.append(_tg.trellis_rate_tables_t.__wrapped__(h))
+                    ac_sis.append(si_all[ci * batch:(ci + 1) * batch])
         else:
             for n in nlam:
                 lams.append(jax.lax.bitcast_convert_type(
@@ -453,9 +460,11 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
                 off += n
         if dev_tables:
             from ..ops import tablegen as _tg
+            h_all = jnp.concatenate([hists[ci]
+                                     for ci in range(len(geoms))], axis=0)
+            si_all = _tg.trellis_rate_tables_t.__wrapped__(h_all)
             for ci in range(len(geoms)):
-                ac_sis.append(_tg.trellis_rate_tables_t.__wrapped__(
-                    hists[ci]))
+                ac_sis.append(si_all[ci * batch:(ci + 1) * batch])
         elif dev_first is None:
             for _ in geoms:
                 ac_sis.append(
@@ -466,13 +475,19 @@ def make_trellis_all_t(geoms, q0s, bands, dc_on: bool, ncands,
                 lst.append(packed[off:off + sz])
                 off += sz
         outs = []
+        luts_all = None
+        if use_pallas:
+            # ONE stacked LUT build for all comps (rate_lut_dev ignores
+            # the band bounds; the gather amortizes 3x)
+            luts_all = rate_lut_dev(jnp.concatenate(ac_sis, axis=0),
+                                    0, 63, kmax)
         for ci, g in enumerate(geoms):
             raw = raws[ci]
             new_q = qs[ci]
             lam = lams[ci]
             for (ss, se) in bands:
                 if use_pallas:
-                    lut = rate_lut_dev(ac_sis[ci], ss, se, kmax)
+                    lut = luts_all[ci * batch:(ci + 1) * batch]
                     new_q = _trellis_ac_pallas(raw, new_q, qtbl_zzs[ci],
                                                lut, ac_sis[ci], lam, ss, se,
                                                bw=g.bw, eob_opt=eob_opt,
@@ -614,8 +629,11 @@ def rate_lut_dev(ac_si, Ss: int, Se: int, kmax: int):
     rb = (rpos >> 4).astype(jnp.float32)[None] * zrl
     ok = ((r >= 0) & (kk < kmax))[None] & (cl > 0) \
         & ((r < 16)[None] | (zrl > 0))
-    return jnp.where(ok, (cl + (kk + 1).astype(jnp.float32)[None]) + rb,
-                     BIG)
+    lut = jnp.where(ok, (cl + (kk + 1).astype(jnp.float32)[None]) + rb,
+                    BIG)
+    # EOB code length rides at [b, 127, 0] for the in-kernel end
+    # selection (build_rate_lut does the same on host)
+    return lut.at[:, 127, 0].set(ac_si_f[:, 0])
 
 
 def ac_impl_flags(precision: int):
@@ -659,56 +677,26 @@ def _trellis_ac_pallas(raw, qcoef, qtbl_zz, rate_luts, ac_si, lam,
             .reshape(64, B * n_pad)
         lam_p = jnp.pad(lam.reshape(B, n_img),
                         ((0, 0), (0, n_pad - n_img))).reshape(-1)
-    acc, run_start, best_val, qval, azd = pt.trellis_ac_dp_pallas(
-        raw_p, qtbl_zz, _ltbl_lookup(qtbl_zz), rate_luts, lam_p,
-        Ss, Se, n_pad, interpret)
+    ac_si_f = ac_si.astype(jnp.float32)
+    # end selection, path walk and keep-masking all run IN the kernel
+    # (r5): the XLA tail re-streamed five (64, N) outputs from HBM and
+    # its 63-step walk alone cost ~35 ms/group
+    new_band, ei = pt.trellis_ac_dp_pallas(
+        raw_p, qtbl_zz, _ltbl_lookup(qtbl_zz), rate_luts,
+        lam_p, Ss, Se, n_pad, interpret)
     if n_pad != n_img:
-        def unpad(a):
-            return a.reshape(64, B, n_pad)[:, :, :n_img].reshape(64, N)
-        acc, run_start, best_val, qval, azd = (
-            unpad(acc), unpad(run_start), unpad(best_val), unpad(qval),
-            unpad(azd))
+        new_band = new_band.reshape(64, B, n_pad)[:, :, :n_img] \
+            .reshape(64, N)
+        ei = ei.reshape(8, B, n_pad)[:, :, :n_img].reshape(8, N)
 
     pos = jnp.arange(64)[:, None]
     in_band = (pos >= Ss) & (pos <= Se)
-    sign = jnp.where(raw < 0, -1, 1)
-    j_idx = jnp.arange(64)
-    j_nonzero = (qval != 0) & in_band
-    ac_si_f = ac_si.astype(jnp.float32)
-
-    azd_Se = azd[Se]
-    eob_len = jnp.repeat(ac_si_f[:, 0], n_img)[None, :]  # (1, N)
-    end_wo_eob = (acc + azd_Se[None, :]) - azd           # cost without EOB
-    end_cost = end_wo_eob + jnp.where(pos < Se, eob_len, 0.0)
-    end_cost = jnp.where(j_nonzero, end_cost, BIG)
-    end_cost = end_cost.at[Ss - 1].set(azd_Se + eob_len[0])
-    last_idx = jnp.argmin(end_cost, axis=0).astype(jnp.int32)
-
-    def walk(cur, _):
-        # row pick as a select tree over the 64 static rows: a traced
-        # (N,) gather per step at ~8.7 ns/element was the walk's cost
-        nxt = jnp.zeros_like(cur)
-        for j in range(Ss - 1, Se + 1):
-            nxt = jnp.where(cur == j, run_start[j], nxt)
-        nxt = jnp.where(cur >= Ss, nxt, Ss - 1)
-        return nxt, cur
-
-    steps = Se - Ss + 1
-    _, curs = jax.lax.scan(walk, last_idx, None, length=steps)
-    curs_valid = jnp.where(curs >= Ss, curs, 64)
-    keep = jnp.any(curs_valid[:, None, :] == j_idx[None, :, None], axis=0)
-    keep = keep & j_nonzero
-
-    new_band = jnp.where(keep, best_val * sign, 0).astype(jnp.int16)
-    out = jnp.where(in_band, new_band, qcoef)
+    out = jnp.where(in_band, new_band.astype(jnp.int16), qcoef)
     if not eob_opt:
         return out
-    czero = azd_Se                                       # (N,) all-zero cost
-    skip = jnp.take_along_axis(
-        end_wo_eob.at[Ss - 1].set(azd_Se), last_idx[None, :], axis=0)[0]
-    skip = jnp.where(last_idx == Ss - 1, czero, skip)    # best_cost_skip
-    has_eob = ((last_idx < Se).astype(jnp.int32)
-               + (last_idx == Ss - 1).astype(jnp.int32))  # 0/1/2
+    czero = ei[0]                                        # (N,)
+    skip = ei[1]
+    has_eob = ei[2].astype(jnp.int32)                    # 0/1/2
     keep_blk = _eob_block_dp(
         czero.reshape(-1, bw), skip.reshape(-1, bw),
         has_eob.reshape(-1, bw),

@@ -53,13 +53,12 @@ def _frnd(x):
 
 def _make_kernel(Ss: int, Se: int):
     def kernel(qtbl_ref, ltbl_ref, rr_ref, raw_ref, lam_ref,
-               acc_ref, rs_ref, bv_ref, qval_ref, azd_ref):
+               nb_ref, ei_ref, azd_ref):
         L = raw_ref.shape[1]
         raw = raw_ref[:, :]
         x = jnp.abs(raw)
         q8 = qtbl_ref[:, :] << 3                       # (64, 1)
         qval = jnp.minimum((x + (q8 >> 1)) // q8, 1023)
-        qval_ref[:, :] = qval
 
         ltbl = ltbl_ref[:, :]                          # (64, 1)
         lam = lam_ref[:, :]                            # (1, L)
@@ -76,7 +75,7 @@ def _make_kernel(Ss: int, Se: int):
             run = run + zterm[i:i + 1, :]
             rows.append(run)
         azd = jnp.concatenate(rows, axis=0)            # (64, L)
-        azd_ref[:, :] = azd
+        azd_ref[:, :] = azd        # VMEM scratch: the DP body row-slices it
 
         j_iota = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
         j_nonzero = (qval != 0) & in_band              # (64, L)
@@ -152,9 +151,49 @@ def _make_kernel(Ss: int, Se: int):
             return acc, rs, bv
 
         acc, rs, bv = jax.lax.fori_loop(Ss, Se + 1, body, (acc0, rs0, bv0))
-        acc_ref[:, :] = acc
-        rs_ref[:, :] = rs
-        bv_ref[:, :] = bv
+
+        # ---- end selection + path walk, ALL IN VMEM (r5): the XLA tail
+        # used to re-stream acc/rs/bv/azd from HBM and the 63-step walk's
+        # 64-way row select cost ~35 ms/group on its own ----
+        azd_Se = azd[Se:Se + 1, :]                       # (1, L)
+        # EOB code length rides in rate-LUT row 127 (never read by the
+        # DP: step i slices rows [64-i, 128-i) with i >= 1)
+        eobl = rr_ref[0, 127:128, 0:1].reshape(1, 1)
+        end_wo = (acc + azd_Se) - azd                    # (64, L)
+        end_cost = end_wo + jnp.where(pos < Se, eobl,
+                                      jnp.float32(0.0))
+        end_cost = jnp.where(j_nonzero, end_cost, jnp.float32(BIGF))
+        end_cost = jnp.where(j_iota == (Ss - 1), azd_Se + eobl, end_cost)
+        mn = jnp.min(end_cost, axis=0, keepdims=True)
+        jsel = jnp.where(end_cost == mn,
+                         j_iota + jnp.zeros((1, L), jnp.int32), 64)
+        last = jnp.min(jsel, axis=0, keepdims=True)      # (1, L) first-min
+
+        def wbody(step, st):
+            cur, keep = st
+            hit = j_iota == cur                          # one row per lane
+            on = cur >= Ss
+            keep = keep | jnp.where(hit & on, 1, 0)
+            nxt = jnp.sum(jnp.where(hit, rs, 0), axis=0, keepdims=True)
+            cur = jnp.where(on, nxt, Ss - 1)
+            return cur, keep
+
+        keep0 = jnp.zeros((64, L), jnp.int32)
+        _, keep = jax.lax.fori_loop(0, Se - Ss + 1, wbody, (last, keep0))
+        kept = (keep != 0) & j_nonzero
+        sign = jnp.where(raw < 0, -1, 1)
+        nb_ref[:, :] = jnp.where(kept, bv * sign, 0)
+
+        # eob-opt side info: [czero, skip, has_eob, 0...] as (8, L) f32
+        heob = ((last < Se).astype(jnp.float32)
+                + (last == (Ss - 1)).astype(jnp.float32))
+        end_wo_adj = jnp.where(j_iota == (Ss - 1), azd_Se, end_wo)
+        skip = jnp.sum(jnp.where(j_iota == last, end_wo_adj,
+                                 jnp.float32(0.0)), axis=0, keepdims=True)
+        skip = jnp.where(last == (Ss - 1), azd_Se, skip)
+        zr = jnp.zeros((1, L), jnp.float32)
+        ei_ref[:, :] = jnp.concatenate(
+            [azd_Se, skip, heob, zr, zr, zr, zr, zr], axis=0)
 
     return kernel
 
@@ -169,6 +208,7 @@ def build_rate_lut(ac_si: np.ndarray, Ss: int, Se: int) -> np.ndarray:
     table: the kernel's j_ok mask enforces them."""
     del Ss, Se
     lut = np.full((128, RR_K), BIGF, np.float32)
+    lut[127, 0] = float(ac_si[0])      # EOB length for the in-kernel tail
     zrl_len = int(ac_si[0xF0])
     for r in range(64):
         if (r >> 4) and zrl_len == 0:
@@ -187,8 +227,10 @@ def trellis_ac_dp_pallas(raw, qtbl_zz, ltbl, rate_luts, lam,
                          Ss: int, Se: int, n_img: int,
                          interpret: bool = False):
     """raw (64, N) int32 image-major (N = B*n_img, n_img % LANES == 0);
-    ltbl (64,) f32 host-IEEE 1/(q*q); rate_luts (B, 128, RR_K) f32;
-    lam (N,) f32. -> acc, run_start, best_val, qval, azd — each (64, N)."""
+    ltbl (64,) f32 host-IEEE 1/(q*q); rate_luts (B, 128, RR_K) f32 with
+    the EOB code length stashed at [b, 127, 0]; lam (N,) f32.
+    -> (new_band (64, N) int32 signed kept values — 0 elsewhere in
+    band — and eob-info (8, N) f32 rows [czero, skip, has_eob, 0...])."""
     N = raw.shape[1]
     B = rate_luts.shape[0]
     chunks = n_img // LANES
@@ -212,16 +254,11 @@ def trellis_ac_dp_pallas(raw, qtbl_zz, ltbl, rate_luts, lam,
         ],
         out_specs=[
             pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), col, memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((64, N), jnp.float32),
-                   jax.ShapeDtypeStruct((64, N), jnp.int32),
-                   jax.ShapeDtypeStruct((64, N), jnp.int32),
-                   jax.ShapeDtypeStruct((64, N), jnp.int32),
-                   jax.ShapeDtypeStruct((64, N), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((64, N), jnp.int32),
+                   jax.ShapeDtypeStruct((8, N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((64, LANES), jnp.float32)],
         interpret=interpret,
     )(qtbl_zz.reshape(64, 1).astype(jnp.int32),
       ltbl.reshape(64, 1).astype(jnp.float32), rate_luts,
