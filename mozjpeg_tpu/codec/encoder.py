@@ -1003,8 +1003,34 @@ def _encode_many(images, config: Optional[EncoderConfig] = None,
                                           **overrides)[0]
             return out
     out = [None] * len(images)
-    states = []
     resolved = [_resolve(img, config, overrides) for img in images]
+    # r5: images whose config fell off the batched path but sits in the
+    # host engine's matrix (arithmetic trellis, trellis_q_opt, ...)
+    # encode natively on a thread pool — the staged device path pays
+    # per-row tunnel round trips for exactly these configs
+    from . import host_engine
+    if host_engine.enabled():
+        host_idx = [
+            i for i in range(len(images))
+            if out[i] is None and images[i].ndim in (2, 3)
+            and host_engine.supported(resolved[i][1], resolved[i][2])
+            and _qt_slots(resolved[i][1], resolved[i][2], resolved[i][3])
+            == _CS_INFO[resolved[i][2]][0][:resolved[i][3]]]
+        if host_idx:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                futs = {i: ex.submit(
+                    host_engine.encode_host, images[i], resolved[i][0],
+                    resolved[i][1], resolved[i][2], resolved[i][3],
+                    resolved[i][4], resolved[i][5]) for i in host_idx}
+                for i, f in futs.items():
+                    out[i] = f.result()
+            if all(o is not None for o in out):
+                return out
+    states = []
+    idx_rest = [i for i in range(len(images)) if out[i] is None]
+    images = [images[i] for i in idx_rest]
+    resolved = [resolved[i] for i in idx_rest]
     report.add_passes(sum(1 + (1 if r[1].trellis_quant else 0)
                           for r in resolved))
     # stage 1: dispatch all device pipelines
@@ -1028,8 +1054,9 @@ def _encode_many(images, config: Optional[EncoderConfig] = None,
                              flat_dev=st["flat"])
         mcus_x = st["geom"][0]
         restart = _restart_interval(cfg, mcus_x)
-        out[i] = _phase_entropy(img.shape[1], img.shape[0], st["geom"],
-                                planes, qt, cfg_o, cfg, ncomps, restart, cs)
+        out[idx_rest[i]] = _phase_entropy(
+            img.shape[1], img.shape[0], st["geom"], planes, qt, cfg_o,
+            cfg, ncomps, restart, cs)
     return out
 
 

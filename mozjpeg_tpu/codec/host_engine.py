@@ -36,7 +36,6 @@ def supported(cfg, cs: str) -> bool:
             else cfg.dct_method)
     return (cfg.precision == 8
             and dctm == DCTMethod.ISLOW.value
-            and not cfg.arithmetic
             and cfg.smoothing_factor == 0
             and cs in ("ycbcr", "grayscale")
             and tuple(cfg.subsampling) in ((2, 2), (2, 1), (1, 1)))
@@ -192,6 +191,119 @@ def _trellis(cfg, cs, comps, p1, qtables, qt_slots):
     return cur
 
 
+def _trellis_arith(cfg, cs, comps, p1, qtables, qt_slots):
+    """Arithmetic-coding trellis (quantize_trellis_arith), entirely on
+    host: the adaptive rate feedback is irreducibly row-serial (the
+    coder trains on row k's chosen coefficients before row k+1's rates
+    are snapshotted), so the device formulation paid one tunnel round
+    trip per block row; here every step is a native call. Mirrors
+    encoder._phase_trellis's arithmetic branch exactly."""
+    import ctypes as _ct
+    from ..native import lib, i16p, i32p, f32p
+    from . import trellis
+    from .encoder import _trellis_comps, _trellis_ris
+    f32cp = f32p
+    lib.mj_arith_ctx_new.restype = _ct.c_void_p
+    lib.mj_arith_ctx_free.argtypes = [_ct.c_void_p]
+    lib.mj_arith_get_rates.argtypes = [_ct.c_void_p, f32cp, f32cp]
+    lib.mj_arith_train_rows.argtypes = [
+        _ct.c_void_p, _ct.POINTER(_ct.c_int16), _ct.c_int, _ct.c_int,
+        _ct.c_int, _ct.c_int]
+    lib.mj_arith_ctx_restart.argtypes = [_ct.c_void_p, _ct.c_int,
+                                         _ct.c_int, _ct.c_int]
+    nt = max(1, (os.cpu_count() or 4))
+    ncomps = len(p1)
+    tcomps = _trellis_comps(cfg, cs, comps)
+    prog_mode = cfg.progressive
+    if cfg.scan_script is not None:
+        from . import scans as _scans
+        _s0 = _scans.ScanInfo(tuple(cfg.scan_script[0][0]),
+                              *cfg.scan_script[0][1:])
+        prog_mode = _s0.Ss != 0 or _s0.Se != 63
+    fs = cfg.trellis_freq_split
+    band_defs = ([(1, fs), (fs + 1, 63)]
+                 if cfg.use_scans_in_trellis else [(1, 63)])
+    visits = trellis.arith_trellis_comps(
+        ncomps, max(1, cfg.trellis_num_loops), cfg.use_scans_in_trellis)
+    cur = [np.array(p1[ci][0], copy=True) for ci in range(ncomps)]
+    lams, ncands = [], []
+    for ci in range(ncomps):
+        _, _, norms, qz = p1[ci]
+        lams.append(trellis.lambda_from_norm(
+            norms, cfg.lambda_log_scale1, cfg.lambda_log_scale2))
+        ncands.append(trellis.get_num_dc_candidates(int(qz[0])))
+    rate_dc = np.empty(128, np.float32)
+    rate_ac = np.empty(512, np.float32)
+    fin = np.zeros(1, np.int32)
+    for comp, band in visits:
+        g = tcomps[comp]
+        bw, bh, v = g.bw, g.bh, g.v
+        ss, se = band_defs[band]
+        qz = np.ascontiguousarray(p1[comp][3])
+        q0 = int(qz[0])
+        ltbl0 = np.float32(1.0 / (q0 * q0))
+        lam_np = lams[comp]
+        raw = p1[comp][1]
+        qc = cur[comp]
+        ctx = lib.mj_arith_ctx_new()
+        rint = 0
+        tris = _trellis_ris(cfg, comps)
+        if tris:
+            rint = tris[comp]
+        rtg = rint
+        nrst = 0
+        for ri in range(-(-bh // v)):
+            lib.mj_arith_get_rates(ctx, rate_dc.ctypes.data_as(f32cp),
+                                   rate_ac.ctypes.data_as(f32cp))
+            last_dc = 0
+            for br in range(ri * v, min((ri + 1) * v, bh)):
+                a, b = br * bw, (br + 1) * bw
+                raw_row = raw[a:b]
+                q_row = qc[a:b]
+                lam_row = np.ascontiguousarray(lam_np[a:b])
+                lib.mj_host_arith_ac_row(
+                    raw_row.ctypes.data_as(i32p),
+                    q_row.ctypes.data_as(i16p), bw,
+                    qz.ctypes.data_as(i32p),
+                    lam_row.ctypes.data_as(f32p),
+                    rate_ac.ctypes.data_as(f32p), ss, se, 5, nt)
+                if cfg.trellis_quant_dc and band == 0:
+                    lam_dc = np.ascontiguousarray(
+                        (lam_row * ltbl0).astype(np.float32))
+                    lib.mj_host_arith_dc_row(
+                        raw_row.ctypes.data_as(i32p),
+                        q_row.ctypes.data_as(i16p), bw, q0,
+                        rate_dc.ctypes.data_as(f32p), ncands[comp],
+                        lam_dc.ctypes.data_as(f32p), last_dc,
+                        fin.ctypes.data_as(i32p))
+                    last_dc = int(fin[0])
+                # suppressed re-encode training, restart-aware
+                # (jcarith.c:383-389; resets land AFTER the row's
+                # rate snapshot)
+                blkrow = np.ascontiguousarray(q_row)
+                off = 0
+                while off < bw:
+                    if rint and rtg == 0:
+                        lib.mj_arith_ctx_restart(
+                            ctx, nrst, 0 if prog_mode else 1, 1)
+                        nrst = (nrst + 1) & 7
+                        rtg = rint
+                    take = min(bw - off, rtg) if rint else bw
+                    lib.mj_arith_train_rows(
+                        ctx, blkrow[off:off + take].ctypes.data_as(
+                            _ct.POINTER(_ct.c_int16)), take, 0, 1, 5)
+                    off += take
+                    if rint:
+                        rtg -= take
+        lib.mj_arith_ctx_free(ctx)
+    if cfg.trellis_q_opt:
+        from .encoder import _apply_q_opt
+        comp_res = [(p1[ci][0].T, p1[ci][1].T) for ci in range(ncomps)]
+        finals = tuple(c.T for c in cur)
+        _apply_q_opt(comp_res, finals, qtables, qt_slots)
+    return cur
+
+
 def _band_hist(q, ss, se, ri) -> np.ndarray:
     from ..native import lib, i16p, i32p
     h = np.empty(256, np.int32)
@@ -214,7 +326,10 @@ def encode_host(image, config, cfg, cs, ncomps, samp, qtables) -> bytes:
     planes = _prep_planes(image, cs, samp, geom)
     p1 = _run_p1(planes, geom, qtables, qt_slots, cfg.overshoot_deringing)
     report.pass_done("main")
-    if cfg.trellis_quant:
+    if cfg.trellis_quant and cfg.arithmetic:
+        finals = _trellis_arith(cfg, cs, comps, p1, qtables, qt_slots)
+        report.pass_done("trellis")
+    elif cfg.trellis_quant:
         finals = _trellis(cfg, cs, comps, p1, qtables, qt_slots)
         report.pass_done("trellis")
     else:

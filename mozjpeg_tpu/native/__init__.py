@@ -184,6 +184,16 @@ lib.mj_plane_expand.restype = ctypes.c_long
 lib.mj_plane_expand.argtypes = [u8p, u32p, ctypes.c_long, ctypes.c_long,
                                 u8p]
 
+lib.mj_host_arith_ac_row.restype = ctypes.c_long
+lib.mj_host_arith_ac_row.argtypes = [
+    i32p, i16p, ctypes.c_long, i32p, f32p, f32p,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+
+lib.mj_host_arith_dc_row.restype = ctypes.c_long
+lib.mj_host_arith_dc_row.argtypes = [
+    i32p, i16p, ctypes.c_long, ctypes.c_int, f32p, ctypes.c_int, f32p,
+    ctypes.c_int, i32p]
+
 lib.mj_post_ycc.restype = None
 lib.mj_post_ycc.argtypes = [
     u8p, ctypes.c_long, ctypes.c_long, u8p, u8p, ctypes.c_long,

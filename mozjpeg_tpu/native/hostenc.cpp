@@ -671,3 +671,286 @@ long mj_host_trellis_dc(const int32_t* raw_zz, int16_t* q_zz, int bw,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Arithmetic-coding trellis (quantize_trellis_arith semantics; scalar
+// twins of codec/trellis.py _arith_ac_row / _arith_dc_row).
+//
+// The adaptive rate feedback makes this pass irreducibly row-serial:
+// the coder trains on row k's chosen coefficients before row k+1's
+// rates are snapshotted. The device formulation therefore paid one
+// host<->device round trip per block row (~25-50 ms each on a remote
+// attachment); on host the whole loop is native and round-trip-free.
+// ---------------------------------------------------------------------
+
+namespace {
+
+constexpr int AC_MAXNB = 14;
+constexpr int DC_MAXNB = 15;
+
+inline float r_ac(const float* r, int s, int b) { return r[s * 2 + b]; }
+
+// rate walk for coefficient value v (>=1) at zigzag index i
+float arith_coef_bits(const float* ar, int32_t v, int i, int ac_K) {
+  int32_t vd = v - 1;
+  int nb = nbits(vd);
+  int st0 = 3 * (i - 1) + 2;
+  int stl = i <= ac_K ? 189 : 217;
+  float a1 = r_ac(ar, st0, 1);
+  float cb = 1.0f;  // sign bit
+  if (vd >= 1) cb = cb + a1;
+  if (vd >= 2) cb = cb + a1;
+  for (int k = 3; k <= AC_MAXNB; k++)
+    if (nb >= k) cb = cb + r_ac(ar, stl + (k - 3), 1);
+  int zf_state = nb <= 1 ? st0 : (stl + nb - 2 < 255 ? stl + nb - 2 : 255);
+  int m_state = (nb <= 1 ? st0 + 14
+                         : (stl + nb - 2 < 241 ? stl + nb - 2 : 241) + 14);
+  cb = cb + r_ac(ar, zf_state, 0);
+  float m0 = r_ac(ar, m_state, 0), m1 = r_ac(ar, m_state, 1);
+  for (int p = AC_MAXNB - 2; p >= 0; p--) {
+    if (p <= nb - 2) cb = cb + (((vd >> p) & 1) ? m1 : m0);
+  }
+  return cb;
+}
+
+struct ArithACJob {
+  const int32_t* raw;  // (n, 64)
+  int16_t* q;
+  long n;
+  const int32_t* qtbl_zz;
+  const float* lam;
+  const float* ar;  // (256, 2)
+  int Ss, Se, ac_K;
+};
+
+void arith_ac_block(const ArithACJob& j, long b, const float* ltbl) {
+  const int32_t* raw = j.raw + b * 64;
+  int16_t* qout = j.q + b * 64;
+  const float lam = j.lam[b];
+
+  int32_t x[64], qval[64], sgn[64];
+  float azd[64];
+  float prev_azd = 0.0f;
+  for (int i = 0; i < 64; i++) {
+    int32_t r = raw[i];
+    sgn[i] = r < 0 ? -1 : 1;
+    int32_t a = r < 0 ? -r : r;
+    x[i] = a;
+    int32_t q8 = j.qtbl_zz[i] << 3;
+    qval[i] = (a + (q8 >> 1)) / q8;  // no clamp (arith)
+    float zd = ((float)(a * a) * lam) * ltbl[i];
+    prev_azd = prev_azd + ((i >= j.Ss && i <= j.Se) ? zd : 0.0f);
+    azd[i] = prev_azd;
+  }
+
+  float acc[64], A[64];
+  int run_start[64];
+  int32_t best_val[64];
+  for (int i = 0; i < 64; i++) {
+    acc[i] = BIGF;
+    A[i] = 0.0f;
+    run_start[i] = 0;
+    best_val[i] = 0;
+  }
+  acc[j.Ss - 1] = 0.0f;
+
+  for (int i = j.Ss; i <= j.Se; i++) {
+    // run-length rate accumulator per j (adaptive zero rates)
+    float z_add = r_ac(j.ar, 3 * (i - 2 > 0 ? i - 2 : 0) + 1, 0);
+    for (int jj = 0; jj < 64; jj++) {
+      if (jj == i - 1)
+        A[jj] = r_ac(j.ar, 3 * (jj < 63 ? jj : 63), 0);
+      else
+        A[jj] = A[jj] + z_add;
+    }
+    if (qval[i] == 0) continue;
+    int32_t q8 = j.qtbl_zz[i] << 3;
+    float rb_base = r_ac(j.ar, 3 * (i - 1) + 1, 1);
+    float azd_im1 = i > 0 ? azd[i - 1] : 0.0f;
+    float best = BIGF;
+    int bj = 0;
+    int32_t bv = 0;
+    int32_t cands[2] = {qval[i], qval[i] - 1};
+    float cdistv[2], cbv[2];
+    bool okc[2] = {qval[i] != 0, qval[i] > 1};
+    for (int c = 0; c < 2; c++) {
+      if (!okc[c]) continue;
+      int32_t delta = cands[c] * q8 - x[i];
+      cdistv[c] = ((float)(delta * delta) * lam) * ltbl[i];
+      cbv[c] = arith_coef_bits(j.ar, cands[c] >= 1 ? cands[c] : 1, i,
+                               j.ac_K);
+    }
+    for (int jj = j.Ss - 1; jj < i; jj++) {
+      if (jj != j.Ss - 1 && (jj < j.Ss || qval[jj] == 0)) continue;
+      if (acc[jj] >= BIGF) continue;
+      float run_bits = A[jj] + rb_base;
+      float tail = (azd_im1 - azd[jj]) + acc[jj];
+      for (int c = 0; c < 2; c++) {
+        if (!okc[c]) continue;
+        float rate = (float)(int32_t)(cbv[c] + run_bits);  // `int rate`
+        float cost = (rate + cdistv[c]) + tail;
+        if (cost < best) {
+          best = cost;
+          bj = jj;
+          bv = cands[c];
+        }
+      }
+    }
+    acc[i] = best;
+    run_start[i] = bj;
+    best_val[i] = bv;
+  }
+
+  float azd_Se = azd[j.Se];
+  float bestc = BIGF;
+  int last_idx = 0;
+  for (int jj = 0; jj < 64; jj++) {
+    float c;
+    if (jj == j.Ss - 1) {
+      c = azd_Se + r_ac(j.ar, 0, 1);
+    } else if (jj >= j.Ss && jj <= j.Se && qval[jj] != 0
+               && acc[jj] < BIGF) {
+      c = (acc[jj] + azd_Se) - azd[jj];
+      if (jj < j.Se) {
+        int e = jj - 1 > 0 ? jj - 1 : 0;
+        c = c + r_ac(j.ar, 3 * (e < 63 ? e : 63), 1);
+      }
+    } else {
+      continue;
+    }
+    if (c < bestc) {
+      bestc = c;
+      last_idx = jj;
+    }
+  }
+  bool keep[64] = {false};
+  int cur = last_idx;
+  while (cur >= j.Ss) {
+    keep[cur] = true;
+    cur = run_start[cur];
+  }
+  for (int i = j.Ss; i <= j.Se; i++)
+    qout[i] = keep[i] ? (int16_t)(best_val[i] * sgn[i]) : (int16_t)0;
+}
+
+}  // namespace
+
+extern "C" {
+
+long mj_host_arith_ac_row(const int32_t* raw, int16_t* q, long n,
+                          const int32_t* qtbl_zz, const float* lam,
+                          const float* ac_rates, int Ss, int Se,
+                          int ac_K, int nthreads) {
+  ArithACJob j{raw, q, n, qtbl_zz, lam, ac_rates, Ss, Se, ac_K};
+  float ltbl[64];
+  for (int i = 0; i < 64; i++) {
+    float qv = (float)qtbl_zz[i];
+    ltbl[i] = 1.0f / (qv * qv);
+  }
+  run_threads(n, nthreads, [&](long a, long b) {
+    for (long k = a; k < b; k++) arith_ac_block(j, k, ltbl);
+  });
+  return 0;
+}
+
+// DC trellis for one block row with adaptive rates + per-candidate
+// context tracking. raw/q are (n, 64) block-major; L blocks in the row.
+long mj_host_arith_dc_row(const int32_t* raw, int16_t* q, long L,
+                          int q0, const float* dc_rates /* (64, 2) */,
+                          int nc, const float* lam_dc /* (L,) lam*ltbl0 */,
+                          int last_dc0, int32_t* final_dc) {
+  const int32_t q8 = q0 * 8;
+  auto r_dc = [&](int s, int b) { return dc_rates[s * 2 + b]; };
+
+  auto dc_bits_ctx = [&](int32_t d, int st0, float* bits_out,
+                         int* ctx_out) {
+    bool nz = d != 0;
+    bool neg = d < 0;
+    int32_t ad = d < 0 ? -d : d;
+    int32_t vd = ad - 1 > 0 ? ad - 1 : 0;
+    int nb = nbits(vd);
+    float bits = nz ? r_dc(st0, 1) : r_dc(st0, 0);
+    if (nz) bits = bits + (neg ? r_dc(st0 + 1, 1) : r_dc(st0 + 1, 0));
+    int st1 = st0 + 2 + (neg ? 1 : 0);
+    if (nz && vd >= 1) bits = bits + r_dc(st1, 1);
+    for (int k = 2; k <= DC_MAXNB; k++)
+      if (nz && nb >= k) bits = bits + r_dc(20 + (k - 2), 1);
+    int stf = vd == 0 ? st1 : (nb == 1 ? 20 : 20 + nb - 1);
+    if (nz) bits = bits + r_dc(stf, 0);
+    int stm = stf + 14;
+    float m0 = r_dc(stm, 0), m1 = r_dc(stm, 1);
+    for (int p = DC_MAXNB - 2; p >= 0; p--) {
+      if (nz && p <= nb - 2) bits = bits + (((vd >> p) & 1) ? m1 : m0);
+    }
+    *bits_out = bits;
+    *ctx_out = nz ? ((neg ? 8 : 4) + (nb >= 2 ? 8 : 0)) : 0;
+  };
+
+  std::vector<int32_t> cand((size_t)L * nc);
+  std::vector<float> dist((size_t)L * nc);
+  std::vector<int> bts((size_t)L * nc);
+  for (long t = 0; t < L; t++) {
+    int32_t r = raw[t * 64];
+    int32_t sg = r < 0 ? -1 : 1;
+    int32_t xa = r < 0 ? -r : r;
+    int32_t qv = (xa + q8 / 2) / q8;
+    for (int k = 0; k < nc; k++) {
+      int32_t mag = qv - nc / 2 + k;  // no clamp (arith)
+      int32_t dq = mag * q8 - xa;
+      cand[t * nc + k] = mag * sg;
+      dist[t * nc + k] = (float)(dq * dq) * lam_dc[t];
+    }
+  }
+  std::vector<float> acc(nc), nacc(nc);
+  std::vector<int> ctx(nc, 0), nctx(nc);
+  for (long t = 0; t < L; t++) {
+    if (t == 0) {
+      for (int k = 0; k < nc; k++) {
+        float bits;
+        int c;
+        dc_bits_ctx(cand[k] - last_dc0, 0, &bits, &c);
+        acc[k] = bits + dist[k];
+        ctx[k] = c;
+        bts[k] = 0;
+      }
+      continue;
+    }
+    for (int k = 0; k < nc; k++) {
+      float best = BIGF;
+      int bl = 0, bc = 0;
+      for (int l = 0; l < nc; l++) {
+        float bits;
+        int c;
+        dc_bits_ctx(cand[t * nc + k] - cand[(t - 1) * nc + l], ctx[l],
+                    &bits, &c);
+        float cost = (bits + dist[t * nc + k]) + acc[l];
+        if (cost < best) {
+          best = cost;
+          bl = l;
+          bc = c;
+        }
+      }
+      nacc[k] = best;
+      nctx[k] = bc;
+      bts[t * nc + k] = bl;
+    }
+    std::swap(acc, nacc);
+    std::swap(ctx, nctx);
+  }
+  float best = BIGF;
+  int cur = 0;
+  for (int k = 0; k < nc; k++)
+    if (acc[k] < best) {
+      best = acc[k];
+      cur = k;
+    }
+  int32_t fin = cand[(L - 1) * nc + cur];
+  for (long t = L - 1; t >= 0; t--) {
+    q[t * 64] = (int16_t)cand[t * nc + cur];
+    cur = bts[t * nc + cur];
+  }
+  *final_dc = fin;
+  return 0;
+}
+
+}  // extern "C"

@@ -98,8 +98,7 @@ def test_host_engine_grayscale(testorig):
 def test_host_engine_unsupported_falls_through(testorig):
     """Out-of-matrix configs silently take the device path (same bytes)."""
     from mozjpeg_tpu.codec.config import DCTMethod
-    for kw in (dict(quality=75, arithmetic=True),
-               dict(quality=75, dct_method=DCTMethod.IFAST),
+    for kw in (dict(quality=75, dct_method=DCTMethod.IFAST),
                dict(quality=75, smoothing_factor=20)):
         cfg = EncoderConfig(**kw)
         from mozjpeg_tpu.codec.encoder import _resolve
@@ -115,3 +114,70 @@ def test_host_engine_sizes_sweep(testorig):
         img = np.ascontiguousarray(testorig[:h, :w])
         _routed(img, cfg)
         assert encode(img, cfg) == _device(img, cfg), (h, w)
+
+
+ARITH_CFGS = [
+    dict(quality=75, arithmetic=True, optimize_scans=False),
+    dict(quality=75, arithmetic=True, restart_interval=4,
+         optimize_scans=False),
+    dict(quality=75, arithmetic=True, restart_in_rows=1,
+         optimize_scans=False),
+    dict(quality=75, arithmetic=True, use_scans_in_trellis=True,
+         optimize_scans=False),
+    dict(quality=75, arithmetic=True, trellis_num_loops=2,
+         optimize_scans=False),
+    dict(quality=75, arithmetic=True, progressive=False,
+         optimize_scans=False),
+    dict(quality=75, arithmetic=True, trellis_quant_dc=False,
+         optimize_scans=False),
+    dict(quality=92, subsampling=(1, 1), arithmetic=True,
+         optimize_scans=False),
+    dict(quality=75, arithmetic=True),          # full default (scan search)
+]
+ARITH_IDS = ["arith", "arith-rst4", "arith-rst-rows", "arith-bands",
+             "arith-loops2", "arith-seq", "arith-nodc", "arith-q92",
+             "arith-scansearch"]
+
+
+@pytest.mark.parametrize("kw", ARITH_CFGS, ids=ARITH_IDS)
+def test_host_engine_arith_trellis(testorig, kw):
+    """r5: the arithmetic-coding trellis runs natively on host (the
+    adaptive rate feedback is irreducibly row-serial — the coder trains
+    on row k before row k+1's rates are snapshotted — so the device
+    formulation paid one tunnel round trip per block row). Byte-exact
+    vs the staged device path, which is itself pinned vs cjpeg."""
+    cfg = EncoderConfig(**kw)
+    _routed(testorig, cfg)
+    assert encode(testorig, cfg) == _device(testorig, cfg), kw
+
+
+def test_encode_many_routes_arith_trellis_to_host(testorig):
+    """encode_many sends arith+trellis images (off the batched fast
+    path) through the host engine on a thread pool, byte-exact."""
+    import mozjpeg_tpu.codec.host_engine as he
+    import mozjpeg_tpu as mj
+    imgs = [testorig, np.roll(testorig, 7, axis=1).copy()]
+    cfg = EncoderConfig(quality=75, arithmetic=True, optimize_scans=False)
+    calls = []
+    orig = he.encode_host
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    he.encode_host = spy
+    try:
+        batch = mj.encode_many(imgs, cfg)
+    finally:
+        he.encode_host = orig
+    assert len(calls) == 2, "arith batch did not route to the host engine"
+    old = os.environ.get("MJ_HOST_ENGINE")
+    os.environ["MJ_HOST_ENGINE"] = "0"
+    try:
+        staged = mj.encode_many(imgs, cfg)
+    finally:
+        if old is None:
+            os.environ.pop("MJ_HOST_ENGINE", None)
+        else:
+            os.environ["MJ_HOST_ENGINE"] = old
+    assert batch == staged
