@@ -35,10 +35,17 @@ _dir = os.environ.get("MOZJPEG_TPU_JAX_CACHE",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache",
                           _machine_tag() + "-" + _platform_tag()))
+if os.environ.get("MOZJPEG_TPU_JAX_CACHE") == "off":
+    # no persistent cache at all (the multichip dryrun: XLA:CPU AOT
+    # entries carry axon-influenced tuning flags the loader rejects
+    # noisily on every load — and can SIGSEGV — even same-process)
+    _dir = None
 try:
-    os.makedirs(_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if _dir is not None:
+        os.makedirs(_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
 except Exception:  # cache is best-effort
     pass
 
