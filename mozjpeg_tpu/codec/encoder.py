@@ -667,9 +667,14 @@ def _phase_entropy(width, height, geom, planes, qtables, config, cfg,
             from . import scanopt
             import os as _os
             if _os.environ.get("MJ_NATIVE_SCANSEARCH", "1") != "0":
+                # parallel=True marks the latency path (serial encode /
+                # one group): thread the candidate sweep across cores;
+                # batched groups already parallelize across images
                 data = scanopt.encode_optimize_scans_native(
                     width, height, geom, planes, qtables, cfg, ncomps,
-                    cfg.precision, extra_markers)
+                    cfg.precision, extra_markers,
+                    nthreads=(max(1, (_os.cpu_count() or 4))
+                              if parallel else 1))
                 if data is not None:
                     return data
             return scanopt.encode_optimize_scans(

@@ -426,7 +426,8 @@ def encode_optimize_scans(width: int, height: int, geom, planes, qtables,
 def encode_optimize_scans_native(width: int, height: int, geom, planes,
                                  qtables, cfg, ncomps: int,
                                  precision: int = 8,
-                                 extra_markers=None) -> Optional[bytes]:
+                                 extra_markers=None,
+                                 nthreads: int = 1) -> Optional[bytes]:
     """One-call native scan search (native/scansearch.cpp): the whole
     candidate sweep, greedy selection and stitching run in C++ with the
     GIL released — ~0.4 ms/candidate of Python orchestration used to
@@ -468,7 +469,7 @@ def encode_optimize_scans_native(width: int, height: int, geom, planes,
                            cfg.dc_scan_opt_mode,
                            restarts.ctypes.data_as(i32p),
                            out.ctypes.data_as(u8p), cap,
-                           meta.ctypes.data_as(i32p))
+                           meta.ctypes.data_as(i32p), int(nthreads))
     del keep
     if n < 0:
         return None

@@ -141,7 +141,7 @@ scp = _p(SearchComp)
 lib.mj_scan_search.restype = ctypes.c_long
 lib.mj_scan_search.argtypes = [
     scp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    i32p, u8p, ctypes.c_long, i32p]
+    i32p, u8p, ctypes.c_long, i32p, ctypes.c_int]
 
 lib.mj_prep_ycc.restype = ctypes.c_long
 lib.mj_prep_ycc.argtypes = [

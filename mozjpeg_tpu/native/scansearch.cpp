@@ -12,8 +12,10 @@
 // jcparam.c:734-852 (jpeg_search_progression) and are kept in lockstep
 // with codec/scanopt.py (tests/test_scansearch_native.py pins parity).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 struct CompPlane {
@@ -124,7 +126,7 @@ struct SearchComp {
 extern "C" long mj_scan_search(
     const SearchComp* comps, int ncomps, int mcus_x, int mcus_y,
     int dc_mode, const int32_t* restarts,
-    uint8_t* out, long out_cap, int32_t* meta) {
+    uint8_t* out, long out_cap, int32_t* meta, int nthreads) {
   SScan script[64];
   const int nscans = build_script(ncomps, dc_mode, script);
 
@@ -149,9 +151,11 @@ extern "C" long mj_scan_search(
   long total_pad_blocks = 0;
   for (int ci = 0; ci < ncomps; ci++)
     total_pad_blocks += (long)comps[ci].bw_pad * comps[ci].bh_pad;
-  std::vector<uint8_t> ent(total_pad_blocks * 192 + 65536);
+  const long ent_cap = total_pad_blocks * 192 + 65536;
+  std::vector<uint8_t> ent(ent_cap);
 
-  auto encode_candidate = [&](int sn, const SScan& sc) -> long {
+  auto encode_candidate = [&](int sn, const SScan& sc,
+                              std::vector<uint8_t>& ent) -> long {
     const int r = restarts[sn];
     CompPlane cp[3];
     int smx, smy;
@@ -289,6 +293,44 @@ extern "C" long mj_scan_search(
     return (long)b.size();
   };
 
+  // ---- speculative phase-parallel candidate encoding (r5) ----
+  // Candidates within a phase are independent given the Al selections;
+  // the greedy early-exits only decide which precomputed sizes get
+  // read. Parallel mode is gated on restart-free configs (the DRI
+  // marker emission depends on candidate ORDER via last_dri).
+  bool all_zero_rst = true;
+  for (int i = 0; i < num_scans; i++) all_zero_rst &= restarts[i] == 0;
+  const bool par = nthreads > 1 && all_zero_rst;
+  bool done[64] = {false};
+  std::atomic<long> enc_err{0};
+  auto precompute = [&](int lo, int hi, int al_override) {
+    std::atomic<int> next{lo};
+    auto worker = [&]() {
+      std::vector<uint8_t> scratch(ent_cap);
+      for (;;) {
+        int i = next.fetch_add(1);
+        if (i >= hi) break;
+        SScan sc = script[i];
+        if (al_override >= 0) sc.Al = al_override;
+        long sz = encode_candidate(i, sc, scratch);
+        if (sz < 0) enc_err.store(1);
+        sizes[i] = sz;
+        done[i] = true;
+      }
+    };
+    int nt = nthreads < hi - lo ? nthreads : hi - lo;
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt - 1; t++) ts.emplace_back(worker);
+    worker();
+    for (auto& t : ts) t.join();
+  };
+  if (par) {
+    // Al ladders + DC candidates use the script's own Al
+    precompute(0, luma_split_start, -1);
+    if (num_scans > num_scans_luma)
+      precompute(num_scans_luma, chroma_split_start, -1);
+  }
+
   // ---- greedy selection (scanopt._run_selection, transcribed) ----
   int best_Al_luma = 0, best_Al_chroma = 0;
   long best_cost = 0;
@@ -297,10 +339,20 @@ extern "C" long mj_scan_search(
 
   int sn = 0;
   while (sn < num_scans) {
+    if (par && sn == luma_split_start)
+      precompute(luma_split_start, num_scans_luma, best_Al_luma);
+    if (par && ncomps == 3 && sn == chroma_split_start)
+      precompute(chroma_split_start, num_scans, best_Al_chroma);
+    if (enc_err.load()) return -1;
     SScan sc = script[sn];
     if (sn >= luma_split_start && sn < num_scans_luma) sc.Al = best_Al_luma;
     else if (ncomps == 3 && sn >= chroma_split_start) sc.Al = best_Al_chroma;
-    long sz = encode_candidate(sn, sc);
+    long sz;
+    if (done[sn]) {
+      sz = sizes[sn];
+    } else {
+      sz = encode_candidate(sn, sc, ent);
+    }
     if (sz < 0) return -1;
     sizes[sn] = sz;
     int nxt = sn + 1;
