@@ -1394,6 +1394,12 @@ def decode_many(datas, fancy_upsample: bool = True,
         return decode_coefficients(jp, datas[i])
 
     import os as _os
+    from ..utils import attachment
+    # locally-attached chips render merged upsample+color ON DEVICE and
+    # download RGB directly (_render_ycc_batch — the jdmerge analog):
+    # 3 B/px is free over PCIe/ICI and the host post drops out. Remote
+    # tunnels keep the packed-planes download + native host post.
+    merged_local = output == "rgb" and attachment.is_local_tpu()
     out: List = [None] * len(datas)
     planes_list: List = [None] * len(datas)
     # r4 re-measured after the flat upload shrank transfers: smaller
@@ -1412,8 +1418,9 @@ def decode_many(datas, fancy_upsample: bool = True,
         jobs = []
         for i in range(len(datas)):
             planes_list[i] = futs[i].result()
-            key = _fast_decode_key(jps[i], planes_list[i],
-                                   fancy_upsample, block_smoothing)
+            key = (None if merged_local else
+                   _fast_decode_key(jps[i], planes_list[i],
+                                    fancy_upsample, block_smoothing))
             if key is None:
                 leftovers.append(i)
                 continue

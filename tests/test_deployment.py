@@ -91,3 +91,39 @@ def test_engine_tradeoff_win_condition():
         capture_output=True, text=True)
     sys.stderr.write(r.stdout + r.stderr)
     assert r.returncode == 0, "device engines lost under saturated cores"
+
+
+def test_local_decode_merged_upsample_on_device(testorig):
+    """deployment local: decode_many renders merged upsample+color on
+    device (the jdmerge analog, _render_ycc_batch) and downloads RGB
+    directly — pixel-identical to the remote packed-planes + host-post
+    path."""
+    import mozjpeg_tpu as mj
+    import mozjpeg_tpu.codec.decoder as D
+    from mozjpeg_tpu.utils import attachment
+    datas = mj.encode_many([testorig, np.roll(testorig, 5, axis=1).copy()],
+                           EncoderConfig(quality=75))
+    remote = mj.decode_many(datas)
+    calls = []
+    orig = D._render_ycc_batch
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    old = os.environ.get("MJ_DEPLOYMENT")
+    os.environ["MJ_DEPLOYMENT"] = "local"
+    attachment.is_local_tpu.cache_clear()
+    D._render_ycc_batch = spy
+    try:
+        local = mj.decode_many(datas)
+    finally:
+        D._render_ycc_batch = orig
+        if old is None:
+            os.environ.pop("MJ_DEPLOYMENT", None)
+        else:
+            os.environ["MJ_DEPLOYMENT"] = old
+        attachment.is_local_tpu.cache_clear()
+    assert calls, "local deployment did not use the device merged render"
+    for a, b in zip(remote, local):
+        assert np.array_equal(a, b)
