@@ -428,6 +428,68 @@ def _maybe_smooth(jp, planes, block_smoothing: bool):
     return out
 
 
+def _render_host(jp, planes, colorspace, fancy_upsample,
+                 block_smoothing):
+    """Serial decode on host CPU (native mj_host_render dequant+IDCT +
+    mj_post_ycc upsample/color): the low-latency twin of the device
+    render — a remote-attached device costs two tunnel round trips per
+    image. Returns None outside the supported matrix (8-bit islow,
+    YCbCr/grayscale, no active block smoothing, h2v2/h2v1/int/none
+    upsampling); pixel-identical to the device render (both pinned vs
+    djpeg)."""
+    import os as _os
+    from . import smooth as _smooth
+    from ..native import lib, i16p, i32p, u8p
+    if _os.environ.get("MJ_HOST_ENGINE", "1") == "0":
+        return None
+    if jp.precision != 8:
+        return None
+    cs = colorspace or _jpeg_colorspace(jp)
+    if cs not in ("ycbcr", "grayscale"):
+        return None
+    if (block_smoothing and getattr(jp, "coef_bits", None) is not None
+            and _smooth.smoothing_ok(jp, jp.coef_bits)):
+        return None
+    gray = cs == "grayscale"
+    ncomps = 1 if gray else 3
+    if len(jp.components) < ncomps:
+        return None
+    if not gray:
+        mode, hexp, vexp = _upsample_mode(jp, fancy_upsample)
+        if mode not in _POST_MODES:
+            return None
+        c1, c2 = jp.components[1], jp.components[2]
+        if (c1.h, c1.v) != (c2.h, c2.v):
+            return None
+    nt = max(1, (_os.cpu_count() or 4))
+    max_h, max_v = jp.max_h, jp.max_v
+    sample_planes = []
+    for ci in range(ncomps):
+        c = jp.components[ci]
+        cw = -(-jp.width * c.h // max_h)
+        ch = -(-jp.height * c.v // max_v)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        qt = np.ascontiguousarray(
+            np.asarray(_comp_qtable(jp, ci)).reshape(64).astype(np.int32))
+        zz = np.ascontiguousarray(
+            np.asarray(planes[ci])[:bh, :bw].astype(np.int16))
+        out_p = np.empty((ch, cw), np.uint8)
+        lib.mj_host_render(zz.ctypes.data_as(i16p),
+                           qt.ctypes.data_as(i32p), bw, bh, ch, cw,
+                           out_p.ctypes.data_as(u8p), nt)
+        sample_planes.append(out_p)
+    if gray:
+        return sample_planes[0][:jp.height, :jp.width]
+    y, cb, cr = sample_planes
+    rgb = np.empty((jp.height, jp.width, 3), np.uint8)
+    lib.mj_post_ycc(y.ctypes.data_as(u8p), y.shape[0], y.shape[1],
+                    cb.ctypes.data_as(u8p), cr.ctypes.data_as(u8p),
+                    cb.shape[0], cb.shape[1], _POST_MODES[mode],
+                    hexp, vexp, jp.height, jp.width,
+                    rgb.ctypes.data_as(u8p))
+    return rgb
+
+
 def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
            colorspace: Optional[str] = None,
            fancy_upsample: bool = True,
@@ -435,6 +497,11 @@ def render(jp: marker.ParsedJpeg, planes: List[np.ndarray],
            block_smoothing: bool = True) -> np.ndarray:
     """Coefficient planes -> pixels: RGB (H, W, 3), gray (H, W), or
     CMYK (H, W, 4) for Adobe 4-component files."""
+    if dct_method == "islow":
+        host = _render_host(jp, planes, colorspace, fancy_upsample,
+                            block_smoothing)
+        if host is not None:
+            return host
     max_h, max_v = jp.max_h, jp.max_v
     smoothed = _maybe_smooth(jp, planes, block_smoothing)
     sample_planes = []

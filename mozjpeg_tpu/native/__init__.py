@@ -194,6 +194,11 @@ lib.mj_host_arith_dc_row.argtypes = [
     i32p, i16p, ctypes.c_long, ctypes.c_int, f32p, ctypes.c_int, f32p,
     ctypes.c_int, i32p]
 
+lib.mj_host_render.restype = ctypes.c_long
+lib.mj_host_render.argtypes = [
+    i16p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    u8p, ctypes.c_int]
+
 lib.mj_post_ycc.restype = None
 lib.mj_post_ycc.argtypes = [
     u8p, ctypes.c_long, ctypes.c_long, u8p, u8p, ctypes.c_long,

@@ -954,3 +954,113 @@ long mj_host_arith_dc_row(const int32_t* raw, int16_t* q, long L,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Host render: dequantize + islow inverse DCT + wraparound range limit
+// (scalar twin of ops/dct.py idct_islow == jidctint.c + jdmaster.c
+// prepare_range_limit_table). Serves the serial decode() latency path:
+// the device render pays two tunnel round trips per image.
+// ---------------------------------------------------------------------
+
+namespace {
+
+// one 1-D inverse LLM pass over d[0..7] (strided), descale by n
+void idct_pass(int32_t* d, int stride, int n) {
+  int32_t z2 = d[2 * stride], z3 = d[6 * stride];
+  int32_t z1 = (z2 + z3) * F_0_541196100;
+  int32_t tmp2 = z1 + z3 * (-F_1_847759065);
+  int32_t tmp3 = z1 + z2 * F_0_765366865;
+
+  z2 = d[0 * stride];
+  z3 = d[4 * stride];
+  int32_t tmp0 = (z2 + z3) << CONST_BITS;
+  int32_t tmp1 = (z2 - z3) << CONST_BITS;
+
+  int32_t tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+  int32_t tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+
+  int32_t t0 = d[7 * stride], t1 = d[5 * stride];
+  int32_t t2 = d[3 * stride], t3 = d[1 * stride];
+  z1 = t0 + t3;
+  z2 = t1 + t2;
+  z3 = t0 + t2;
+  int32_t z4 = t1 + t3;
+  int32_t z5 = (z3 + z4) * F_1_175875602;
+
+  t0 *= F_0_298631336;
+  t1 *= F_2_053119869;
+  t2 *= F_3_072711026;
+  t3 *= F_1_501321110;
+  z1 *= -F_0_899976223;
+  z2 *= -F_2_562915447;
+  z3 = z3 * (-F_1_961570560) + z5;
+  z4 = z4 * (-F_0_390180644) + z5;
+
+  t0 = t0 + z1 + z3;
+  t1 = t1 + z2 + z4;
+  t2 = t2 + z2 + z3;
+  t3 = t3 + z1 + z4;
+
+  d[0 * stride] = descale(tmp10 + t3, n);
+  d[7 * stride] = descale(tmp10 - t3, n);
+  d[1 * stride] = descale(tmp11 + t2, n);
+  d[6 * stride] = descale(tmp11 - t2, n);
+  d[2 * stride] = descale(tmp12 + t1, n);
+  d[5 * stride] = descale(tmp12 - t1, n);
+  d[3 * stride] = descale(tmp13 + t0, n);
+  d[4 * stride] = descale(tmp13 - t0, n);
+}
+
+inline uint8_t range_limit8(int32_t v) {
+  int32_t idx = v & 1023;
+  if (idx < 128) return (uint8_t)(idx + 128);
+  if (idx < 512) return 255;
+  if (idx < 896) return 0;
+  return (uint8_t)(idx - 896);
+}
+
+struct RenderJob {
+  const int16_t* zz;  // (bh*bw, 64) zigzag coefficients
+  const int32_t* qtbl;  // 64, natural order
+  int bw, bh, ph, pw;
+  uint8_t* out;  // (ph, pw)
+};
+
+void render_rows(const RenderJob& j, int r0, int r1) {
+  constexpr int PASS1 = 2;
+  int32_t blk[64];
+  for (int br = r0; br < r1 && br < j.bh; br++) {
+    int oy = br * 8;
+    int ny = j.ph - oy < 8 ? j.ph - oy : 8;
+    if (ny <= 0) continue;
+    for (int bc = 0; bc < j.bw; bc++) {
+      const int16_t* z = j.zz + ((long)br * j.bw + bc) * 64;
+      for (int i = 0; i < 64; i++) {
+        int nat = ZZ[i];
+        blk[nat] = (int32_t)z[i] * j.qtbl[nat];
+      }
+      for (int c = 0; c < 8; c++)
+        idct_pass(blk + c, 8, CONST_BITS - PASS1);
+      for (int r = 0; r < 8; r++)
+        idct_pass(blk + 8 * r, 1, CONST_BITS + PASS1 + 3);
+      int ox = bc * 8;
+      int nx = j.pw - ox < 8 ? j.pw - ox : 8;
+      for (int y = 0; y < ny; y++) {
+        uint8_t* dst = j.out + (long)(oy + y) * j.pw + ox;
+        for (int x = 0; x < nx; x++)
+          dst[x] = range_limit8(blk[y * 8 + x]);
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" long mj_host_render(const int16_t* zz, const int32_t* qtbl,
+                               int bw, int bh, int ph, int pw,
+                               uint8_t* out, int nthreads) {
+  RenderJob j{zz, qtbl, bw, bh, ph, pw, out};
+  run_threads(bh, nthreads,
+              [&](long a, long b) { render_rows(j, (int)a, (int)b); });
+  return 0;
+}

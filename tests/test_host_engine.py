@@ -181,3 +181,40 @@ def test_encode_many_routes_arith_trellis_to_host(testorig):
         else:
             os.environ["MJ_HOST_ENGINE"] = old
     assert batch == staged
+
+
+def test_host_render_decode_matches_device(testorig, tmp_path):
+    """r5 serial decode: the host render (native dequant+IDCT+post) is
+    pixel-identical to the device render across the matrix; both are
+    pinned bit-exact vs djpeg elsewhere."""
+    import subprocess
+    from conftest import CJPEG, have_reference
+    import mozjpeg_tpu as mj
+    from mozjpeg_tpu.utils import ppm
+    if not have_reference():
+        pytest.skip("no reference build")
+    src = str(tmp_path / "s.ppm")
+    ppm.write(src, testorig)
+    for args, kw in [ (["-quality", "75"], {}),
+                      (["-quality", "92"], {}),
+                      (["-quality", "85"], {}),
+                      (["-quality", "75", "-grayscale"], {}),
+                      (["-quality", "75"], dict(fancy_upsample=False)),
+                      (["-revert", "-baseline", "-quality", "75"], {}),
+                      (["-quality", "75", "-restart", "2",
+                        "-fastcrush"], {}) ]:
+        dst = str(tmp_path / "o.jpg")
+        subprocess.run([CJPEG] + args + ["-outfile", dst, src],
+                       check=True)
+        data = open(dst, "rb").read()
+        host = mj.decode(data, **kw)
+        old = os.environ.get("MJ_HOST_ENGINE")
+        os.environ["MJ_HOST_ENGINE"] = "0"
+        try:
+            dev = mj.decode(data, **kw)
+        finally:
+            if old is None:
+                os.environ.pop("MJ_HOST_ENGINE", None)
+            else:
+                os.environ["MJ_HOST_ENGINE"] = old
+        assert np.array_equal(host, dev), (args, kw)
