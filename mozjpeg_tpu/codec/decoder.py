@@ -428,8 +428,47 @@ def _maybe_smooth(jp, planes, block_smoothing: bool):
     return out
 
 
+def _render_host_yuv(jp, planes, raw_dims, nthreads: int = 1):
+    """Host per-component sample planes at jpeg_read_raw_data dims
+    (native mj_host_render), or None outside the host matrix."""
+    import os as _os
+    from ..native import lib, i16p, i32p, u8p
+    if _os.environ.get("MJ_HOST_ENGINE", "1") == "0":
+        return None
+    if jp.precision != 8:
+        return None
+    if _jpeg_colorspace(jp) not in ("ycbcr", "grayscale"):
+        return None
+    gray = _jpeg_colorspace(jp) == "grayscale"
+    ncomps = 1 if gray else 3
+    max_h, max_v = jp.max_h, jp.max_v
+    out = []
+    for ci in range(ncomps):
+        c = jp.components[ci]
+        cw = -(-jp.width * c.h // max_h)
+        ch = -(-jp.height * c.v // max_v)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        qt = np.ascontiguousarray(
+            np.asarray(_comp_qtable(jp, ci)).reshape(64).astype(np.int32))
+        zz = np.ascontiguousarray(
+            np.asarray(planes[ci])[:bh, :bw].astype(np.int16))
+        ph, pw = raw_dims[ci]
+        # raw planes carry decoded samples out to the BLOCK edge (the
+        # last block's IDCT content beyond the image dims), zeros only
+        # past that — same as the device chunk path's min() clipping
+        rh, rw = min(ph, bh * 8), min(pw, bw * 8)
+        full = np.zeros((ph, pw), np.uint8)
+        tmp = np.empty((rh, rw), np.uint8)
+        lib.mj_host_render(zz.ctypes.data_as(i16p),
+                           qt.ctypes.data_as(i32p), bw, bh, rh, rw,
+                           tmp.ctypes.data_as(u8p), nthreads)
+        full[:rh, :rw] = tmp
+        out.append(full)
+    return out
+
+
 def _render_host(jp, planes, colorspace, fancy_upsample,
-                 block_smoothing):
+                 block_smoothing, nthreads=None):
     """Serial decode on host CPU (native mj_host_render dequant+IDCT +
     mj_post_ycc upsample/color): the low-latency twin of the device
     render — a remote-attached device costs two tunnel round trips per
@@ -461,7 +500,7 @@ def _render_host(jp, planes, colorspace, fancy_upsample,
         c1, c2 = jp.components[1], jp.components[2]
         if (c1.h, c1.v) != (c2.h, c2.v):
             return None
-    nt = max(1, (_os.cpu_count() or 4))
+    nt = nthreads if nthreads else max(1, (_os.cpu_count() or 4))
     max_h, max_v = jp.max_h, jp.max_v
     sample_planes = []
     for ci in range(ncomps):
@@ -1425,6 +1464,28 @@ def _decode_chunk_packed_inner(key, idxs, jps, planes_list, out,
         out[i] = rgb
 
 
+def _host_decode_one(jp, planes, fancy_upsample, block_smoothing,
+                     output):
+    """One image through the native host render, for decode_many on
+    remote attachments (runs on a stage worker; nthreads=1 — the pool
+    provides the cross-image parallelism). None = not in the matrix."""
+    if output == "yuv":
+        if _jpeg_colorspace(jp) not in ("ycbcr", "grayscale"):
+            return None
+        from . import smooth as _smooth
+        if (block_smoothing and getattr(jp, "coef_bits", None) is not None
+                and _smooth.smoothing_ok(jp, jp.coef_bits)):
+            return None
+        pw0 = -(-jp.width // jp.max_h) * jp.max_h
+        ph0 = -(-jp.height // jp.max_v) * jp.max_v
+        gray = _jpeg_colorspace(jp) == "grayscale"
+        raw_dims = [(ph0 * c.v // jp.max_v, pw0 * c.h // jp.max_h)
+                    for c in jp.components[:1 if gray else 3]]
+        return _render_host_yuv(jp, planes, raw_dims, nthreads=1)
+    return _render_host(jp, planes, None, fancy_upsample,
+                        block_smoothing, nthreads=1)
+
+
 def decode_many(datas, fancy_upsample: bool = True,
                 block_smoothing: bool = True, output: str = "rgb"):
     """Decode a list of JPEGs with a software pipeline: host entropy
@@ -1467,6 +1528,12 @@ def decode_many(datas, fancy_upsample: bool = True,
     # 3 B/px is free over PCIe/ICI and the host post drops out. Remote
     # tunnels keep the packed-planes download + native host post.
     merged_local = output == "rgb" and attachment.is_local_tpu()
+    # remote attachments: the host render BEATS the device round trip
+    # (~29 vs ~17 MP/s measured — the tunnel moves ~1 B/px either way
+    # but the host pays no sync latency); images outside the host matrix
+    # fall through to the device paths per image
+    host_decode = (not attachment.is_local_tpu()
+                   and _os.environ.get("MJ_HOST_ENGINE", "1") != "0")
     out: List = [None] * len(datas)
     planes_list: List = [None] * len(datas)
     # r4 re-measured after the flat upload shrank transfers: smaller
@@ -1483,8 +1550,14 @@ def decode_many(datas, fancy_upsample: bool = True,
         futs = [ent_pool.submit(entropy, i) for i in range(len(datas))]
         pending: dict = {}              # fast-path key -> buffered indices
         jobs = []
+        host_jobs = []
         for i in range(len(datas)):
             planes_list[i] = futs[i].result()
+            if host_decode and planes_list[i] is not None:
+                host_jobs.append((i, stage_pool.submit(
+                    _host_decode_one, jps[i], planes_list[i],
+                    fancy_upsample, block_smoothing, output)))
+                continue
             key = (None if merged_local else
                    _fast_decode_key(jps[i], planes_list[i],
                                     fancy_upsample, block_smoothing))
@@ -1501,6 +1574,12 @@ def decode_many(datas, fancy_upsample: bool = True,
             jobs.append(stage_pool.submit(
                 _decode_chunk_packed, key, idxs, jps, planes_list, out,
                 fancy_upsample, block_smoothing, output))
+        for i, hj in host_jobs:
+            r = hj.result()
+            if r is not None:
+                out[i] = r
+            else:                        # outside the host matrix
+                leftovers.append(i)
         for j in jobs:
             j.result()
 
